@@ -1,0 +1,25 @@
+"""cgx — a TPU-native sparse iterative-solver framework.
+
+From-scratch JAX/XLA/Pallas re-design with the capabilities of the reference
+C conjugate-gradient solver (rnelias/Conjugate-Gradient; structural analysis
+in SURVEY.md): CSR/COO/BSR/ELL/DIA sparse storage, O(nnz) SpMV/SpMM, fused
+vector ops, (preconditioned) CG under ``lax.while_loop``, and row-partitioned
+multi-chip solves over a ``jax.sharding.Mesh`` with psum dots and halo
+exchange.
+"""
+from cgx.sparse.types import (BSRMatrix, COOMatrix, CSRMatrix, DIAMatrix,
+                              ELLMatrix, bsr_from_csr, coo_from_scipy,
+                              csr_from_scipy, dia_from_csr, ell_from_csr)
+from cgx.ops.spmv import spmv, spmm
+from cgx.ops import blas
+from cgx.solve.cg import CGResult, cg_solve
+from cgx.solve.precond import BlockJacobiPrecond, JacobiPrecond
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "BSRMatrix", "COOMatrix", "CSRMatrix", "DIAMatrix", "ELLMatrix",
+    "bsr_from_csr", "coo_from_scipy", "csr_from_scipy", "dia_from_csr",
+    "ell_from_csr", "spmv", "spmm", "blas", "CGResult", "cg_solve",
+    "JacobiPrecond", "BlockJacobiPrecond",
+]

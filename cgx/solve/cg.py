@@ -1,0 +1,202 @@
+"""Conjugate-gradient solver as a single on-device ``lax.while_loop``.
+
+TPU-native re-design of the reference's ``conj_grad`` (``cg.c:88-141``).
+Differences that matter (see SURVEY.md §3.2):
+
+* The reference exits **only** on an iteration count (``cg.c:125-127``); here
+  convergence is tested on-device every iteration
+  (``‖r‖² ≤ max(tol²·‖b‖², atol²)``) with ``maxiter`` as the cap.  Setting
+  ``tol=0`` reproduces the reference's fixed-count trajectory exactly (note:
+  the reference runs ``max_iter + 1`` updates — its break happens *after*
+  the x/r update of iteration ``k == max_iter``).
+* The reference recomputes ``rᵀr`` twice per iteration (4 dots/iter,
+  ``cg.c:113`` + ``cg.c:129``) and deep-copies x and r every iteration
+  (``cg.c:117,120``).  In exact arithmetic the trajectory is identical to
+  textbook Hestenes–Stiefel CG with the ``rᵀr`` reuse, which is what this
+  implements: 2 global reductions per iteration — the only cross-chip sync
+  points when running sharded.
+* Everything between the SpMVs (axpy updates, β/α scalars, the convergence
+  test) fuses into a couple of XLA fusions; no host round-trips inside the
+  loop.
+
+Preconditioned CG (PCG) is the same loop with ``z = M⁻¹ r`` and the
+``rᵀz`` inner products; ``preconditioner=None`` degenerates to plain CG with
+zero overhead (XLA deduplicates the aliased arrays).
+
+Inside ``shard_map`` pass ``axis_name=...`` and a matvec over the local
+shard: the two dots become ``psum``s and the whole while_loop runs SPMD.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from functools import partial
+from typing import Callable, Optional, Union
+
+import jax
+import jax.numpy as jnp
+
+from cgx.ops import blas
+from cgx.ops.spmv import spmv
+
+__all__ = ["CGResult", "cg_solve", "as_matvec"]
+
+MatVec = Callable[[jnp.ndarray], jnp.ndarray]
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class CGResult:
+    """Solver output (a pytree — safe to return from ``jit``)."""
+
+    x: jnp.ndarray                 # solution iterate
+    iterations: jnp.ndarray        # int32 — CG iterations performed
+    residual_norm_sq: jnp.ndarray  # ‖b - A x‖² (true residual recurrence)
+    converged: jnp.ndarray         # bool — hit the tolerance before maxiter
+    # ‖r_k‖² for k = 0..maxiter (padded with last value after exit); only
+    # populated when track_history=True, else a size-0 array.
+    history: jnp.ndarray = dataclasses.field(
+        default_factory=lambda: jnp.zeros((0,)))
+
+    @property
+    def residual_norm(self) -> jnp.ndarray:
+        return jnp.sqrt(self.residual_norm_sq)
+
+
+def as_matvec(a: Union[MatVec, object]) -> MatVec:
+    """Normalize a matrix pytree or callable into a matvec closure."""
+    if callable(a):
+        return a
+    return partial(spmv, a)
+
+
+@dataclass(frozen=True)
+class _State:
+    x: jnp.ndarray
+    r: jnp.ndarray
+    z: jnp.ndarray
+    p: jnp.ndarray
+    rz: jnp.ndarray
+    rr: jnp.ndarray
+    k: jnp.ndarray
+    history: jnp.ndarray
+
+
+jax.tree_util.register_dataclass(
+    _State, data_fields=["x", "r", "z", "p", "rz", "rr", "k", "history"],
+    meta_fields=[])
+
+
+def cg_solve(
+    a: Union[MatVec, object],
+    b: jnp.ndarray,
+    x0: Optional[jnp.ndarray] = None,
+    *,
+    tol: float = 1e-6,
+    atol: float = 0.0,
+    maxiter: Optional[int] = None,
+    preconditioner: Optional[Union[MatVec, object]] = None,
+    axis_name: Optional[str] = None,
+    track_history: bool = False,
+) -> CGResult:
+    """Solve ``A x = b`` for SPD ``A`` by (preconditioned) CG.
+
+    Args:
+      a: a cgx sparse matrix pytree or a matvec callable. Inside
+        ``shard_map`` this must act on the *local* shard (including any halo
+        exchange) and return the local result shard.
+      b: right-hand side (local shard when sharded).
+      x0: initial iterate; defaults to zeros (the reference's choice,
+        ``mv_ops.c:32`` via calloc).
+      tol: relative tolerance — exit when ``‖r‖² ≤ tol²·‖b‖²``.  ``tol=0``
+        with ``atol=0`` gives fixed-iteration behavior (reference parity).
+      atol: absolute tolerance floor on ``‖r‖``.
+      maxiter: iteration cap (defaults to the global problem size).
+      preconditioner: ``None`` | matvec callable | object with ``.apply``;
+        applies ``M⁻¹`` to a residual.
+      axis_name: mesh axis for global reductions when running under
+        ``shard_map``.
+      track_history: record ``‖r_k‖²`` per iteration into
+        ``CGResult.history`` (length ``maxiter + 1``).
+
+    Returns:
+      :class:`CGResult`. Fully jit-compatible; differentiable in the inputs
+      only via implicit-function tricks (not provided here).
+    """
+    matvec = as_matvec(a)
+    if preconditioner is None:
+        apply_m = None
+    elif hasattr(preconditioner, "apply"):
+        apply_m = preconditioner.apply
+    else:
+        apply_m = preconditioner
+
+    dtype = b.dtype
+    n_local = b.shape[0]
+    if maxiter is None:
+        # Global dimension: CG terminates in <= n steps in exact arithmetic.
+        n_global = n_local
+        if axis_name is not None:
+            # axis size is static under shard_map; jnp.arrays not needed
+            n_global = n_local * jax.lax.psum(1, axis_name)
+        maxiter = int(n_global)
+    maxiter = int(maxiter)
+
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+        r0 = b
+    else:
+        r0 = b - matvec(x0)
+
+    z0 = apply_m(r0) if apply_m is not None else r0
+    rz0 = blas.dot(r0, z0, axis_name)
+    rr0 = blas.dot(r0, r0, axis_name) if apply_m is not None else rz0
+    bb = blas.norm_sq(b, axis_name)
+
+    tol_sq = jnp.maximum(
+        jnp.asarray(tol, dtype) ** 2 * bb, jnp.asarray(atol, dtype) ** 2)
+
+    if track_history:
+        hist0 = jnp.zeros((maxiter + 1,), dtype).at[0].set(rr0)
+    else:
+        hist0 = jnp.zeros((0,), dtype)
+
+    state0 = _State(x=x0, r=r0, z=z0, p=z0, rz=rz0, rr=rr0,
+                    k=jnp.zeros((), jnp.int32), history=hist0)
+
+    def cond(s: _State):
+        return jnp.logical_and(s.k < maxiter, s.rr > tol_sq)
+
+    def body(s: _State) -> _State:
+        q = matvec(s.p)
+        pq = blas.dot(s.p, q, axis_name)
+        alpha = s.rz / pq
+        x = s.x + alpha * s.p
+        r = s.r - alpha * q
+        z = apply_m(r) if apply_m is not None else r
+        rz = blas.dot(r, z, axis_name)
+        rr = blas.dot(r, r, axis_name) if apply_m is not None else rz
+        beta = rz / s.rz
+        p = z + beta * s.p
+        if track_history:
+            hist = s.history.at[s.k + 1].set(rr)
+        else:
+            hist = s.history
+        return _State(x=x, r=r, z=z, p=p, rz=rz, rr=rr, k=s.k + 1,
+                      history=hist)
+
+    final = jax.lax.while_loop(cond, body, state0)
+
+    history = final.history
+    if track_history:
+        # Pad post-exit slots with the final residual so plots stay flat.
+        idx = jnp.arange(maxiter + 1)
+        history = jnp.where(idx <= final.k, history, final.rr)
+
+    return CGResult(
+        x=final.x,
+        iterations=final.k,
+        residual_norm_sq=final.rr,
+        converged=final.rr <= tol_sq,
+        history=history,
+    )

@@ -1,0 +1,39 @@
+"""Test configuration: force JAX onto 8 virtual CPU devices.
+
+The container's sitecustomize registers the axon TPU backend and pins
+JAX_PLATFORMS=axon, so plain env vars are not enough — we override via
+jax.config before any device is touched.  All tests then run on a virtual
+8-device CPU mesh (the TPU-less stand-in for a pod slice; SURVEY.md §4.3)
+with float64 enabled for ground-truth comparisons.
+"""
+import os
+import sys
+
+# Repo root on sys.path so `import cgx` works without installation.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
+
+
+def random_spd_csr(n, density=0.05, rng=None, dtype=np.float64):
+    """Random sparse SPD matrix: A = B Bᵀ + n·I (host scipy)."""
+    import scipy.sparse as sp
+    rng = rng or np.random.default_rng(0)
+    b = sp.random(n, n, density=density, random_state=np.random.RandomState(
+        rng.integers(2**31)), dtype=dtype)
+    a = (b @ b.T).tocsr()
+    a = a + sp.identity(n, dtype=dtype, format="csr") * n
+    a.sort_indices()
+    return a

@@ -1,0 +1,213 @@
+"""Solver tests: CG/PCG correctness, convergence, trajectory parity.
+
+Mirrors SURVEY.md §4's plan: SPD fixtures (2D Poisson per north-star config
+1), comparison against a NumPy reference CG in fp64, preconditioned variants
+strictly reducing iteration counts, and property tests on random SPD
+matrices.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cgx.io.poisson import poisson2d, poisson2d_dia, poisson3d
+from cgx.solve.cg import cg_solve
+from cgx.solve.precond import BlockJacobiPrecond, JacobiPrecond
+from cgx.sparse.types import csr_from_scipy, ell_from_csr, bsr_from_csr
+from cgx.ops.spmv import spmv
+
+from conftest import random_spd_csr
+
+
+def numpy_cg(a_csr_scipy, b, maxiter, tol=0.0):
+    """Textbook Hestenes–Stiefel CG in float64 NumPy (ground truth).
+
+    Matches the reference algorithm's trajectory (cg.c:88-141): x0 = 0,
+    r0 = b, p0 = r0; identical update formulas (the reference's redundant
+    recomputation of rᵀr does not change values).
+    """
+    x = np.zeros_like(b)
+    r = b.copy()
+    p = r.copy()
+    rs = r @ r
+    bb = b @ b
+    history = [rs]
+    k = 0
+    while k < maxiter and rs > tol * tol * bb:
+        q = a_csr_scipy @ p
+        alpha = rs / (p @ q)
+        x = x + alpha * p
+        r = r - alpha * q
+        rs_new = r @ r
+        p = r + (rs_new / rs) * p
+        rs = rs_new
+        history.append(rs)
+        k += 1
+    return x, np.array(history), k
+
+
+def test_cg_converges_poisson2d_64x64():
+    """North-star config 1: 2D 5-point Poisson 64×64, fp64, tol 1e-6."""
+    a = poisson2d(64, 64)
+    n = a.shape[0]
+    rng = np.random.default_rng(7)
+    x_true = rng.standard_normal(n)
+    b = np.asarray(spmv(a, jnp.asarray(x_true)))
+
+    res = cg_solve(a, jnp.asarray(b), tol=1e-10, maxiter=2000)
+    assert bool(res.converged)
+    x = np.asarray(res.x)
+    # True residual matches the recurrence residual.
+    true_res = np.linalg.norm(b - np.asarray(spmv(a, jnp.asarray(x))))
+    assert true_res <= 1e-9 * np.linalg.norm(b)
+    np.testing.assert_allclose(x, x_true, rtol=1e-7, atol=1e-7)
+
+
+def test_cg_trajectory_matches_numpy_reference():
+    """Residual history matches a NumPy CG step-for-step in fp64."""
+    a = poisson2d(16, 16)
+    n = a.shape[0]
+    rng = np.random.default_rng(3)
+    b = rng.standard_normal(n)
+
+    import scipy.sparse as sp
+    s = sp.csr_matrix((np.asarray(a.values), np.asarray(a.col_indices),
+                       np.asarray(a.indptr)), shape=a.shape)
+    x_np, hist_np, k_np = numpy_cg(s, b, maxiter=40)
+
+    res = cg_solve(a, jnp.asarray(b), tol=0.0, maxiter=40,
+                   track_history=True)
+    assert int(res.iterations) == 40 == k_np
+    hist = np.asarray(res.history)[:41]
+    np.testing.assert_allclose(hist, hist_np, rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(res.x), x_np, rtol=1e-10,
+                               atol=1e-12)
+
+
+def test_cg_all_formats_agree():
+    """CSR / ELL / BSR / DIA operators produce the same solution."""
+    a_csr = poisson2d(12, 12)
+    n = a_csr.shape[0]
+    b = np.cos(np.arange(n) * 0.37)
+    sol = {}
+    mats = {
+        "csr": a_csr,
+        "ell": ell_from_csr(a_csr),
+        "dia": poisson2d_dia(12, 12),
+    }
+    for name, a in mats.items():
+        res = cg_solve(a, jnp.asarray(b), tol=1e-12, maxiter=1000)
+        assert bool(res.converged), name
+        sol[name] = np.asarray(res.x)
+    a_bsr = bsr_from_csr(a_csr, blocksize=8)
+    bp = np.zeros(a_bsr.shape[0])
+    bp[:n] = b
+    res = cg_solve(a_bsr, jnp.asarray(bp), tol=1e-12, maxiter=1000)
+    sol["bsr"] = np.asarray(res.x)[:n]
+    for name in ("ell", "dia", "bsr"):
+        np.testing.assert_allclose(sol[name], sol["csr"], rtol=1e-8,
+                                   atol=1e-10)
+
+
+def test_jacobi_pcg_reduces_iterations(rng):
+    """PCG on an ill-scaled SPD matrix needs strictly fewer iterations."""
+    import scipy.sparse as sp
+    n = 200
+    s = random_spd_csr(n, 0.05, rng)
+    scale = sp.diags(np.logspace(0, 4, n))
+    s = (scale @ s @ scale).tocsr()  # badly scaled, still SPD
+    a = csr_from_scipy(s)
+    b = rng.standard_normal(n)
+
+    plain = cg_solve(a, jnp.asarray(b), tol=1e-8, maxiter=5000)
+    pcg = cg_solve(a, jnp.asarray(b), tol=1e-8, maxiter=5000,
+                   preconditioner=JacobiPrecond.from_matrix(a))
+    assert bool(pcg.converged)
+    assert int(pcg.iterations) < int(plain.iterations)
+    x = np.asarray(pcg.x)
+    assert np.linalg.norm(b - s @ x) <= 1e-6 * np.linalg.norm(b)
+
+
+def test_block_jacobi_beats_jacobi_on_block_structure(rng):
+    a_csr = poisson2d(20, 20)
+    b = rng.standard_normal(400)
+    jac = cg_solve(a_csr, jnp.asarray(b), tol=1e-9, maxiter=2000,
+                   preconditioner=JacobiPrecond.from_matrix(a_csr))
+    bj = cg_solve(a_csr, jnp.asarray(b), tol=1e-9, maxiter=2000,
+                  preconditioner=BlockJacobiPrecond.from_matrix(
+                      a_csr, blocksize=20))
+    assert bool(bj.converged)
+    assert int(bj.iterations) <= int(jac.iterations)
+    x = np.asarray(bj.x)
+    r = b - np.asarray(spmv(a_csr, jnp.asarray(x)))
+    assert np.linalg.norm(r) <= 1e-7 * np.linalg.norm(b)
+
+
+def test_cg_zero_rhs_returns_zero():
+    a = poisson2d(8, 8)
+    res = cg_solve(a, jnp.zeros(64), tol=1e-6)
+    assert int(res.iterations) == 0
+    np.testing.assert_array_equal(np.asarray(res.x), 0.0)
+
+
+def test_cg_with_x0():
+    a = poisson2d(10, 10)
+    n = 100
+    rng = np.random.default_rng(5)
+    b = rng.standard_normal(n)
+    x_star = np.asarray(cg_solve(a, jnp.asarray(b), tol=1e-12).x)
+    # Warm start at the solution: should take 0 iterations.
+    res = cg_solve(a, jnp.asarray(b), x0=jnp.asarray(x_star), tol=1e-6)
+    assert int(res.iterations) == 0
+
+
+def test_cg_under_jit_and_maxiter_cap():
+    a = poisson2d(16, 16)
+    b = jnp.ones(256)
+
+    @jax.jit
+    def solve(a, b):
+        return cg_solve(a, b, tol=1e-10, maxiter=5)
+
+    res = solve(a, b)
+    assert int(res.iterations) == 5
+    assert not bool(res.converged)
+
+
+def test_cg_anorm_error_monotone(rng):
+    """Property: CG's A-norm error decreases monotonically."""
+    n = 60
+    s = random_spd_csr(n, 0.1, rng)
+    a = csr_from_scipy(s)
+    b = rng.standard_normal(n)
+    x_star = np.linalg.solve(s.toarray(), b)
+
+    errs = []
+    for k in range(1, 12):
+        x = np.asarray(cg_solve(a, jnp.asarray(b), tol=0.0, maxiter=k).x)
+        e = x - x_star
+        errs.append(float(e @ (s @ e)))
+    assert all(e2 <= e1 * (1 + 1e-10) for e1, e2 in zip(errs, errs[1:]))
+
+
+def test_cg_finite_termination(rng):
+    """Property: exact-arithmetic proxy — tiny SPD system solved in <= n."""
+    n = 24
+    s = random_spd_csr(n, 0.3, rng)
+    a = csr_from_scipy(s)
+    b = rng.standard_normal(n)
+    res = cg_solve(a, jnp.asarray(b), tol=1e-13, maxiter=n + 5)
+    x = np.asarray(res.x)
+    assert np.linalg.norm(b - s @ x) <= 1e-10 * np.linalg.norm(b)
+
+
+def test_cg_3d_poisson_small():
+    """North-star config 2 (downscaled): 3D 7-point Poisson."""
+    a = poisson3d(12, 12, 12)
+    n = a.shape[0]
+    b = np.ones(n)
+    res = cg_solve(a, jnp.asarray(b), tol=1e-8)
+    assert bool(res.converged)
+    x = np.asarray(res.x)
+    r = b - np.asarray(spmv(a, jnp.asarray(x)))
+    assert np.linalg.norm(r) <= 1e-7 * np.linalg.norm(b)
