@@ -1,0 +1,169 @@
+"""Distributed solver tests on a virtual 8-device CPU mesh (SURVEY.md §4.3).
+
+Asserts (a) numerical identity with the single-device path, (b) halo-exchange
+correctness on stencil matrices, (c) the communication plan — 2 psums per
+iteration plus halo ppermutes (not all-gathers) for banded operators —
+via compiled-HLO inspection.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cgx.dist.halo import halo_exchange, local_matvec
+from cgx.dist.partition import (partition_csr, partition_dia, pad_vector,
+                                unpad_vector)
+from cgx.dist.solve import dist_cg_solve, make_row_mesh, operator_specs
+from cgx.io.poisson import poisson2d, poisson2d_dia, poisson3d_dia
+from cgx.ops.spmv import spmv
+from cgx.solve.cg import cg_solve
+from cgx.sparse.types import csr_from_scipy
+
+from conftest import random_spd_csr
+from jax.sharding import NamedSharding, PartitionSpec as P
+from functools import partial
+
+MESH = None
+
+
+def setup_module():
+    global MESH
+    MESH = make_row_mesh(8)
+
+
+def _sharded_matvec(part, x_pad):
+    specs = operator_specs(part)
+    f = jax.shard_map(
+        lambda a_loc, xl: local_matvec(a_loc, xl, axis_name="rows"),
+        mesh=MESH, in_specs=(specs, P("rows")), out_specs=P("rows"))
+    a_dev = jax.device_put(part, jax.tree.map(
+        lambda s: NamedSharding(MESH, s), specs,
+        is_leaf=lambda v: isinstance(v, P)))
+    x_dev = jax.device_put(x_pad, NamedSharding(MESH, P("rows")))
+    return np.asarray(jax.jit(f)(a_dev, x_dev))
+
+
+def test_halo_exchange_correctness():
+    """Each shard sees its neighbors' boundary entries at the right slots."""
+    n_local, hl, hr = 4, 2, 3
+    x = jnp.arange(32.0)
+
+    f = jax.shard_map(lambda xl: halo_exchange(xl, hl, hr, "rows"),
+                      mesh=MESH, in_specs=P("rows"),
+                      out_specs=P("rows"))
+    out = np.asarray(f(x)).reshape(8, hl + n_local + hr)
+    for p in range(8):
+        lo = (p * n_local - hl) % 32
+        left = [(lo + i) % 32 for i in range(hl)]
+        mid = list(range(p * n_local, (p + 1) * n_local))
+        right = [((p + 1) * n_local + i) % 32 for i in range(hr)]
+        np.testing.assert_array_equal(out[p], np.array(left + mid + right,
+                                                       dtype=float))
+
+
+@pytest.mark.parametrize("mode", ["halo", "allgather"])
+def test_partitioned_ell_matvec_matches_global(mode, rng):
+    a = poisson2d(20, 13)  # n = 260, not divisible by 8
+    n = a.shape[0]
+    part = partition_csr(a, 8, mode=mode)
+    x = rng.standard_normal(n)
+    x_pad = pad_vector(jnp.asarray(x), part.n_padded)
+    got = unpad_vector(_sharded_matvec(part, x_pad), n)
+    ref = np.asarray(spmv(a, jnp.asarray(x)))
+    np.testing.assert_allclose(got, ref, rtol=1e-12, atol=1e-12)
+
+
+def test_partitioned_ell_general_matrix_allgather(rng):
+    s = random_spd_csr(100, 0.15, rng)  # dense-ish pattern → full bandwidth
+    a = csr_from_scipy(s)
+    part = partition_csr(a, 8, mode="auto")
+    assert part.mode == "allgather"
+    x = rng.standard_normal(100)
+    x_pad = pad_vector(jnp.asarray(x), part.n_padded)
+    got = unpad_vector(_sharded_matvec(part, x_pad), 100)
+    np.testing.assert_allclose(got, s @ x, rtol=1e-12, atol=1e-12)
+
+
+def test_partitioned_dia_matvec_matches_global(rng):
+    a = poisson2d_dia(24, 16)
+    n = a.shape[0]
+    part = partition_dia(a, 8)
+    x = rng.standard_normal(n)
+    x_pad = pad_vector(jnp.asarray(x), part.n_padded)
+    got = unpad_vector(_sharded_matvec(part, x_pad), n)
+    ref = np.asarray(spmv(a, jnp.asarray(x)))
+    np.testing.assert_allclose(got, ref, rtol=1e-12, atol=1e-12)
+
+
+@pytest.mark.parametrize("jacobi", [False, True])
+def test_dist_cg_identical_to_single_device(jacobi, rng):
+    """Sharded CG == single-device CG, bit-comparable in fp64."""
+    a = poisson2d(16, 16)
+    n = 256
+    b = rng.standard_normal(n)
+
+    ref = cg_solve(a, jnp.asarray(b), tol=1e-10, maxiter=600,
+                   preconditioner=None if not jacobi else
+                   __import__("cgx").JacobiPrecond.from_matrix(a))
+
+    part = partition_csr(a, 8)
+    assert part.mode == "halo"
+    res = dist_cg_solve(part, jnp.asarray(b), MESH, tol=1e-10, maxiter=600,
+                        jacobi=jacobi)
+    assert bool(res.converged)
+    x = unpad_vector(np.asarray(res.x), n)
+    np.testing.assert_allclose(x, np.asarray(ref.x), rtol=1e-9, atol=1e-11)
+    # Same iteration count — the trajectories are numerically identical
+    # modulo reduction order.
+    assert abs(int(res.iterations) - int(ref.iterations)) <= 2
+
+
+def test_dist_cg_dia_3d_poisson(rng):
+    a = poisson3d_dia(12, 10, 11)
+    n = a.shape[0]
+    b = rng.standard_normal(n)
+    part = partition_dia(a, 8)
+    res = dist_cg_solve(part, jnp.asarray(b), MESH, tol=1e-9, jacobi=True,
+                        maxiter=2000)
+    assert bool(res.converged)
+    x = unpad_vector(np.asarray(res.x), n)
+    from cgx.io.poisson import poisson3d
+    s = poisson3d(12, 10, 11)
+    r = b - np.asarray(spmv(s, jnp.asarray(x)))
+    assert np.linalg.norm(r) <= 1e-8 * np.linalg.norm(b)
+
+
+def test_dist_cg_history_tracks(rng):
+    a = poisson2d_dia(16, 16)
+    b = rng.standard_normal(256)
+    part = partition_dia(a, 8)
+    res = dist_cg_solve(part, jnp.asarray(b), MESH, tol=0.0, maxiter=30,
+                        track_history=True)
+    hist = np.asarray(res.history)
+    assert hist.shape == (31,)
+    ref = cg_solve(poisson2d(16, 16), jnp.asarray(b), tol=0.0, maxiter=30,
+                   track_history=True)
+    np.testing.assert_allclose(hist, np.asarray(ref.history), rtol=1e-8)
+
+
+def test_halo_mode_emits_no_allgather():
+    """Communication plan check: banded operator uses ppermute halos and
+    psum scalars only — no all-gather of the iterate (SURVEY.md §4.3c)."""
+    a = poisson2d_dia(16, 16)
+    part = partition_dia(a, 8)
+    b = jnp.ones(256)
+
+    from cgx.dist.solve import operator_specs, AXIS
+    specs = operator_specs(part)
+    b_pad = pad_vector(b, part.n_padded)
+
+    def local_solve(a_loc, b_loc):
+        mv = partial(local_matvec, a_loc, axis_name="rows")
+        return cg_solve(mv, b_loc, tol=1e-6, maxiter=50, axis_name="rows").x
+
+    f = jax.shard_map(local_solve, mesh=MESH, in_specs=(specs, P("rows")),
+                      out_specs=P("rows"))
+    hlo = jax.jit(f).lower(part, b_pad).compile().as_text()
+    assert "all-gather" not in hlo, "halo mode must not all-gather x"
+    assert "collective-permute" in hlo
+    assert "all-reduce" in hlo  # the psum dots
