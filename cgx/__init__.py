@@ -13,7 +13,9 @@ from cgx.sparse.types import (BSRMatrix, COOMatrix, CSRMatrix, DIAMatrix,
 from cgx.ops.spmv import spmv, spmm
 from cgx.ops import blas
 from cgx.solve.cg import CGResult, cg_solve
-from cgx.solve.precond import BlockJacobiPrecond, JacobiPrecond
+from cgx.solve.precond import (BlockJacobiPrecond, JacobiPrecond,
+                               PolynomialPrecond)
+from cgx.solve.ic0 import IC0Precond
 
 __version__ = "0.1.0"
 
@@ -21,5 +23,6 @@ __all__ = [
     "BSRMatrix", "COOMatrix", "CSRMatrix", "DIAMatrix", "ELLMatrix",
     "bsr_from_csr", "coo_from_scipy", "csr_from_scipy", "dia_from_csr",
     "ell_from_csr", "spmv", "spmm", "blas", "CGResult", "cg_solve",
-    "JacobiPrecond", "BlockJacobiPrecond",
+    "JacobiPrecond", "BlockJacobiPrecond", "PolynomialPrecond",
+    "IC0Precond",
 ]

@@ -1,0 +1,276 @@
+"""``cgx`` command-line interface: solve / gen / bench / info.
+
+TPU-native replacement for the reference CLI (``main`` at ``cg.c:42-85``):
+``cg <input-data> <max-iterations> [suppress-output]``.  Differences
+(SURVEY.md §2.1 #14, §5.f):
+
+* A real flag system (problem source, format, dtype, tol, maxiter,
+  preconditioner, device count) instead of 3 positional args with a dead
+  ``suppress-output`` flag (parsed at ``cg.c:56-57``, never read).
+* ``--legacy-compat`` reproduces the reference's exact semantics: fixed
+  iteration count (``tol=0``), ``max_iterations + 1`` updates (the
+  reference's break is post-update, ``cg.c:125-127``), and a final solution
+  dump in ``print_sparse``'s ``\\t%f`` format (``mv_ops.c:77-95``).
+* Timing is wall-clock with ms resolution plus per-solve device stats — the
+  reference prints whole seconds from ``time(NULL)`` (``cg.c:71-75``).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _build_matrix(args):
+    """Problem setup from flags → (matrix-or-matvec, b, n)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    dtype = dict(f32=np.float32, f64=np.float64,
+                 bf16=jnp.bfloat16)[args.dtype]
+
+    if args.input:
+        if args.input.endswith((".mtx", ".mtx.gz")):
+            from cgx.io.matrix_market import read_matrix_market
+            a = read_matrix_market(args.input, dtype=np.float64)
+            b = jnp.ones((a.shape[0],))
+        else:
+            from cgx.io.legacy import read_legacy
+            a, b = read_legacy(args.input)
+        a = a.astype(dtype)
+        b = jnp.asarray(b, dtype)
+        return a, b, a.shape[0]
+
+    dims = [int(d) for d in args.poisson.split("x")]
+    from cgx.io import poisson
+    if len(dims) == 2:
+        gen = {"csr": poisson.poisson2d, "dia": poisson.poisson2d_dia}
+    elif len(dims) == 3:
+        gen = {"csr": poisson.poisson3d, "dia": poisson.poisson3d_dia}
+    else:
+        raise SystemExit("--poisson must be NXxNY or NXxNYxNZ")
+    fmt = args.format if args.format in ("csr", "dia") else "csr"
+    a = gen[fmt](*dims, dtype=np.float64)
+    if args.format == "ell":
+        from cgx.sparse.types import ell_from_csr
+        a = ell_from_csr(a)
+    elif args.format == "bsr":
+        from cgx.sparse.types import bsr_from_csr
+        a = bsr_from_csr(a, args.blocksize)
+    a = a.astype(dtype)
+    n = a.shape[0]
+    b = jnp.ones((n,), dtype)
+    return a, b, n
+
+
+def _make_precond(args, a):
+    if args.precond == "none":
+        return None
+    import cgx
+    if args.precond == "jacobi":
+        return cgx.JacobiPrecond.from_matrix(a)
+    if args.precond == "block-jacobi":
+        return cgx.BlockJacobiPrecond.from_matrix(a, args.blocksize)
+    if args.precond == "ic0":
+        return cgx.IC0Precond.from_matrix(a)
+    if args.precond == "poly":
+        return cgx.PolynomialPrecond.from_matrix(a, steps=args.poly_steps)
+    raise SystemExit(f"unknown preconditioner {args.precond!r}")
+
+
+def cmd_solve(args):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import cgx
+
+    a, b, n = _build_matrix(args)
+    maxiter = args.maxiter
+    tol = args.tol
+    if args.legacy_compat:
+        tol = 0.0
+        maxiter = (maxiter if maxiter is not None else 30) + 1
+
+    if args.devices > 1:
+        from cgx.dist.partition import (partition_csr, partition_dia,
+                                        unpad_vector)
+        from cgx.dist.solve import dist_cg_solve, make_row_mesh
+        from cgx.sparse.types import CSRMatrix, DIAMatrix
+        mesh = make_row_mesh(args.devices)
+        if isinstance(a, DIAMatrix):
+            part = partition_dia(a, args.devices)
+        elif isinstance(a, CSRMatrix):
+            part = partition_csr(a, args.devices)
+        else:
+            raise SystemExit("--devices>1 supports csr/dia sources")
+        t0 = time.perf_counter()
+        res = jax.block_until_ready(dist_cg_solve(
+            part, b, mesh, tol=tol, maxiter=maxiter,
+            jacobi=args.precond == "jacobi"))
+        dt = time.perf_counter() - t0
+        x = unpad_vector(np.asarray(res.x), n)
+    else:
+        m = _make_precond(args, a)
+        solve = jax.jit(lambda a, b: cgx.cg_solve(
+            a, b, tol=tol, maxiter=maxiter, preconditioner=m))
+        t0 = time.perf_counter()
+        res = jax.block_until_ready(solve(a, b))
+        dt = time.perf_counter() - t0
+        x = np.asarray(res.x)
+
+    if args.legacy_compat:
+        # print_sparse ordering: size, nnz lines omitted; x entries \t%f.
+        for v in x:
+            sys.stdout.write("\t%f\n" % float(v))
+    print(f"iterations={int(res.iterations)} "
+          f"converged={bool(res.converged)} "
+          f"residual_norm={float(res.residual_norm):.3e} "
+          f"wall_s={dt:.3f}", file=sys.stderr)
+    return 0 if bool(res.converged) or args.legacy_compat else 2
+
+
+def cmd_gen(args):
+    import numpy as np
+    from cgx.io import poisson
+    dims = [int(d) for d in args.poisson.split("x")]
+    if len(dims) == 2:
+        a = poisson.poisson2d(*dims)
+    elif len(dims) == 3:
+        a = poisson.poisson3d(*dims)
+    else:
+        raise SystemExit("--poisson must be NXxNY or NXxNYxNZ")
+    n = a.shape[0]
+    rng = np.random.default_rng(args.seed)
+    b = rng.standard_normal(n)
+    if args.out.endswith(".mtx"):
+        from cgx.io.matrix_market import write_matrix_market
+        write_matrix_market(args.out, a)
+    else:
+        from cgx.io.legacy import write_legacy
+        write_legacy(args.out, a, b)
+    print(f"wrote {args.out}: n={n} nnz={a.nnz}", file=sys.stderr)
+    return 0
+
+
+def cmd_bench(args):
+    """Single-config benchmark: time-to-tol + SpMV throughput, JSON out."""
+    import jax
+    import numpy as np
+    import cgx
+
+    a, b, n = _build_matrix(args)
+    m = _make_precond(args, a)
+    solve = jax.jit(lambda a, b: cgx.cg_solve(
+        a, b, tol=args.tol, maxiter=args.maxiter or 2 * n,
+        preconditioner=m))
+    res = jax.block_until_ready(solve(a, b))     # compile
+    best = min(_timed(lambda: jax.block_until_ready(solve(a, b)))
+               for _ in range(args.reps))
+
+    # Chain K SpMVs inside one jitted call and difference two loop lengths:
+    # cancels the per-dispatch host↔device latency (~30 ms via the tunnel).
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=2)
+    def spmv_loop(a, x, k):
+        return jax.lax.fori_loop(
+            0, k, lambda i, y: cgx.spmv(a, y) * 0.125, x)
+
+    k1, k2 = 20, 60
+    jax.block_until_ready(spmv_loop(a, b, k1))
+    jax.block_until_ready(spmv_loop(a, b, k2))
+    t1 = min(_timed(lambda: jax.block_until_ready(spmv_loop(a, b, k1)))
+             for _ in range(3))
+    t2 = min(_timed(lambda: jax.block_until_ready(spmv_loop(a, b, k2)))
+             for _ in range(3))
+    t_spmv = max(t2 - t1, 1e-9) / (k2 - k1)
+    nnz = _nnz(a)
+    print(json.dumps({
+        "n": n, "nnz": nnz, "format": type(a).__name__,
+        "dtype": args.dtype, "precond": args.precond,
+        "iterations": int(res.iterations),
+        "converged": bool(res.converged),
+        "solve_ms": round(best * 1e3, 3),
+        "spmv_us": round(t_spmv * 1e6, 2),
+        "spmv_gnnz_s": round(nnz / t_spmv / 1e9, 3),
+        "device": jax.devices()[0].platform,
+    }))
+    return 0
+
+
+def _timed(fn):
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
+def _nnz(a):
+    import numpy as np
+    from cgx.sparse.types import DIAMatrix, ELLMatrix, BSRMatrix
+    if isinstance(a, DIAMatrix):
+        return int(np.count_nonzero(np.asarray(a.data)))
+    if isinstance(a, ELLMatrix):
+        return int(np.count_nonzero(np.asarray(a.values)))
+    if isinstance(a, BSRMatrix):
+        return int(a.nnzb) * a.blocksize ** 2
+    return int(a.nnz)
+
+
+def cmd_info(args):
+    import jax
+    print(f"devices: {jax.devices()}")
+    print(f"default backend: {jax.default_backend()}")
+    import cgx
+    print(f"cgx {cgx.__version__}")
+    return 0
+
+
+def _add_problem_flags(p):
+    p.add_argument("--input", help="input file (.mtx[.gz] or legacy 4-line)")
+    p.add_argument("--poisson", default="64x64",
+                   help="synthetic Poisson dims, e.g. 128x128 or 64x64x64")
+    p.add_argument("--format", default="csr",
+                   choices=["csr", "dia", "ell", "bsr"])
+    p.add_argument("--blocksize", type=int, default=8)
+    p.add_argument("--dtype", default="f32", choices=["f32", "f64", "bf16"])
+    p.add_argument("--tol", type=float, default=1e-6)
+    p.add_argument("--maxiter", type=int, default=None)
+    p.add_argument("--precond", default="none",
+                   choices=["none", "jacobi", "block-jacobi", "ic0", "poly"])
+    p.add_argument("--poly-steps", type=int, default=3)
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="cgx", description="TPU-native conjugate-gradient framework")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    ps = sub.add_parser("solve", help="solve A x = b")
+    _add_problem_flags(ps)
+    ps.add_argument("--devices", type=int, default=1,
+                    help="row-shard the solve over N devices")
+    ps.add_argument("--legacy-compat", action="store_true",
+                    help="reference semantics: fixed iters, \\t%%f dump")
+    ps.set_defaults(fn=cmd_solve)
+
+    pg = sub.add_parser("gen", help="generate a problem file")
+    pg.add_argument("--poisson", default="64x64")
+    pg.add_argument("--seed", type=int, default=0)
+    pg.add_argument("--out", required=True)
+    pg.set_defaults(fn=cmd_gen)
+
+    pb = sub.add_parser("bench", help="benchmark one config (JSON line)")
+    _add_problem_flags(pb)
+    pb.add_argument("--reps", type=int, default=5)
+    pb.set_defaults(fn=cmd_bench)
+
+    pi = sub.add_parser("info", help="device / version info")
+    pi.set_defaults(fn=cmd_info)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 
 from cgx.sparse.types import (BSRMatrix, COOMatrix, CSRMatrix, DIAMatrix,
                               ELLMatrix)
+from cgx.sparse.stencil import Stencil2D, Stencil3D
 
 __all__ = ["spmv", "spmm", "shifted"]
 
@@ -149,3 +150,17 @@ def _dia_spmm(a: DIAMatrix, x: jnp.ndarray) -> jnp.ndarray:
     for k in range(1, len(a.offsets)):
         y = y + a.data[k][:, None] * shifted(x, a.offsets[k])
     return y
+
+
+# -- Matrix-free stencils ---------------------------------------------------
+
+@spmv.register(Stencil2D)
+@spmv.register(Stencil3D)
+def _stencil_spmv(a, x: jnp.ndarray) -> jnp.ndarray:
+    return a.matvec(x)
+
+
+@spmm.register(Stencil2D)
+@spmm.register(Stencil3D)
+def _stencil_spmm(a, x: jnp.ndarray) -> jnp.ndarray:
+    return jax.vmap(a.matvec, in_axes=1, out_axes=1)(x)

@@ -39,7 +39,8 @@ import jax.numpy as jnp
 from cgx.ops import blas
 from cgx.ops.spmv import spmv
 
-__all__ = ["CGResult", "cg_solve", "as_matvec"]
+__all__ = ["CGResult", "CGState", "cg_solve", "cg_init", "cg_chunk",
+           "as_matvec"]
 
 MatVec = Callable[[jnp.ndarray], jnp.ndarray]
 
@@ -71,7 +72,14 @@ def as_matvec(a: Union[MatVec, object]) -> MatVec:
 
 
 @dataclass(frozen=True)
-class _State:
+class CGState:
+    """Full solver state — O(n) and sufficient to resume a solve exactly.
+
+    This is the checkpoint/elasticity unit (SURVEY.md §5.c/d): CG is
+    restartable from ``(x, r, z, p, rz, rr, k)``; snapshot it with
+    :mod:`cgx.utils.checkpoint` and resume via :func:`cg_chunk`.
+    """
+
     x: jnp.ndarray
     r: jnp.ndarray
     z: jnp.ndarray
@@ -83,8 +91,10 @@ class _State:
 
 
 jax.tree_util.register_dataclass(
-    _State, data_fields=["x", "r", "z", "p", "rz", "rr", "k", "history"],
+    CGState, data_fields=["x", "r", "z", "p", "rz", "rr", "k", "history"],
     meta_fields=[])
+
+_State = CGState
 
 
 def cg_solve(
@@ -124,67 +134,16 @@ def cg_solve(
       only via implicit-function tricks (not provided here).
     """
     matvec = as_matvec(a)
-    if preconditioner is None:
-        apply_m = None
-    elif hasattr(preconditioner, "apply"):
-        apply_m = preconditioner.apply
-    else:
-        apply_m = preconditioner
+    apply_m = _as_apply(preconditioner)
+    maxiter = _default_maxiter(maxiter, b, axis_name)
 
-    dtype = b.dtype
-    n_local = b.shape[0]
-    if maxiter is None:
-        # Global dimension: CG terminates in <= n steps in exact arithmetic.
-        n_global = n_local
-        if axis_name is not None:
-            # axis size is static under shard_map; jnp.arrays not needed
-            n_global = n_local * jax.lax.psum(1, axis_name)
-        maxiter = int(n_global)
-    maxiter = int(maxiter)
+    state0 = cg_init(matvec, b, x0, preconditioner=apply_m,
+                     axis_name=axis_name,
+                     history_len=maxiter + 1 if track_history else 0)
+    tol_sq = _tol_sq(tol, atol, b, axis_name)
 
-    if x0 is None:
-        x0 = jnp.zeros_like(b)
-        r0 = b
-    else:
-        r0 = b - matvec(x0)
-
-    z0 = apply_m(r0) if apply_m is not None else r0
-    rz0 = blas.dot(r0, z0, axis_name)
-    rr0 = blas.dot(r0, r0, axis_name) if apply_m is not None else rz0
-    bb = blas.norm_sq(b, axis_name)
-
-    tol_sq = jnp.maximum(
-        jnp.asarray(tol, dtype) ** 2 * bb, jnp.asarray(atol, dtype) ** 2)
-
-    if track_history:
-        hist0 = jnp.zeros((maxiter + 1,), dtype).at[0].set(rr0)
-    else:
-        hist0 = jnp.zeros((0,), dtype)
-
-    state0 = _State(x=x0, r=r0, z=z0, p=z0, rz=rz0, rr=rr0,
-                    k=jnp.zeros((), jnp.int32), history=hist0)
-
-    def cond(s: _State):
-        return jnp.logical_and(s.k < maxiter, s.rr > tol_sq)
-
-    def body(s: _State) -> _State:
-        q = matvec(s.p)
-        pq = blas.dot(s.p, q, axis_name)
-        alpha = s.rz / pq
-        x = s.x + alpha * s.p
-        r = s.r - alpha * q
-        z = apply_m(r) if apply_m is not None else r
-        rz = blas.dot(r, z, axis_name)
-        rr = blas.dot(r, r, axis_name) if apply_m is not None else rz
-        beta = rz / s.rz
-        p = z + beta * s.p
-        if track_history:
-            hist = s.history.at[s.k + 1].set(rr)
-        else:
-            hist = s.history
-        return _State(x=x, r=r, z=z, p=p, rz=rz, rr=rr, k=s.k + 1,
-                      history=hist)
-
+    cond, body = _make_cond_body(matvec, apply_m, axis_name, maxiter,
+                                 tol_sq, track_history)
     final = jax.lax.while_loop(cond, body, state0)
 
     history = final.history
@@ -200,3 +159,109 @@ def cg_solve(
         converged=final.rr <= tol_sq,
         history=history,
     )
+
+
+def _as_apply(preconditioner):
+    if preconditioner is None:
+        return None
+    if hasattr(preconditioner, "apply"):
+        return preconditioner.apply
+    return preconditioner
+
+
+def _default_maxiter(maxiter, b, axis_name):
+    if maxiter is None:
+        # Global dimension: CG terminates in <= n steps in exact arithmetic.
+        n_global = b.shape[0]
+        if axis_name is not None:
+            # axis size is static under shard_map; stays a Python int.
+            n_global = n_global * jax.lax.psum(1, axis_name)
+        maxiter = n_global
+    return int(maxiter)
+
+
+def _tol_sq(tol, atol, b, axis_name):
+    bb = blas.norm_sq(b, axis_name)
+    dtype = b.dtype
+    return jnp.maximum(
+        jnp.asarray(tol, dtype) ** 2 * bb, jnp.asarray(atol, dtype) ** 2)
+
+
+def cg_init(a, b, x0=None, *, preconditioner=None, axis_name=None,
+            history_len: int = 0) -> CGState:
+    """Initial :class:`CGState` for ``A x = b`` (x₀ defaults to zeros)."""
+    matvec = as_matvec(a)
+    apply_m = _as_apply(preconditioner)
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+        r0 = b
+    else:
+        r0 = b - matvec(x0)
+    z0 = apply_m(r0) if apply_m is not None else r0
+    rz0 = blas.dot(r0, z0, axis_name)
+    rr0 = blas.dot(r0, r0, axis_name) if apply_m is not None else rz0
+    hist0 = (jnp.zeros((history_len,), b.dtype).at[0].set(rr0)
+             if history_len else jnp.zeros((0,), b.dtype))
+    return CGState(x=x0, r=r0, z=z0, p=z0, rz=rz0, rr=rr0,
+                   k=jnp.zeros((), jnp.int32), history=hist0)
+
+
+def _make_cond_body(matvec, apply_m, axis_name, maxiter, tol_sq,
+                    track_history):
+    def cond(s: CGState):
+        return jnp.logical_and(s.k < maxiter, s.rr > tol_sq)
+
+    def body(s: CGState) -> CGState:
+        q = matvec(s.p)
+        pq = blas.dot(s.p, q, axis_name)
+        alpha = s.rz / pq
+        x = s.x + alpha * s.p
+        r = s.r - alpha * q
+        z = apply_m(r) if apply_m is not None else r
+        rz = blas.dot(r, z, axis_name)
+        rr = blas.dot(r, r, axis_name) if apply_m is not None else rz
+        beta = rz / s.rz
+        p = z + beta * s.p
+        if track_history:
+            hist = s.history.at[s.k + 1].set(rr)
+        else:
+            hist = s.history
+        return CGState(x=x, r=r, z=z, p=p, rz=rz, rr=rr, k=s.k + 1,
+                       history=hist)
+
+    return cond, body
+
+
+def cg_chunk(
+    a,
+    state: CGState,
+    iters: int,
+    *,
+    b: Optional[jnp.ndarray] = None,
+    tol: float = 0.0,
+    atol: float = 0.0,
+    preconditioner=None,
+    axis_name: Optional[str] = None,
+) -> CGState:
+    """Advance a :class:`CGState` by up to ``iters`` CG iterations.
+
+    The chunked-stepping primitive behind checkpoint/resume and elastic
+    recovery (:mod:`cgx.utils.checkpoint`): run a chunk, snapshot the
+    returned state, repeat; the trajectory is identical to one uninterrupted
+    :func:`cg_solve`.  Pass ``b`` with a nonzero ``tol`` to stop early
+    inside the chunk (relative tolerance needs ‖b‖).  Jittable.
+    """
+    matvec = as_matvec(a)
+    apply_m = _as_apply(preconditioner)
+    if b is not None:
+        tol_sq = _tol_sq(tol, atol, b, axis_name)
+    else:
+        tol_sq = jnp.asarray(atol, state.r.dtype) ** 2
+    upto = state.k + iters
+    track = state.history.shape[0] > 0
+
+    def cond(s: CGState):
+        return jnp.logical_and(s.k < upto, s.rr > tol_sq)
+
+    _, body = _make_cond_body(matvec, apply_m, axis_name, 0, tol_sq, track)
+    return jax.lax.while_loop(cond, body, state)

@@ -1,0 +1,215 @@
+"""IC(0) — incomplete Cholesky (zero fill) preconditioner.
+
+Part of the north-star capability set ("Jacobi/IC(0) preconditioner path",
+BASELINE.json; the reference itself has no preconditioning — plain CG only,
+``cg.c:88-141``).  Sparse triangular solves are the anti-TPU workload
+(SURVEY.md §7 "hard parts": sequential row dependencies fight the SIMD
+model), so this module splits the work TPU-natively:
+
+* **Setup (host, once):** numeric IC(0) factorization over CSR, then *level
+  scheduling* — rows are grouped into dependency levels; all rows in a level
+  solve simultaneously.  The level structure is padded to static ``(levels,
+  width, row_nnz)`` shapes so the device pass is one ``fori_loop`` with no
+  data-dependent shapes.
+* **Apply (device, per CG iteration):** ``z = L⁻ᵀ L⁻¹ r`` as two level-sweep
+  loops of gather → FMA → scatter, all static shapes, fused by XLA.
+
+For operators whose level count approaches n (long dependency chains) the
+sweep is latency-bound on TPU; prefer :class:`cgx.solve.precond.
+BlockJacobiPrecond` or :class:`PolynomialPrecond` there — the solver accepts
+any of them interchangeably.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["ic0_factor", "IC0Precond"]
+
+
+def ic0_factor(a) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Numeric IC(0) of a CSR SPD matrix (host side).
+
+    Returns host CSR arrays ``(l_values, l_cols, l_indptr)`` of the lower
+    factor L (diagonal included, same pattern as ``tril(A)``) with
+    ``A ≈ L Lᵀ``.  Raises if a pivot goes non-positive (matrix not H-matrix
+    enough for IC(0) — standard failure mode; use a shifted retry upstream).
+    """
+    vals = np.asarray(a.values, dtype=np.float64)
+    cols = np.asarray(a.col_indices)
+    indptr = np.asarray(a.indptr)
+    n = a.shape[0]
+
+    # Extract the lower triangle pattern row by row.
+    l_cols_rows = []
+    l_vals_rows = []
+    for i in range(n):
+        s, e = indptr[i], indptr[i + 1]
+        c = cols[s:e]
+        v = vals[s:e]
+        keep = c <= i
+        l_cols_rows.append(c[keep].astype(np.int64))
+        l_vals_rows.append(v[keep].copy())
+
+    # Row-oriented up-looking factorization; row entries stay sorted.
+    col_pos = [dict() for _ in range(n)]   # col -> position in row arrays
+    for i in range(n):
+        for t, c in enumerate(l_cols_rows[i]):
+            col_pos[i][int(c)] = t
+
+    for i in range(n):
+        ci = l_cols_rows[i]
+        vi = l_vals_rows[i]
+        for t, j in enumerate(ci):
+            j = int(j)
+            # dot of rows i and j over columns < j
+            cj = l_cols_rows[j]
+            vj = l_vals_rows[j]
+            acc = vi[t]
+            pj = col_pos[j]
+            for tt in range(t):
+                c = int(ci[tt])
+                p = pj.get(c)
+                if p is not None:
+                    acc -= vi[tt] * vj[p]
+            if j < i:
+                vi[t] = acc / vj[-1]       # L[j,j] is row j's last entry
+            else:                          # j == i → pivot
+                if acc <= 0.0:
+                    raise np.linalg.LinAlgError(
+                        f"IC(0) breakdown at row {i}: pivot {acc:.3e} <= 0")
+                vi[t] = np.sqrt(acc)
+
+    l_indptr = np.zeros(n + 1, dtype=np.int32)
+    l_indptr[1:] = np.cumsum([len(c) for c in l_cols_rows])
+    return (np.concatenate(l_vals_rows) if n else np.zeros(0),
+            (np.concatenate(l_cols_rows).astype(np.int32) if n
+             else np.zeros(0, np.int32)),
+            l_indptr)
+
+
+def _level_schedule(cols: np.ndarray, indptr: np.ndarray,
+                    n: int) -> np.ndarray:
+    """Dependency level per row of a lower-triangular CSR factor."""
+    level = np.zeros(n, dtype=np.int64)
+    for i in range(n):
+        deps = cols[indptr[i]:indptr[i + 1] - 1]   # off-diagonal cols (< i)
+        if len(deps):
+            level[i] = level[deps].max() + 1
+    return level
+
+
+def _pack_levels(vals, cols, indptr, diag, level, n):
+    """Pad a triangular factor into static (levels, width, row_nnz) arrays.
+
+    Row slot padding points at the dummy index ``n`` (an extra scratch slot
+    in the solve vector); entry padding has value 0, so neither contributes.
+    """
+    n_levels = int(level.max()) + 1 if n else 0
+    counts = np.bincount(level, minlength=n_levels)
+    width = int(counts.max()) if n else 0
+    row_nnz = int((np.diff(indptr) - 1).max()) if n else 0
+
+    lvl_rows = np.full((n_levels, width), n, dtype=np.int32)
+    lvl_cols = np.full((n_levels, width, max(row_nnz, 1)), n, dtype=np.int32)
+    lvl_vals = np.zeros((n_levels, width, max(row_nnz, 1)), dtype=vals.dtype)
+    lvl_inv_diag = np.zeros((n_levels, width), dtype=vals.dtype)
+
+    slot = np.zeros(n_levels, dtype=np.int64)
+    for i in range(n):
+        l = level[i]
+        w = slot[l]
+        slot[l] += 1
+        lvl_rows[l, w] = i
+        s, e = indptr[i], indptr[i + 1] - 1
+        k = e - s
+        lvl_cols[l, w, :k] = cols[s:e]
+        lvl_vals[l, w, :k] = vals[s:e]
+        lvl_inv_diag[l, w] = 1.0 / diag[i]
+    return lvl_rows, lvl_cols, lvl_vals, lvl_inv_diag
+
+
+def _level_solve(rows, cols_, vals_, inv_diag, r: jnp.ndarray) -> jnp.ndarray:
+    """Solve ``T y = r`` for a level-packed triangular factor (on device)."""
+    n = r.shape[0]
+    y0 = jnp.zeros((n + 1,), r.dtype)          # slot n = padding scratch
+    r_ext = jnp.concatenate([r, jnp.zeros((1,), r.dtype)])
+
+    def body(l, y):
+        rw = jax.lax.dynamic_index_in_dim(rows, l, keepdims=False)
+        cl = jax.lax.dynamic_index_in_dim(cols_, l, keepdims=False)
+        vl = jax.lax.dynamic_index_in_dim(vals_, l, keepdims=False)
+        dl = jax.lax.dynamic_index_in_dim(inv_diag, l, keepdims=False)
+        s = jnp.sum(vl * y[cl], axis=1)
+        return y.at[rw].set((r_ext[rw] - s) * dl)
+
+    y = jax.lax.fori_loop(0, rows.shape[0], body, y0)
+    return y[:n]
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class IC0Precond:
+    """``M⁻¹ r = L⁻ᵀ (L⁻¹ r)`` with level-scheduled on-device sweeps."""
+
+    # Forward (L) level packing.
+    f_rows: jnp.ndarray
+    f_cols: jnp.ndarray
+    f_vals: jnp.ndarray
+    f_inv_diag: jnp.ndarray
+    # Backward (Lᵀ) level packing.
+    b_rows: jnp.ndarray
+    b_cols: jnp.ndarray
+    b_vals: jnp.ndarray
+    b_inv_diag: jnp.ndarray
+    n: int = dataclasses.field(metadata=dict(static=True))
+    n_levels: int = dataclasses.field(metadata=dict(static=True))
+
+    @classmethod
+    def from_matrix(cls, a, dtype=None) -> "IC0Precond":
+        """Factor + level-schedule a :class:`~cgx.sparse.types.CSRMatrix`."""
+        import scipy.sparse as sp
+
+        lv, lc, lp = ic0_factor(a)
+        n = a.shape[0]
+        dtype = dtype or np.asarray(a.values).dtype
+        diag = lv[lp[1:] - 1]                   # row-sorted: diag is last
+
+        lev_f = _level_schedule(lc, lp, n)
+        packed_f = _pack_levels(lv.astype(dtype), lc, lp, diag.astype(dtype),
+                                lev_f, n)
+
+        # Lᵀ is upper triangular; reverse the row order so it becomes lower
+        # triangular in the permuted numbering and reuse the same machinery.
+        lt = sp.csr_matrix((lv, lc, lp), shape=(n, n)).T.tocsr()
+        perm = np.arange(n - 1, -1, -1)
+        ltp = lt[perm][:, perm].tocsr()
+        ltp.sort_indices()
+        diag_b = ltp.data[ltp.indptr[1:] - 1]
+        lev_b = _level_schedule(ltp.indices, ltp.indptr, n)
+        br, bc, bv, bd = _pack_levels(
+            ltp.data.astype(dtype), ltp.indices.astype(np.int32), ltp.indptr,
+            diag_b.astype(dtype), lev_b, n)
+        # Map permuted row/col ids back to original numbering (pad slot n
+        # stays n).
+        unperm = np.where(br == n, n, (n - 1) - br).astype(np.int32)
+        uncol = np.where(bc == n, n, (n - 1) - bc).astype(np.int32)
+
+        return cls(
+            f_rows=jnp.asarray(packed_f[0]), f_cols=jnp.asarray(packed_f[1]),
+            f_vals=jnp.asarray(packed_f[2]),
+            f_inv_diag=jnp.asarray(packed_f[3]),
+            b_rows=jnp.asarray(unperm), b_cols=jnp.asarray(uncol),
+            b_vals=jnp.asarray(bv), b_inv_diag=jnp.asarray(bd),
+            n=n, n_levels=int(packed_f[0].shape[0]))
+
+    def apply(self, r: jnp.ndarray) -> jnp.ndarray:
+        y = _level_solve(self.f_rows, self.f_cols, self.f_vals,
+                         self.f_inv_diag, r)
+        return _level_solve(self.b_rows, self.b_cols, self.b_vals,
+                            self.b_inv_diag, y)

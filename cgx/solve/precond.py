@@ -27,7 +27,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["JacobiPrecond", "BlockJacobiPrecond"]
+__all__ = ["JacobiPrecond", "BlockJacobiPrecond", "PolynomialPrecond"]
 
 
 @jax.tree_util.register_dataclass
@@ -109,3 +109,43 @@ class BlockJacobiPrecond:
                         preferred_element_type=r.dtype)
         z = zb.reshape(-1)
         return z[:n] if pad else z
+
+
+class PolynomialPrecond:
+    """m-step damped-Jacobi (truncated Neumann) polynomial preconditioner.
+
+    ``z = M⁻¹ r`` approximated by ``m`` weighted Jacobi sweeps on ``A z = r``
+    from ``z₀ = 0``: ``z ← z + ω D⁻¹ (r − A z)``.  The induced operator is a
+    fixed symmetric polynomial in ``D⁻¹A`` applied to ``D⁻¹``, hence a valid
+    SPD preconditioner for CG when ``ω < 2 / λ_max(D⁻¹A)`` (``ω = 2/3`` is
+    safe for diagonally dominant stencils).
+
+    This is the TPU-shaped alternative to IC(0)'s triangular sweeps
+    (SURVEY.md §7 "hard parts"): each step is one SpMV + fused axpys — pure
+    streaming work, no sequential row dependencies, and it distributes for
+    free (the matvec may be a ``shard_map``-local closure).
+
+    Not a pytree on purpose: it closes over the matvec; pass it per-solve.
+    """
+
+    def __init__(self, matvec, inv_diag: jnp.ndarray, steps: int = 3,
+                 omega: float = 2.0 / 3.0):
+        from cgx.solve.cg import as_matvec
+        self.matvec = as_matvec(matvec)
+        self.inv_diag = inv_diag
+        self.steps = int(steps)
+        self.omega = float(omega)
+
+    @classmethod
+    def from_matrix(cls, a, steps: int = 3,
+                    omega: float = 2.0 / 3.0) -> "PolynomialPrecond":
+        d = a.diagonal()
+        inv = jnp.where(d != 0, 1.0 / jnp.where(d != 0, d, 1.0),
+                        jnp.zeros_like(d))
+        return cls(a, inv, steps=steps, omega=omega)
+
+    def apply(self, r: jnp.ndarray) -> jnp.ndarray:
+        z = self.omega * self.inv_diag * r
+        for _ in range(self.steps - 1):
+            z = z + self.omega * self.inv_diag * (r - self.matvec(z))
+        return z

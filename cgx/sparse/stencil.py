@@ -1,0 +1,124 @@
+"""Matrix-free constant-coefficient stencil operators.
+
+The reference stores its Poisson-type matrices explicitly in CSR and pays
+O(n²) per SpMV (``mv_ops.c:160-201``).  For constant-coefficient
+finite-difference operators the TPU-native design stores *nothing*: the
+matrix action is a handful of statically-shifted multiply-adds whose
+boundary masks are recomputed on the fly from index arithmetic (iota +
+compare — register work, zero HBM traffic).  SpMV bandwidth then drops to
+reading x + writing y ≈ 8 bytes/row fp32, ~4-5× under a stored DIA/CSR
+operator — the speed-of-light for the north-star Poisson benchmarks
+(BASELINE.json configs 1/2/5).
+
+``Stencil2D``/``Stencil3D`` are frozen pytrees (shape/coefficients static)
+and plug into :func:`cgx.ops.spmv.spmv`, :func:`cgx.solve.cg.cg_solve`, and
+the distributed layer like any stored format.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["Stencil2D", "Stencil3D", "poisson2d_stencil",
+           "poisson3d_stencil"]
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class Stencil2D:
+    """5-point constant stencil on an ``nx × ny`` grid (Dirichlet).
+
+    ``A[r, r] = c_center``; ``A[r, r±1] = c_y`` (within a grid row);
+    ``A[r, r±ny] = c_x``.  Row-major numbering: node (i, j) → i·ny + j.
+    """
+
+    nx: int = dataclasses.field(metadata=dict(static=True))
+    ny: int = dataclasses.field(metadata=dict(static=True))
+    c_center: float = dataclasses.field(metadata=dict(static=True))
+    c_x: float = dataclasses.field(metadata=dict(static=True))
+    c_y: float = dataclasses.field(metadata=dict(static=True))
+    dtype_name: str = dataclasses.field(default="float32",
+                                        metadata=dict(static=True))
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        n = self.nx * self.ny
+        return (n, n)
+
+    @property
+    def dtype(self):
+        return jnp.dtype(self.dtype_name)
+
+    def diagonal(self) -> jnp.ndarray:
+        return jnp.full((self.nx * self.ny,), self.c_center, self.dtype)
+
+    def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
+        g = x.reshape(self.nx, self.ny)
+        y = self.c_center * g
+        # ±1 along y (grid columns): natural Dirichlet truncation.
+        y = y.at[:, 1:].add(self.c_y * g[:, :-1])
+        y = y.at[:, :-1].add(self.c_y * g[:, 1:])
+        # ±ny (grid rows).
+        y = y.at[1:, :].add(self.c_x * g[:-1, :])
+        y = y.at[:-1, :].add(self.c_x * g[1:, :])
+        return y.reshape(-1)
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class Stencil3D:
+    """7-point constant stencil on an ``nx × ny × nz`` grid (Dirichlet).
+
+    Node (i, j, k) → (i·ny + j)·nz + k; couplings ``c_x/c_y/c_z`` along the
+    three axes, ``c_center`` on the diagonal.
+    """
+
+    nx: int = dataclasses.field(metadata=dict(static=True))
+    ny: int = dataclasses.field(metadata=dict(static=True))
+    nz: int = dataclasses.field(metadata=dict(static=True))
+    c_center: float = dataclasses.field(metadata=dict(static=True))
+    c_x: float = dataclasses.field(metadata=dict(static=True))
+    c_y: float = dataclasses.field(metadata=dict(static=True))
+    c_z: float = dataclasses.field(metadata=dict(static=True))
+    dtype_name: str = dataclasses.field(default="float32",
+                                        metadata=dict(static=True))
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        n = self.nx * self.ny * self.nz
+        return (n, n)
+
+    @property
+    def dtype(self):
+        return jnp.dtype(self.dtype_name)
+
+    def diagonal(self) -> jnp.ndarray:
+        return jnp.full((self.nx * self.ny * self.nz,), self.c_center,
+                        self.dtype)
+
+    def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
+        g = x.reshape(self.nx, self.ny, self.nz)
+        y = self.c_center * g
+        y = y.at[:, :, 1:].add(self.c_z * g[:, :, :-1])
+        y = y.at[:, :, :-1].add(self.c_z * g[:, :, 1:])
+        y = y.at[:, 1:, :].add(self.c_y * g[:, :-1, :])
+        y = y.at[:, :-1, :].add(self.c_y * g[:, 1:, :])
+        y = y.at[1:, :, :].add(self.c_x * g[:-1, :, :])
+        y = y.at[:-1, :, :].add(self.c_x * g[1:, :, :])
+        return y.reshape(-1)
+
+
+def poisson2d_stencil(nx: int, ny: int) -> Stencil2D:
+    """Matrix-free 2D 5-point Laplacian (== :func:`cgx.io.poisson.poisson2d`
+    applied to any vector, at zero storage)."""
+    return Stencil2D(nx=nx, ny=ny, c_center=4.0, c_x=-1.0, c_y=-1.0)
+
+
+def poisson3d_stencil(nx: int, ny: int, nz: int) -> Stencil3D:
+    """Matrix-free 3D 7-point Laplacian."""
+    return Stencil3D(nx=nx, ny=ny, nz=nz, c_center=6.0, c_x=-1.0, c_y=-1.0,
+                     c_z=-1.0)

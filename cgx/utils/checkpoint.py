@@ -1,0 +1,106 @@
+"""Checkpoint / resume and elastic recovery for iterative solves.
+
+The reference has no failure story (errors are ignored ``-1`` returns,
+SURVEY.md §5.c).  Here CG is restartable by construction: the O(n)
+:class:`~cgx.solve.cg.CGState` is a complete snapshot, the solver advances
+in chunks (:func:`~cgx.solve.cg.cg_chunk`), and every chunk boundary is a
+checkpoint opportunity.  Snapshots are host-side ``.npz`` (atomic rename) —
+cheap relative to solve time because state is O(n), and format-stable for
+cross-process resume after preemption.
+"""
+from __future__ import annotations
+
+import os
+import tempfile
+from typing import Callable, Optional
+
+import numpy as np
+
+from cgx.solve.cg import CGResult, CGState, cg_chunk, cg_init
+
+__all__ = ["save_state", "load_state", "cg_solve_checkpointed"]
+
+_FIELDS = ("x", "r", "z", "p", "rz", "rr", "k", "history")
+
+
+def save_state(path: str, state: CGState) -> None:
+    """Atomically snapshot a :class:`CGState` to ``.npz``."""
+    arrays = {f: np.asarray(getattr(state, f)) for f in _FIELDS}
+    d = os.path.dirname(os.path.abspath(path)) or "."
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            np.savez(f, **arrays)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
+def load_state(path: str) -> CGState:
+    """Load a snapshot back into a (device) :class:`CGState`."""
+    import jax.numpy as jnp
+
+    with np.load(path) as z:
+        return CGState(**{f: jnp.asarray(z[f]) for f in _FIELDS})
+
+
+def cg_solve_checkpointed(
+    a,
+    b,
+    x0=None,
+    *,
+    tol: float = 1e-6,
+    atol: float = 0.0,
+    maxiter: Optional[int] = None,
+    preconditioner=None,
+    chunk: int = 100,
+    checkpoint_path: Optional[str] = None,
+    on_chunk: Optional[Callable[[CGState], None]] = None,
+) -> CGResult:
+    """:func:`cg_solve` semantics with periodic snapshots every ``chunk``
+    iterations.
+
+    If ``checkpoint_path`` exists the solve RESUMES from it (elastic
+    recovery after preemption: relaunch with the same arguments).  The
+    trajectory is bit-identical to an uninterrupted solve — chunking only
+    changes where the host observes the state.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if maxiter is None:
+        maxiter = b.shape[0]
+    maxiter = int(maxiter)
+
+    if checkpoint_path and os.path.exists(checkpoint_path):
+        state = load_state(checkpoint_path)
+    else:
+        state = cg_init(a, b, x0, preconditioner=preconditioner)
+
+    from cgx.solve.cg import _tol_sq
+    tol_sq = _tol_sq(tol, atol, b, None)
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=3)
+    def step(a, s, b, iters):
+        return cg_chunk(a, s, iters, b=b, tol=tol, atol=atol,
+                        preconditioner=preconditioner)
+
+    while int(state.k) < maxiter and float(state.rr) > float(tol_sq):
+        iters = min(chunk, maxiter - int(state.k))
+        state = jax.block_until_ready(step(a, state, b, iters))
+        if checkpoint_path:
+            save_state(checkpoint_path, state)
+        if on_chunk is not None:
+            on_chunk(state)
+
+    return CGResult(
+        x=state.x,
+        iterations=state.k,
+        residual_norm_sq=state.rr,
+        converged=state.rr <= tol_sq,
+        history=state.history,
+    )

@@ -1,0 +1,92 @@
+"""Checkpoint / resume tests (SURVEY.md §5.c/d)."""
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from cgx.io.poisson import poisson2d
+from cgx.solve.cg import cg_chunk, cg_init, cg_solve
+from cgx.solve.precond import JacobiPrecond
+from cgx.utils.checkpoint import (cg_solve_checkpointed, load_state,
+                                  save_state)
+
+
+def test_chunked_matches_monolithic(rng):
+    a = poisson2d(12, 12)
+    b = jnp.asarray(rng.standard_normal(144))
+    ref = cg_solve(a, b, tol=0.0, maxiter=40)
+
+    state = cg_init(a, b)
+    for _ in range(4):
+        state = cg_chunk(a, state, 10)
+    assert int(state.k) == 40
+    np.testing.assert_allclose(np.asarray(state.x), np.asarray(ref.x),
+                               rtol=1e-12, atol=1e-14)
+
+
+def test_snapshot_roundtrip(tmp_path, rng):
+    a = poisson2d(10, 10)
+    b = jnp.asarray(rng.standard_normal(100))
+    state = cg_chunk(a, cg_init(a, b), 7)
+    p = str(tmp_path / "snap.npz")
+    save_state(p, state)
+    state2 = load_state(p)
+    for f in ("x", "r", "z", "p"):
+        np.testing.assert_array_equal(np.asarray(getattr(state, f)),
+                                      np.asarray(getattr(state2, f)))
+    assert int(state2.k) == 7
+
+
+def test_resume_after_preemption_identical_trajectory(tmp_path, rng):
+    """Kill-and-relaunch: resumed solve == uninterrupted solve."""
+    a = poisson2d(14, 14)
+    n = 196
+    b = jnp.asarray(rng.standard_normal(n))
+    m = JacobiPrecond.from_matrix(a)
+
+    ref = cg_solve_checkpointed(a, b, tol=1e-10, maxiter=400,
+                                preconditioner=m, chunk=25)
+
+    ckpt = str(tmp_path / "cg.npz")
+    seen = []
+
+    class Preempt(Exception):
+        pass
+
+    def killer(state):
+        seen.append(int(state.k))
+        if len(seen) == 2:
+            raise Preempt
+
+    try:
+        cg_solve_checkpointed(a, b, tol=1e-10, maxiter=400,
+                              preconditioner=m, chunk=25,
+                              checkpoint_path=ckpt, on_chunk=killer)
+        assert False, "should have been preempted"
+    except Preempt:
+        pass
+    assert os.path.exists(ckpt)
+
+    res = cg_solve_checkpointed(a, b, tol=1e-10, maxiter=400,
+                                preconditioner=m, chunk=25,
+                                checkpoint_path=ckpt)
+    assert bool(res.converged)
+    assert int(res.iterations) == int(ref.iterations)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                               rtol=1e-12, atol=1e-14)
+
+
+def test_chunk_respects_maxiter(rng):
+    a = poisson2d(8, 8)
+    b = jnp.asarray(rng.standard_normal(64))
+    res = cg_solve_checkpointed(a, b, tol=0.0, maxiter=33, chunk=10)
+    assert int(res.iterations) == 33
+
+
+def test_chunk_early_exit_on_tol(rng):
+    a = poisson2d(8, 8)
+    b = jnp.asarray(rng.standard_normal(64))
+    state = cg_init(a, b)
+    state = cg_chunk(a, state, 1000, b=b, tol=1e-10)
+    ref = cg_solve(a, b, tol=1e-10, maxiter=1000)
+    assert int(state.k) == int(ref.iterations)
