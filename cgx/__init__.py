@@ -12,7 +12,8 @@ from cgx.sparse.types import (BSRMatrix, COOMatrix, CSRMatrix, DIAMatrix,
                               csr_from_scipy, dia_from_csr, ell_from_csr)
 from cgx.ops.spmv import spmv, spmm
 from cgx.ops import blas
-from cgx.solve.cg import CGResult, cg_solve
+from cgx.solve.cg import (CGResult, cg_solve,
+                          cg_solve_single_reduction)
 from cgx.solve.precond import (BlockJacobiPrecond, JacobiPrecond,
                                PolynomialPrecond)
 from cgx.solve.ic0 import IC0Precond
@@ -23,6 +24,7 @@ __all__ = [
     "BSRMatrix", "COOMatrix", "CSRMatrix", "DIAMatrix", "ELLMatrix",
     "bsr_from_csr", "coo_from_scipy", "csr_from_scipy", "dia_from_csr",
     "ell_from_csr", "spmv", "spmm", "blas", "CGResult", "cg_solve",
+    "cg_solve_single_reduction",
     "JacobiPrecond", "BlockJacobiPrecond", "PolynomialPrecond",
     "IC0Precond",
 ]

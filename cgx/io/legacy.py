@@ -23,16 +23,28 @@ __all__ = ["read_legacy", "write_legacy"]
 
 
 def read_legacy(path: str, dtype=np.float64):
-    """Parse the 4-line format → (CSRMatrix, b) on device."""
+    """Parse the 4-line format → (CSRMatrix, b) on device.
+
+    Prefers the native C++ parser (:mod:`cgx.native`) — the production path
+    for reference-scale inputs (~18 M nnz); falls back to vectorized NumPy
+    splitting when no toolchain is available.
+    """
     from cgx.sparse.types import CSRMatrix
     import jax.numpy as jnp
 
-    with open(path, "r") as f:
-        lines = [f.readline().strip() for _ in range(4)]
-    col_indices = np.array(lines[0].split(","), dtype=np.int64)
-    indptr = np.array(lines[1].split(","), dtype=np.int64)
-    values = np.array(lines[2].split(","), dtype=dtype)
-    b = np.array(lines[3].split(","), dtype=dtype)
+    from cgx.native import parse_legacy
+    parsed = parse_legacy(path)
+    if parsed is not None:
+        col_indices, indptr, values, b = parsed
+        values = values.astype(dtype, copy=False)
+        b = b.astype(dtype, copy=False)
+    else:
+        with open(path, "r") as f:
+            lines = [f.readline().strip() for _ in range(4)]
+        col_indices = np.array(lines[0].split(","), dtype=np.int64)
+        indptr = np.array(lines[1].split(","), dtype=np.int64)
+        values = np.array(lines[2].split(","), dtype=dtype)
+        b = np.array(lines[3].split(","), dtype=dtype)
     n = len(indptr) - 1
     a = CSRMatrix.from_arrays(values, col_indices, indptr, (n, n))
     return a, jnp.asarray(b)

@@ -32,49 +32,62 @@ import numpy as np
 __all__ = ["ic0_factor", "IC0Precond"]
 
 
-def ic0_factor(a) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+def _tril_pattern(a):
+    """Lower-triangular (diag-inclusive) CSR pattern of ``a``, vectorized."""
+    vals = np.asarray(a.values, dtype=np.float64)
+    cols = np.asarray(a.col_indices).astype(np.int64)
+    indptr = np.asarray(a.indptr).astype(np.int64)
+    n = a.shape[0]
+    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+    keep = cols <= rows
+    l_vals = vals[keep]
+    l_cols = cols[keep].astype(np.int32)
+    counts = np.bincount(rows[keep], minlength=n)
+    l_indptr = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(counts, out=l_indptr[1:])
+    return l_vals, l_cols, l_indptr
+
+
+def ic0_factor(a, use_native: bool = True
+               ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Numeric IC(0) of a CSR SPD matrix (host side).
 
     Returns host CSR arrays ``(l_values, l_cols, l_indptr)`` of the lower
     factor L (diagonal included, same pattern as ``tril(A)``) with
     ``A ≈ L Lᵀ``.  Raises if a pivot goes non-positive (matrix not H-matrix
     enough for IC(0) — standard failure mode; use a shifted retry upstream).
+
+    Dispatches to the C++ engine (``cgx/native/src/ic0.cpp``) when built;
+    the Python loop below is the reference semantics and the fallback.
     """
-    vals = np.asarray(a.values, dtype=np.float64)
-    cols = np.asarray(a.col_indices)
-    indptr = np.asarray(a.indptr)
+    l_vals, l_cols, l_indptr = _tril_pattern(a)
     n = a.shape[0]
 
-    # Extract the lower triangle pattern row by row.
-    l_cols_rows = []
-    l_vals_rows = []
-    for i in range(n):
-        s, e = indptr[i], indptr[i + 1]
-        c = cols[s:e]
-        v = vals[s:e]
-        keep = c <= i
-        l_cols_rows.append(c[keep].astype(np.int64))
-        l_vals_rows.append(v[keep].copy())
+    if use_native:
+        from cgx.native import ic0_factor_native
+        native = ic0_factor_native(l_indptr, l_cols, l_vals)
+        if native is not None:
+            return native[0], l_cols, l_indptr
 
-    # Row-oriented up-looking factorization; row entries stay sorted.
-    col_pos = [dict() for _ in range(n)]   # col -> position in row arrays
+    # Pure-Python up-looking factorization (row entries sorted, diag last).
+    col_pos = [dict() for _ in range(n)]   # col -> position within row
+    starts = l_indptr[:-1]
     for i in range(n):
-        for t, c in enumerate(l_cols_rows[i]):
-            col_pos[i][int(c)] = t
+        for t in range(starts[i], l_indptr[i + 1]):
+            col_pos[i][int(l_cols[t])] = t - starts[i]
 
     for i in range(n):
-        ci = l_cols_rows[i]
-        vi = l_vals_rows[i]
-        for t, j in enumerate(ci):
-            j = int(j)
-            # dot of rows i and j over columns < j
-            cj = l_cols_rows[j]
-            vj = l_vals_rows[j]
+        s, e = starts[i], l_indptr[i + 1]
+        ci = l_cols[s:e]
+        vi = l_vals[s:e]
+        for t in range(len(ci)):
+            j = int(ci[t])
             acc = vi[t]
             pj = col_pos[j]
+            js = starts[j]
+            vj = l_vals[js:l_indptr[j + 1]]
             for tt in range(t):
-                c = int(ci[tt])
-                p = pj.get(c)
+                p = pj.get(int(ci[tt]))
                 if p is not None:
                     acc -= vi[tt] * vj[p]
             if j < i:
@@ -85,12 +98,7 @@ def ic0_factor(a) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
                         f"IC(0) breakdown at row {i}: pivot {acc:.3e} <= 0")
                 vi[t] = np.sqrt(acc)
 
-    l_indptr = np.zeros(n + 1, dtype=np.int32)
-    l_indptr[1:] = np.cumsum([len(c) for c in l_cols_rows])
-    return (np.concatenate(l_vals_rows) if n else np.zeros(0),
-            (np.concatenate(l_cols_rows).astype(np.int32) if n
-             else np.zeros(0, np.int32)),
-            l_indptr)
+    return l_vals, l_cols, l_indptr
 
 
 def _level_schedule(cols: np.ndarray, indptr: np.ndarray,

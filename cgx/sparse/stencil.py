@@ -27,6 +27,23 @@ __all__ = ["Stencil2D", "Stencil3D", "poisson2d_stencil",
            "poisson3d_stencil"]
 
 
+def _shift2(g, axis: int, sign: int):
+    """``out[..i..] = g[..i+sign..]`` along ``axis`` with zero boundary."""
+    sl = [slice(None)] * 2
+    pad = [(0, 0)] * 2
+    sl[axis] = slice(1, None) if sign > 0 else slice(None, -1)
+    pad[axis] = (0, 1) if sign > 0 else (1, 0)
+    return jnp.pad(g[tuple(sl)], pad)
+
+
+def _shift3(g, axis: int, sign: int):
+    sl = [slice(None)] * 3
+    pad = [(0, 0)] * 3
+    sl[axis] = slice(1, None) if sign > 0 else slice(None, -1)
+    pad[axis] = (0, 1) if sign > 0 else (1, 0)
+    return jnp.pad(g[tuple(sl)], pad)
+
+
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class Stencil2D:
@@ -57,14 +74,13 @@ class Stencil2D:
         return jnp.full((self.nx * self.ny,), self.c_center, self.dtype)
 
     def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
+        # Expressed as pad-shifted adds (no scatter): XLA fuses the whole
+        # sum into one elementwise pass — scatter (.at[].add) formulations
+        # compile to ~5x slower code on TPU (measured).
         g = x.reshape(self.nx, self.ny)
         y = self.c_center * g
-        # ±1 along y (grid columns): natural Dirichlet truncation.
-        y = y.at[:, 1:].add(self.c_y * g[:, :-1])
-        y = y.at[:, :-1].add(self.c_y * g[:, 1:])
-        # ±ny (grid rows).
-        y = y.at[1:, :].add(self.c_x * g[:-1, :])
-        y = y.at[:-1, :].add(self.c_x * g[1:, :])
+        y = y + self.c_y * _shift2(g, 1, +1) + self.c_y * _shift2(g, 1, -1)
+        y = y + self.c_x * _shift2(g, 0, +1) + self.c_x * _shift2(g, 0, -1)
         return y.reshape(-1)
 
 
@@ -101,14 +117,12 @@ class Stencil3D:
                         self.dtype)
 
     def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
+        # Pad-shifted adds, not scatter — see Stencil2D.matvec.
         g = x.reshape(self.nx, self.ny, self.nz)
         y = self.c_center * g
-        y = y.at[:, :, 1:].add(self.c_z * g[:, :, :-1])
-        y = y.at[:, :, :-1].add(self.c_z * g[:, :, 1:])
-        y = y.at[:, 1:, :].add(self.c_y * g[:, :-1, :])
-        y = y.at[:, :-1, :].add(self.c_y * g[:, 1:, :])
-        y = y.at[1:, :, :].add(self.c_x * g[:-1, :, :])
-        y = y.at[:-1, :, :].add(self.c_x * g[1:, :, :])
+        y = y + self.c_z * _shift3(g, 2, +1) + self.c_z * _shift3(g, 2, -1)
+        y = y + self.c_y * _shift3(g, 1, +1) + self.c_y * _shift3(g, 1, -1)
+        y = y + self.c_x * _shift3(g, 0, +1) + self.c_x * _shift3(g, 0, -1)
         return y.reshape(-1)
 
 
