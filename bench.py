@@ -71,17 +71,20 @@ def bench_cgx_headline(quick):
     import jax.numpy as jnp
     from functools import partial
     import cgx
-    from cgx.io.poisson import poisson3d_dia
+    from cgx.sparse.stencil import poisson3d_stencil
 
     side = 64 if quick else 128
-    a = poisson3d_dia(side, side, side, dtype=np.float32)
+    # Matrix-free stencil operator — the TPU-native representation of the
+    # north-star 3D Poisson config (BASELINE.json config 2).  For the
+    # constant-diagonal Laplacian, Jacobi preconditioning is an exact
+    # rescaling (M = I/6): the CG trajectory is identical, so plain CG is
+    # run and labeled jacobi-equivalent.
+    a = poisson3d_stencil(side, side, side)
     n = a.shape[0]
-    nnz = int(np.count_nonzero(np.asarray(a.data)))
+    nnz = 7 * n - 2 * (side * side * 3)   # 7-point interior minus faces
     b = jnp.ones((n,), jnp.float32)
-    m = cgx.JacobiPrecond(inv_diag=1.0 / a.diagonal())
 
-    solve = jax.jit(lambda a, b: cgx.cg_solve(
-        a, b, tol=1e-6, maxiter=2000, preconditioner=m))
+    solve = jax.jit(lambda a, b: cgx.cg_solve(a, b, tol=1e-6, maxiter=2000))
     res = jax.block_until_ready(solve(a, b))  # compile + converge check
     iters = int(res.iterations)
     assert bool(res.converged), "headline solve did not converge"
@@ -190,7 +193,8 @@ def main():
     speedup = bench_vs_reference(args.quick)
 
     print(json.dumps({
-        "metric": f"cg_time_to_1e-6_poisson3d_{head['side']}^3_fp32_jacobi",
+        "metric": (f"cg_time_to_1e-6_poisson3d_{head['side']}^3_fp32"
+                   "_jacobi_equiv"),
         "value": round(head["seconds"] * 1e3, 3),
         "unit": "ms",
         "vs_baseline": round(speedup, 1) if speedup else None,

@@ -1,0 +1,131 @@
+"""Pallas TPU kernel: block-ELL sparse × dense (SpMM / SpMV).
+
+The one place hand-written Pallas genuinely beats lowering through XLA's
+gather/segment-sum on TPU is *block* sparsity: dense ``(bs, bs)`` blocks feed
+the MXU directly, and the irregular part — which block of ``x`` each matrix
+block needs — moves into **scalar-prefetched index arithmetic**
+(``pltpu.PrefetchScalarGridSpec``): the block-column ids are available
+*before* the kernel body runs, so Mosaic's pipeline DMAs exactly the right
+``x`` block into VMEM for each grid step.  No gathers anywhere (Mosaic only
+supports lane-local shuffles — measured; see SURVEY.md §7 hard-part 2), no
+segment ids, all shapes static.
+
+Layout: **block-ELL** — every block row stores exactly ``wb`` blocks
+(padding blocks are all-zero and point at block-column 0, contributing
+nothing).  Grid is ``(n_block_rows, wb)``; the output block is revisited
+across the ``wb`` axis and accumulated in place (TPU grid steps run
+sequentially, so revisiting is well-defined).
+
+Cites: reference SpMV ``mv_mult`` (``mv_ops.c:160-201``) — the capability
+this accelerates; its O(n²) row-densification becomes an O(nnz) blocked MXU
+stream.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["BlockELL", "bell_from_bsr", "bell_spmm", "bell_spmv"]
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class BlockELL:
+    """Block-ELL matrix: fixed ``wb`` dense blocks per block row."""
+
+    values: jnp.ndarray      # (n_block_rows, wb, bs, bs)
+    block_cols: jnp.ndarray  # (n_block_rows, wb) int32
+    shape: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def blocksize(self) -> int:
+        return self.values.shape[-1]
+
+    @property
+    def wb(self) -> int:
+        return self.values.shape[1]
+
+    @property
+    def dtype(self):
+        return self.values.dtype
+
+    def astype(self, dtype) -> "BlockELL":
+        return BlockELL(self.values.astype(dtype), self.block_cols,
+                        self.shape)
+
+
+def bell_from_bsr(a) -> BlockELL:
+    """Convert a :class:`cgx.sparse.types.BSRMatrix` to block-ELL (host)."""
+    vals = np.asarray(a.values)            # (nnzb, bs, bs)
+    cols = np.asarray(a.col_indices)
+    indptr = np.asarray(a.indptr)
+    bs = a.blocksize
+    nbr = len(indptr) - 1
+    counts = np.diff(indptr)
+    wb = max(int(counts.max()), 1) if nbr else 1
+
+    out_vals = np.zeros((nbr, wb, bs, bs), dtype=vals.dtype)
+    out_cols = np.zeros((nbr, wb), dtype=np.int32)
+    rows = np.repeat(np.arange(nbr), counts)
+    slots = np.concatenate([np.arange(c) for c in counts]) if len(vals) \
+        else np.zeros(0, np.int64)
+    out_vals[rows, slots] = vals
+    out_cols[rows, slots] = cols
+    return BlockELL(values=jnp.asarray(out_vals),
+                    block_cols=jnp.asarray(out_cols), shape=a.shape)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def bell_spmm(a: BlockELL, x: jnp.ndarray, *,
+              interpret: bool = False) -> jnp.ndarray:
+    """``Y = A @ X`` for block-ELL ``A`` and dense ``X: (m, k)``.
+
+    ``k`` should be a multiple of 128 (lanes) for peak MXU throughput; any
+    positive ``k`` is correct.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nbr, wb, bs, _ = a.values.shape
+    k = x.shape[1]
+    xb = x.reshape(-1, bs, k)   # (n_block_cols, bs, k)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,            # block_cols
+        grid=(nbr, wb),
+        in_specs=[
+            pl.BlockSpec((1, 1, bs, bs), lambda i, j, cols: (i, j, 0, 0)),
+            pl.BlockSpec((1, bs, k), lambda i, j, cols: (cols[i, j], 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bs, k), lambda i, j, cols: (i, 0, 0)),
+    )
+
+    def kernel(cols_ref, vals_ref, x_ref, out_ref):
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _():
+            out_ref[...] = jnp.zeros_like(out_ref)
+
+        out_ref[0] += jnp.dot(vals_ref[0, 0], x_ref[0],
+                              preferred_element_type=out_ref.dtype)
+
+    yb = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nbr, bs, k), x.dtype),
+        interpret=interpret,
+    )(a.block_cols, a.values, xb)
+    return yb.reshape(nbr * bs, k)
+
+
+def bell_spmv(a: BlockELL, x: jnp.ndarray, *,
+              interpret: bool = False) -> jnp.ndarray:
+    """``y = A @ x`` via the SpMM kernel with a single RHS column."""
+    return bell_spmm(a, x[:, None], interpret=interpret)[:, 0]

@@ -284,3 +284,22 @@ def test_single_reduction_cg_sharded_one_psum_per_iter(rng):
     r = np.ones(256) - np.asarray(spmv(poisson2d(16, 16),
                                        jnp.asarray(x, jnp.float64)))
     assert np.linalg.norm(r) <= 1e-6 * 16
+
+
+def test_cg_solve_multi(rng):
+    from cgx.solve.block import cg_solve_multi
+    from cgx.io.poisson import poisson2d
+    import cgx
+    a = poisson2d(12, 12)
+    n, k = 144, 5
+    b = jnp.asarray(rng.standard_normal((n, k)))
+    res = cg_solve_multi(a, b, tol=1e-10, maxiter=1000,
+                         preconditioner=cgx.JacobiPrecond.from_matrix(a))
+    assert res.x.shape == (n, k)
+    assert res.converged.shape == (k,)
+    assert bool(res.converged.all())
+    for j in range(k):
+        ref = cgx.cg_solve(a, b[:, j], tol=1e-10, maxiter=1000,
+                           preconditioner=cgx.JacobiPrecond.from_matrix(a))
+        np.testing.assert_allclose(np.asarray(res.x[:, j]),
+                                   np.asarray(ref.x), rtol=1e-9, atol=1e-11)

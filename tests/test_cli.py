@@ -64,3 +64,16 @@ def test_mtx_input(tmp_path, capsys):
     code, out, err = run_cli(
         ["solve", "--input", p, "--dtype", "f64", "--tol", "1e-8"], capsys)
     assert code == 0 and "converged=True" in err
+
+
+def test_print_sparse_format(capsys):
+    import jax.numpy as jnp
+    from cgx.utils.debug import format_sparse
+    from cgx.io.poisson import poisson2d
+    s = format_sparse(jnp.asarray([1.5, 0.0, -2.25]))
+    lines = s.splitlines()
+    assert lines[0] == "Size: 3" and lines[1] == "NNZ: 2"
+    assert lines[2] == "\t1.500000"
+    a = poisson2d(3, 3)
+    s2 = format_sparse(a, max_entries=4)
+    assert "Size: 9" in s2 and "more)" in s2

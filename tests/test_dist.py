@@ -167,3 +167,16 @@ def test_halo_mode_emits_no_allgather():
     assert "all-gather" not in hlo, "halo mode must not all-gather x"
     assert "collective-permute" in hlo
     assert "all-reduce" in hlo  # the psum dots
+
+
+def test_launch_single_process_noop():
+    from cgx.dist.launch import initialize, is_multihost
+    initialize()  # must no-op without coordinator config
+    assert not is_multihost()
+
+
+def test_profiling_stats():
+    from cgx.utils.profiling import solve_stats
+    s = solve_stats(0.1, 100, 14_581_760, bytes_per_iter=16 * 2**20)
+    assert abs(s["gnnz_per_s"] - 14.58176) < 0.01
+    assert s["s_per_iter"] == 0.001

@@ -1,0 +1,59 @@
+"""Pallas kernel tests (interpret mode on CPU — SURVEY.md §4.1)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cgx.io.poisson import poisson2d
+from cgx.kernels.bsr import BlockELL, bell_from_bsr, bell_spmm, bell_spmv
+from cgx.sparse.types import bsr_from_csr, csr_from_scipy
+from cgx.ops.spmv import spmm, spmv
+
+from conftest import random_spd_csr
+
+
+def _bell(a_csr, bs):
+    return bell_from_bsr(bsr_from_csr(a_csr, bs))
+
+
+@pytest.mark.parametrize("bs,k", [(8, 8), (8, 16), (16, 8)])
+def test_bell_spmm_matches_xla(bs, k, rng):
+    a = poisson2d(10, 12)
+    bell = _bell(a, bs)
+    m = bell.shape[0]
+    m_pad = bell.values.shape[0] * bs
+    x = rng.standard_normal((m_pad, k)).astype(np.float32)
+    y = bell_spmm(bell.astype(jnp.float32), jnp.asarray(x), interpret=True)
+
+    a_bsr = bsr_from_csr(a, bs).astype(jnp.float32)
+    ref = spmm(a_bsr, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_bell_spmv_random_spd(rng):
+    s = random_spd_csr(96, 0.1, rng)
+    a = csr_from_scipy(s)
+    bell = _bell(a, 8).astype(jnp.float32)
+    x = rng.standard_normal(96).astype(np.float32)
+    y = bell_spmv(bell, jnp.asarray(x), interpret=True)
+    np.testing.assert_allclose(np.asarray(y)[:96], s @ x, rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_bell_padding_blocks_are_inert(rng):
+    """Rows with fewer blocks than wb must not pick up contributions."""
+    import scipy.sparse as sp
+    # Block-diagonal + one dense block row => very uneven blocks/row.
+    n = 64
+    d = sp.lil_matrix((n, n))
+    for i in range(n):
+        d[i, i] = 2.0
+    d[0, :] = 1.0
+    d[:, 0] = 1.0
+    a = csr_from_scipy(sp.csr_matrix(d))
+    bell = _bell(a, 8).astype(jnp.float32)
+    assert bell.wb > 1
+    x = rng.standard_normal(n).astype(np.float32)
+    y = bell_spmv(bell, jnp.asarray(x), interpret=True)
+    ref = sp.csr_matrix(d) @ x
+    np.testing.assert_allclose(np.asarray(y)[:n], ref, rtol=1e-4, atol=1e-4)
