@@ -303,3 +303,17 @@ def test_cg_solve_multi(rng):
                            preconditioner=cgx.JacobiPrecond.from_matrix(a))
         np.testing.assert_allclose(np.asarray(res.x[:, j]),
                                    np.asarray(ref.x), rtol=1e-9, atol=1e-11)
+
+
+def test_solve_clean_under_debug_nans(rng):
+    """Sanitizer gate (SURVEY.md §5.b): the whole solve path is NaN-free
+    under jax_debug_nans (which would raise on any NaN intermediate)."""
+    from cgx.io.poisson import poisson2d
+    import cgx
+    a = poisson2d(10, 10)
+    b = jnp.asarray(rng.standard_normal(100))
+    with jax.debug_nans(True):
+        res = cg_solve(a, b, tol=1e-8, maxiter=500,
+                       preconditioner=cgx.JacobiPrecond.from_matrix(a))
+        jax.block_until_ready(res.x)
+    assert bool(res.converged)

@@ -180,3 +180,41 @@ def test_profiling_stats():
     s = solve_stats(0.1, 100, 14_581_760, bytes_per_iter=16 * 2**20)
     assert abs(s["gnnz_per_s"] - 14.58176) < 0.01
     assert s["s_per_iter"] == 0.001
+
+
+def test_2d_partition_matvec_matches_global(rng):
+    from cgx.dist.grid2d import (make_grid_mesh, matvec_2d,
+                                 partition_csr_2d, ROWS, COLS)
+    a = poisson2d(14, 13)   # n=182, not divisible by 2
+    n = a.shape[0]
+    part = partition_csr_2d(a, 2)
+    mesh = make_grid_mesh(2)
+    x = rng.standard_normal(n)
+    x_pad = jnp.pad(jnp.asarray(x), (0, part.n_padded - n))
+
+    op_spec = jax.tree.map(lambda l: P(ROWS, COLS, None, None), part)
+    f = jax.shard_map(matvec_2d, mesh=mesh, in_specs=(op_spec, P(ROWS)),
+                      out_specs=P(ROWS))
+    got = np.asarray(jax.jit(f)(part, x_pad))[:n]
+    ref = np.asarray(spmv(a, jnp.asarray(x)))
+    np.testing.assert_allclose(got, ref, rtol=1e-12, atol=1e-12)
+
+
+@pytest.mark.parametrize("jacobi", [False, True])
+def test_2d_cg_matches_single_device(jacobi, rng):
+    from cgx.dist.grid2d import (dist_cg_solve_2d, make_grid_mesh,
+                                 partition_csr_2d)
+    a = poisson2d(16, 16)
+    n = 256
+    b = rng.standard_normal(n)
+    part = partition_csr_2d(a, 2)
+    mesh = make_grid_mesh(2)
+    res = dist_cg_solve_2d(part, jnp.asarray(b), mesh, tol=1e-10,
+                           maxiter=600, jacobi=jacobi)
+    assert bool(res.converged)
+    ref = cg_solve(a, jnp.asarray(b), tol=1e-10, maxiter=600,
+                   preconditioner=None if not jacobi else
+                   __import__("cgx").JacobiPrecond.from_matrix(a))
+    np.testing.assert_allclose(np.asarray(res.x)[:n], np.asarray(ref.x),
+                               rtol=1e-9, atol=1e-11)
+    assert abs(int(res.iterations) - int(ref.iterations)) <= 2
