@@ -81,20 +81,18 @@ def bell_from_bsr(a) -> BlockELL:
                     block_cols=jnp.asarray(out_cols), shape=a.shape)
 
 
-@partial(jax.jit, static_argnames=("interpret",))
-def bell_spmm(a: BlockELL, x: jnp.ndarray, *,
-              interpret: bool = False) -> jnp.ndarray:
-    """``Y = A @ X`` for block-ELL ``A`` and dense ``X: (m, k)``.
+# Cap on the scalar-prefetch table per pallas_call: the block-column ids
+# live in SMEM, which is small — larger matrices are processed in row
+# chunks (measured: a (2048, 5) int32 table fails Mosaic compilation on
+# v5e; (128, 3) compiles fine).
+_MAX_PREFETCH_ROWS = 256
 
-    ``k`` should be a multiple of 128 (lanes) for peak MXU throughput; any
-    positive ``k`` is correct.
-    """
+
+def _bell_spmm_call(block_cols, values, xb, k, interpret):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    nbr, wb, bs, _ = a.values.shape
-    k = x.shape[1]
-    xb = x.reshape(-1, bs, k)   # (n_block_cols, bs, k)
+    nbr, wb, bs, _ = values.shape
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,            # block_cols
@@ -116,12 +114,34 @@ def bell_spmm(a: BlockELL, x: jnp.ndarray, *,
         out_ref[0] += jnp.dot(vals_ref[0, 0], x_ref[0],
                               preferred_element_type=out_ref.dtype)
 
-    yb = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nbr, bs, k), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((nbr, bs, k), xb.dtype),
         interpret=interpret,
-    )(a.block_cols, a.values, xb)
+    )(block_cols, values, xb)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def bell_spmm(a: BlockELL, x: jnp.ndarray, *,
+              interpret: bool = False) -> jnp.ndarray:
+    """``Y = A @ X`` for block-ELL ``A`` and dense ``X: (m, k)``.
+
+    ``k`` should be a multiple of 128 (lanes) for peak MXU throughput; any
+    positive ``k`` is correct.  Large matrices are processed in block-row
+    chunks so the scalar-prefetch table stays within SMEM.
+    """
+    nbr, wb, bs, _ = a.values.shape
+    k = x.shape[1]
+    xb = x.reshape(-1, bs, k)   # (n_block_cols, bs, k)
+
+    chunk = _MAX_PREFETCH_ROWS
+    outs = []
+    for r0 in range(0, nbr, chunk):
+        r1 = min(r0 + chunk, nbr)
+        outs.append(_bell_spmm_call(
+            a.block_cols[r0:r1], a.values[r0:r1], xb, k, interpret))
+    yb = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
     return yb.reshape(nbr * bs, k)
 
 
