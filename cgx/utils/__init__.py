@@ -1,0 +1,1 @@
+"""Utilities: checkpoint/resume, profiling, debug printers."""

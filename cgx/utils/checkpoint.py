@@ -84,6 +84,10 @@ def cg_solve_checkpointed(
 
     from functools import partial
 
+    # NOTE on donation (SURVEY.md §2.1 #2): the initial state aliases b
+    # (r0 = z0 = p0 = b when x0 is None), so donate_argnums=1 would donate
+    # one buffer several times; XLA's while_loop already updates the carried
+    # state in place inside each chunk, which is where the traffic is.
     @partial(jax.jit, static_argnums=3)
     def step(a, s, b, iters):
         return cg_chunk(a, s, iters, b=b, tol=tol, atol=atol,

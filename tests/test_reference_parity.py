@@ -113,3 +113,27 @@ def test_residual_trajectory_vs_reference_converges(ref_binary, tmp_path):
     r_cgx = np.linalg.norm(b - s @ np.asarray(res.x))
     nb = np.linalg.norm(b)
     assert r_cgx <= max(r_ref / nb, 1e-12) * nb * 1.5 + 1e-5 * nb
+
+
+def test_cli_legacy_compat_matches_reference_binary(ref_binary, tmp_path):
+    """End-to-end: `cgx solve --legacy-compat` output == C binary output."""
+    from cgx.cli import main as cli_main
+    import io
+    from contextlib import redirect_stdout, redirect_stderr
+
+    a = poisson2d(10, 10)
+    rng = np.random.default_rng(4)
+    b = rng.standard_normal(100)
+    p = str(tmp_path / "cli.txt")
+    write_legacy(p, a, b)
+
+    x_ref = run_reference(ref_binary, p, 20)
+
+    out = io.StringIO()
+    with redirect_stdout(out), redirect_stderr(io.StringIO()):
+        code = cli_main(["solve", "--input", p, "--dtype", "f64",
+                         "--maxiter", "20", "--legacy-compat"])
+    assert code == 0
+    x_cli = np.array([float(l) for l in out.getvalue().split()])
+    assert x_cli.shape == x_ref.shape
+    np.testing.assert_allclose(x_cli, x_ref, atol=5e-6)
