@@ -18,6 +18,7 @@ from cgx.solve.precond import (BlockJacobiPrecond, JacobiPrecond,
                                PolynomialPrecond)
 from cgx.solve.ic0 import IC0Precond
 from cgx.solve.block import cg_solve_multi
+from cgx.solve.padded import cg_solve_padded
 
 __version__ = "0.1.0"
 
@@ -25,7 +26,7 @@ __all__ = [
     "BSRMatrix", "COOMatrix", "CSRMatrix", "DIAMatrix", "ELLMatrix",
     "bsr_from_csr", "coo_from_scipy", "csr_from_scipy", "dia_from_csr",
     "ell_from_csr", "spmv", "spmm", "blas", "CGResult", "cg_solve",
-    "cg_solve_single_reduction", "cg_solve_multi",
+    "cg_solve_single_reduction", "cg_solve_multi", "cg_solve_padded",
     "JacobiPrecond", "BlockJacobiPrecond", "PolynomialPrecond",
     "IC0Precond",
 ]

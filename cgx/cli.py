@@ -112,7 +112,7 @@ def cmd_solve(args):
         x = unpad_vector(np.asarray(res.x), n)
     else:
         m = _make_precond(args, a)
-        solve = jax.jit(lambda a, b: cgx.cg_solve(
+        solve = jax.jit(lambda a, b: cgx.cg_solve_padded(
             a, b, tol=tol, maxiter=maxiter, preconditioner=m))
         t0 = time.perf_counter()
         res = jax.block_until_ready(solve(a, b))
@@ -161,7 +161,7 @@ def cmd_bench(args):
 
     a, b, n = _build_matrix(args)
     m = _make_precond(args, a)
-    solve = jax.jit(lambda a, b: cgx.cg_solve(
+    solve = jax.jit(lambda a, b: cgx.cg_solve_padded(
         a, b, tol=args.tol, maxiter=args.maxiter or 2 * n,
         preconditioner=m))
     res = jax.block_until_ready(solve(a, b))     # compile

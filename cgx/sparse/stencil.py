@@ -27,6 +27,15 @@ __all__ = ["Stencil2D", "Stencil3D", "poisson2d_stencil",
            "poisson3d_stencil"]
 
 
+def _shift1(x, offset: int):
+    """``out[i] = x[i + offset]`` with zero fill (static offset, 1-D)."""
+    n = x.shape[0]
+    z = jnp.zeros((abs(offset),), x.dtype)
+    if offset > 0:
+        return jnp.concatenate([x[offset:], z])
+    return jnp.concatenate([z, x[:n + offset]])
+
+
 def _shift2(g, axis: int, sign: int):
     """``out[..i..] = g[..i+sign..]`` along ``axis`` with zero boundary."""
     sl = [slice(None)] * 2
@@ -83,6 +92,20 @@ class Stencil2D:
         y = y + self.c_x * _shift2(g, 0, +1) + self.c_x * _shift2(g, 0, -1)
         return y.reshape(-1)
 
+    def matvec_padded(self, x_pad: jnp.ndarray) -> jnp.ndarray:
+        """Flat masked matvec on a zero-tail padded vector (see
+        :meth:`Stencil3D.matvec_padded`)."""
+        n = self.nx * self.ny
+        ny = self.ny
+        idx = jnp.arange(x_pad.shape[0], dtype=jnp.int32)
+        j = idx % ny
+        y = self.c_center * x_pad
+        y = y + jnp.where(j < ny - 1, self.c_y * _shift1(x_pad, 1), 0.0)
+        y = y + jnp.where(j > 0, self.c_y * _shift1(x_pad, -1), 0.0)
+        y = y + self.c_x * _shift1(x_pad, ny)
+        y = y + self.c_x * _shift1(x_pad, -ny)
+        return jnp.where(idx < n, y, 0.0)
+
 
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
@@ -124,6 +147,31 @@ class Stencil3D:
         y = y + self.c_y * _shift3(g, 1, +1) + self.c_y * _shift3(g, 1, -1)
         y = y + self.c_x * _shift3(g, 0, +1) + self.c_x * _shift3(g, 0, -1)
         return y.reshape(-1)
+
+    def matvec_padded(self, x_pad: jnp.ndarray) -> jnp.ndarray:
+        """Matvec on a zero-padded flat vector (``len(x_pad) >= n``).
+
+        Flat formulation: statically-shifted 1-D adds with boundary masks
+        from index arithmetic (iota + mod/compare — register work).  TPU
+        tiles 1-D buffers in (8, 128) blocks, so off-tile problem sizes
+        (e.g. 216³) run several-fold under roofline in the reshaped 3-D
+        formulation; solving in a 1024-padded flat space recovers it (the
+        padded rows are masked to zero, exactly like the distributed
+        layer's shard-equalization padding).
+        """
+        n = self.nx * self.ny * self.nz
+        nz, ny = self.nz, self.ny
+        idx = jnp.arange(x_pad.shape[0], dtype=jnp.int32)
+        k = idx % nz
+        j = (idx // nz) % ny
+        y = self.c_center * x_pad
+        y = y + jnp.where(k < nz - 1, self.c_z * _shift1(x_pad, 1), 0.0)
+        y = y + jnp.where(k > 0, self.c_z * _shift1(x_pad, -1), 0.0)
+        y = y + jnp.where(j < ny - 1, self.c_y * _shift1(x_pad, nz), 0.0)
+        y = y + jnp.where(j > 0, self.c_y * _shift1(x_pad, -nz), 0.0)
+        y = y + self.c_x * _shift1(x_pad, ny * nz)
+        y = y + self.c_x * _shift1(x_pad, -ny * nz)
+        return jnp.where(idx < n, y, 0.0)
 
 
 def poisson2d_stencil(nx: int, ny: int) -> Stencil2D:
