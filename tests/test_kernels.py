@@ -57,3 +57,18 @@ def test_bell_padding_blocks_are_inert(rng):
     y = bell_spmv(bell, jnp.asarray(x), interpret=True)
     ref = sp.csr_matrix(d) @ x
     np.testing.assert_allclose(np.asarray(y)[:n], ref, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("dims,br", [((5, 7, 6), 16), ((8, 8, 8), 32),
+                                     ((11, 9, 13), 24), ((6, 6, 6), 8)])
+def test_stencil3d_pallas_matches_xla(dims, br, rng):
+    from cgx.kernels.stencil import stencil3d_spmv_pallas
+    from cgx.sparse.stencil import poisson3d_stencil
+    nx, ny, nz = dims
+    s = poisson3d_stencil(nx, ny, nz)
+    x = jnp.asarray(rng.standard_normal(nx * ny * nz), jnp.float32)
+    y = stencil3d_spmv_pallas(x, nx=nx, ny=ny, nz=nz, block_rows=br,
+                              interpret=True)
+    ref = spmv(s, x)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=1e-5,
+                               atol=1e-5)
