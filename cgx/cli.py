@@ -50,6 +50,19 @@ def _build_matrix(args):
         gen = {"csr": poisson.poisson3d, "dia": poisson.poisson3d_dia}
     else:
         raise SystemExit("--poisson must be NXxNY or NXxNYxNZ")
+
+    if args.format == "stencil":
+        from cgx.sparse import stencil as st
+        if len(dims) == 2:
+            a = st.poisson2d_stencil(*dims)
+        else:
+            a = st.poisson3d_stencil(*dims)
+            backend = getattr(args, "stencil_backend", "xla")
+            a = a.with_backend(backend)
+        n = a.shape[0]
+        b = jnp.ones((n,), dtype)
+        return a, b, n
+
     fmt = args.format if args.format in ("csr", "dia") else "csr"
     a = gen[fmt](*dims, dtype=np.float64)
     if args.format == "ell":
@@ -208,6 +221,12 @@ def _timed(fn):
 def _nnz(a):
     import numpy as np
     from cgx.sparse.types import DIAMatrix, ELLMatrix, BSRMatrix
+    from cgx.sparse.stencil import Stencil2D, Stencil3D
+    if isinstance(a, Stencil2D):
+        return 5 * a.shape[0] - 2 * (a.nx + a.ny)
+    if isinstance(a, Stencil3D):
+        return (7 * a.shape[0]
+                - 2 * (a.nx * a.ny + a.ny * a.nz + a.nx * a.nz))
     if isinstance(a, DIAMatrix):
         return int(np.count_nonzero(np.asarray(a.data)))
     if isinstance(a, ELLMatrix):
@@ -231,7 +250,9 @@ def _add_problem_flags(p):
     p.add_argument("--poisson", default="64x64",
                    help="synthetic Poisson dims, e.g. 128x128 or 64x64x64")
     p.add_argument("--format", default="csr",
-                   choices=["csr", "dia", "ell", "bsr"])
+                   choices=["csr", "dia", "ell", "bsr", "stencil"])
+    p.add_argument("--stencil-backend", default="xla",
+                   choices=["xla", "pallas"])
     p.add_argument("--blocksize", type=int, default=8)
     p.add_argument("--dtype", default="f32", choices=["f32", "f64", "bf16"])
     p.add_argument("--tol", type=float, default=1e-6)

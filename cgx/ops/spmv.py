@@ -155,8 +155,17 @@ def _dia_spmm(a: DIAMatrix, x: jnp.ndarray) -> jnp.ndarray:
 # -- Matrix-free stencils ---------------------------------------------------
 
 @spmv.register(Stencil2D)
+def _stencil2d_spmv(a, x: jnp.ndarray) -> jnp.ndarray:
+    return a.matvec(x)
+
+
 @spmv.register(Stencil3D)
-def _stencil_spmv(a, x: jnp.ndarray) -> jnp.ndarray:
+def _stencil3d_spmv(a, x: jnp.ndarray) -> jnp.ndarray:
+    if a.backend == "pallas":
+        from cgx.kernels.stencil import stencil3d_spmv_pallas
+        return stencil3d_spmv_pallas(
+            x, nx=a.nx, ny=a.ny, nz=a.nz,
+            coeffs=(a.c_center, a.c_x, a.c_y, a.c_z))
     return a.matvec(x)
 
 

@@ -125,11 +125,19 @@ class Stencil3D:
     c_z: float = dataclasses.field(metadata=dict(static=True))
     dtype_name: str = dataclasses.field(default="float32",
                                         metadata=dict(static=True))
+    # "xla" (fused shifted adds — roofline at tile-exact sizes) or
+    # "pallas" (explicit halo-window kernel — size-independent; see
+    # cgx/kernels/stencil.py and docs/PERF_NOTES.md).
+    backend: str = dataclasses.field(default="xla",
+                                     metadata=dict(static=True))
 
     @property
     def shape(self) -> Tuple[int, int]:
         n = self.nx * self.ny * self.nz
         return (n, n)
+
+    def with_backend(self, backend: str) -> "Stencil3D":
+        return dataclasses.replace(self, backend=backend)
 
     @property
     def dtype(self):
@@ -160,6 +168,12 @@ class Stencil3D:
         layer's shard-equalization padding).
         """
         n = self.nx * self.ny * self.nz
+        if self.backend == "pallas":
+            from cgx.kernels.stencil import stencil3d_spmv_pallas
+            y = stencil3d_spmv_pallas(
+                x_pad[:n], nx=self.nx, ny=self.ny, nz=self.nz,
+                coeffs=(self.c_center, self.c_x, self.c_y, self.c_z))
+            return jnp.pad(y, (0, x_pad.shape[0] - n))
         nz, ny = self.nz, self.ny
         idx = jnp.arange(x_pad.shape[0], dtype=jnp.int32)
         k = idx % nz

@@ -77,3 +77,10 @@ def test_print_sparse_format(capsys):
     a = poisson2d(3, 3)
     s2 = format_sparse(a, max_entries=4)
     assert "Size: 9" in s2 and "more)" in s2
+
+
+def test_solve_stencil_format(capsys):
+    code, out, err = run_cli(
+        ["solve", "--poisson", "8x8x8", "--format", "stencil",
+         "--dtype", "f32", "--tol", "1e-5"], capsys)
+    assert code == 0 and "converged=True" in err
