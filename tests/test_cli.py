@@ -84,3 +84,38 @@ def test_solve_stencil_format(capsys):
         ["solve", "--poisson", "8x8x8", "--format", "stencil",
          "--dtype", "f32", "--tol", "1e-5"], capsys)
     assert code == 0 and "converged=True" in err
+
+
+def test_native_format_roundtrip(tmp_path, rng):
+    import jax.numpy as jnp
+    from cgx.io.native_format import save_matrix, load_matrix
+    from cgx.io.poisson import poisson2d, poisson2d_dia
+    from cgx.sparse.types import bsr_from_csr, ell_from_csr
+    from cgx.sparse.stencil import poisson3d_stencil
+    from cgx.ops.spmv import spmv
+    import numpy as np
+
+    a_csr = poisson2d(7, 6)
+    b = rng.standard_normal(42)
+    cases = {
+        "csr": a_csr,
+        "coo": a_csr.to_coo(),
+        "dia": poisson2d_dia(7, 6),
+        "ell": ell_from_csr(a_csr),
+        "bsr": bsr_from_csr(a_csr, 4),
+        "st3": poisson3d_stencil(3, 4, 5),
+    }
+    for name, a in cases.items():
+        p = str(tmp_path / f"{name}.npz")
+        save_matrix(p, a, b if name == "csr" else None)
+        a2, b2 = load_matrix(p)
+        n = min(a.shape[0], 42)
+        x = jnp.asarray(rng.standard_normal(a.shape[0]),
+                        jnp.asarray(0.0, dtype=a2.dtype).dtype
+                        if hasattr(a2, "dtype") else None)
+        x = jnp.asarray(np.asarray(x), dtype=None)
+        y1 = np.asarray(spmv(a, x.astype(a.dtype)))
+        y2 = np.asarray(spmv(a2, x.astype(a2.dtype)))
+        np.testing.assert_allclose(y1, y2, rtol=1e-6, err_msg=name)
+        if name == "csr":
+            np.testing.assert_allclose(np.asarray(b2), b)
