@@ -72,3 +72,45 @@ def test_stencil3d_pallas_matches_xla(dims, br, rng):
     ref = spmv(s, x)
     np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=1e-5,
                                atol=1e-5)
+
+
+@pytest.mark.parametrize("dims", [(6, 8, 7), (5, 16, 13), (9, 8, 11)])
+def test_fused_stencil_cg_matches_cg_solve(dims, rng):
+    from cgx.kernels.fused_cg import fused_stencil_cg, supports
+    from cgx.sparse.stencil import poisson3d_stencil
+    from cgx.solve.cg import cg_solve
+    nx, ny, nz = dims
+    s = poisson3d_stencil(nx, ny, nz)
+    assert supports(s)
+    n = nx * ny * nz
+    b = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    ref = cg_solve(s, b, tol=1e-5, maxiter=500)
+    res = fused_stencil_cg(s, b, tol=1e-5, maxiter=500, interpret=True)
+    assert bool(res.converged)
+    assert abs(int(res.iterations) - int(ref.iterations)) <= 2
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                               rtol=2e-3, atol=2e-4)
+
+
+def test_fused_stencil_cg_fixed_iters_trajectory(rng):
+    """tol=0 fixed-iteration trajectory matches the XLA loop closely."""
+    from cgx.kernels.fused_cg import fused_stencil_cg
+    from cgx.sparse.stencil import poisson3d_stencil
+    from cgx.solve.cg import cg_solve
+    s = poisson3d_stencil(4, 8, 6)
+    b = jnp.asarray(rng.standard_normal(192), jnp.float32)
+    ref = cg_solve(s, b, tol=0.0, maxiter=25)
+    res = fused_stencil_cg(s, b, tol=0.0, maxiter=25, interpret=True)
+    assert int(res.iterations) == 25
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_fused_stencil_cg_rejects_unsupported():
+    from cgx.kernels.fused_cg import fused_stencil_cg, supports
+    from cgx.sparse.stencil import poisson3d_stencil
+    s = poisson3d_stencil(5, 7, 6)  # ny % 8 != 0
+    assert not supports(s)
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        fused_stencil_cg(s, jnp.zeros(210, jnp.float32))
