@@ -84,7 +84,7 @@ def bench_cgx_headline(quick):
     nnz = 7 * n - 2 * (side * side * 3)   # 7-point interior minus faces
     b = jnp.ones((n,), jnp.float32)
 
-    solve = jax.jit(lambda a, b: cgx.cg_solve(a, b, tol=1e-6, maxiter=2000))
+    solve = jax.jit(lambda a, b: cgx.auto_solve(a, b, tol=1e-6, maxiter=2000))
     res = jax.block_until_ready(solve(a, b))  # compile + converge check
     iters = int(res.iterations)
     assert bool(res.converged), "headline solve did not converge"

@@ -125,7 +125,7 @@ def cmd_solve(args):
         x = unpad_vector(np.asarray(res.x), n)
     else:
         m = _make_precond(args, a)
-        solve = jax.jit(lambda a, b: cgx.cg_solve_padded(
+        solve = jax.jit(lambda a, b: cgx.auto_solve(
             a, b, tol=tol, maxiter=maxiter, preconditioner=m))
         t0 = time.perf_counter()
         res = jax.block_until_ready(solve(a, b))

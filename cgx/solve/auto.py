@@ -1,0 +1,62 @@
+"""Solver auto-selection: route each problem to its measured-fastest path.
+
+The measured decision surface (docs/PERF_NOTES.md, single v5e chip):
+
+* 3-D stencil operators with ≥ ~3 M rows: XLA's loop-body fusion has
+  collapsed (vector > VMEM) → the fused Pallas iteration wins ~5x
+  (`cgx.kernels.fused_cg`); requires plain/Jacobi-equivalent CG and a TPU
+  backend.
+* Everything else: the XLA while_loop (`cg_solve`), in tile-padded space
+  when the dimension is off-tile (`cg_solve_padded`).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from cgx.solve.cg import CGResult
+from cgx.solve.padded import cg_solve_padded, padded_length
+
+__all__ = ["auto_solve", "FUSED_MIN_ROWS"]
+
+# XLA's CG-body mega-fusion holds up to one vector per VMEM (measured
+# 40.6 us/iter at 2.1 M rows vs 600 us/iter at 4.1 M rows, fp32).
+FUSED_MIN_ROWS = 2_000_000  # fused measured faster from 128^3 up
+# (31.9 vs 40.6 us/iter at 128^3; 114.9 vs 600 at 160^3; 564 vs 1086 at
+# 216^3)
+
+
+def auto_solve(
+    a,
+    b: jnp.ndarray,
+    x0: Optional[jnp.ndarray] = None,
+    *,
+    tol: float = 1e-6,
+    atol: float = 0.0,
+    maxiter: Optional[int] = None,
+    preconditioner=None,
+    track_history: bool = False,
+) -> CGResult:
+    """:func:`cg_solve` semantics with backend auto-selection."""
+    from cgx.kernels import fused_cg
+    from cgx.sparse.stencil import Stencil3D
+
+    n = b.shape[0]
+    on_tpu = jax.default_backend() == "tpu"
+    plain = preconditioner is None and x0 is None and not track_history
+    if (on_tpu and plain and isinstance(a, Stencil3D)
+            and fused_cg.supports(a) and n >= FUSED_MIN_ROWS):
+        return fused_cg.fused_stencil_cg(
+            a, b, tol=tol, atol=atol,
+            maxiter=int(maxiter) if maxiter is not None else n)
+    if padded_length(n) != n:
+        return cg_solve_padded(a, b, x0, tol=tol, atol=atol,
+                               maxiter=maxiter,
+                               preconditioner=preconditioner,
+                               track_history=track_history)
+    from cgx.solve.cg import cg_solve
+    return cg_solve(a, b, x0, tol=tol, atol=atol, maxiter=maxiter,
+                    preconditioner=preconditioner,
+                    track_history=track_history)

@@ -317,3 +317,22 @@ def test_solve_clean_under_debug_nans(rng):
                        preconditioner=cgx.JacobiPrecond.from_matrix(a))
         jax.block_until_ready(res.x)
     assert bool(res.converged)
+
+
+def test_auto_solve_routes_and_matches(rng):
+    """auto_solve (CPU: padded/standard routes) matches cg_solve."""
+    import cgx
+    from cgx.io.poisson import poisson2d
+    from cgx.sparse.stencil import poisson3d_stencil
+    a = poisson2d(11, 13)            # off-tile n=143 -> padded route
+    b = jnp.asarray(rng.standard_normal(143))
+    ref = cgx.cg_solve(a, b, tol=1e-10, maxiter=500)
+    res = cgx.auto_solve(a, b, tol=1e-10, maxiter=500)
+    assert int(res.iterations) == int(ref.iterations)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                               rtol=1e-9, atol=1e-11)
+
+    s = poisson3d_stencil(8, 8, 8)   # 512 rows, tile-exact -> standard
+    b2 = jnp.asarray(rng.standard_normal(512), jnp.float32)
+    res2 = cgx.auto_solve(s, b2, tol=1e-5, maxiter=500)
+    assert bool(res2.converged)
