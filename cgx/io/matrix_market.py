@@ -17,7 +17,7 @@ import gzip
 import io
 import os
 import tarfile
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

@@ -11,8 +11,6 @@ These replace the reference's reliance on pre-baked course datasets
 """
 from __future__ import annotations
 
-from typing import Tuple
-
 import numpy as np
 
 __all__ = [

@@ -9,26 +9,32 @@ exactly once, with the dot products accumulated in SMEM scratch along the
 way (no separate reduction passes) and the α/β scalar algebra computed
 on-core.
 
+Layout (v2, lane-major): vectors are viewed as ``(nx, ny·nz)`` — grid
+``x``-planes down the sublanes, the flattened ``(y, z)`` plane along the
+lanes.  Then:
+
+* ``x ± 1`` neighbours are row shifts (full rows are present in every
+  block — no row halos at all);
+* ``z ± 1`` / ``y ± 1`` are lane shifts by 1 / ``nz``, masked by per-lane
+  boundary masks (one iota row, broadcast);
+* lane padding waste is ~0.1 % (vs 18–60 % for the row-major layout), and
+  blocks tile the lane axis with a ``round128(nz)``-lane halo window whose
+  DMA start is statically 128-aligned.
+
 Per CG iteration (plain CG; for the constant-diagonal Poisson operators
 Jacobi preconditioning is an exact rescaling, so this IS the PCG path for
 the north-star configs):
 
-  A. ``q = A p`` (halo-window stencil, one DMA per block) fused with
-     ``pq += p·q``            — reads p, writes q.
-  B. ``x += α p; r -= α q`` fused with ``rz' += r·r``
-                              — reads x, p, r, q; writes x, r.
-  C. ``p = r + β p``          — reads r, p; writes p.
+  A. ``q = A p`` fused with ``pq += p·q``   — reads p, writes q.
+  B. ``x += α p; r -= α q`` fused with ``rz' += r·r`` — reads x,p,r,q;
+     writes x,r.
+  C. ``p = r + β p``                        — reads r, p; writes p.
 
-Vectors live in the kernel's 2-D ``(rows, nz_pad)`` layout for the whole
-solve (converted once at entry/exit), with one leading/trailing halo block
-so every DMA offset is statically tile-aligned.
-
-Constraints (v1): 3-D stencils with ``ny % 8 == 0``; fp32.  Falls back to
-the XLA path otherwise.
+Constraints: ``Stencil3D`` with ``nx ≤ 4096`` (one block spans all grid
+planes); fp32/bf16.
 """
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
 
 import jax
@@ -43,47 +49,62 @@ def supports(s) -> bool:
     """Whether the fused path can run for this operator."""
     from cgx.sparse.stencil import Stencil3D
 
-    return (isinstance(s, Stencil3D) and s.ny % 8 == 0
-            and s.nx * s.ny >= 8)
+    return (isinstance(s, Stencil3D) and 1 <= s.nx <= 4096
+            and s.ny * s.nz >= 2)
+
+
+def _geometry(s, target_block_bytes=1 << 20):
+    nx8 = -(-s.nx // 8) * 8
+    l_real = s.ny * s.nz
+    sl = -(-s.nz // 128) * 128              # lane halo (covers ±nz and ±1)
+    bl = max(sl, (target_block_bytes // (nx8 * 4) // 128) * 128)
+    l_pad = -(-l_real // bl) * bl
+    total = l_pad + 2 * bl                  # halo block each side
+    return nx8, l_real, sl, bl, l_pad, total
 
 
 # --------------------------------------------------------------------------
 # Kernel A: q = A p, pq += p.q
 # --------------------------------------------------------------------------
 
-def _kernel_a(p_hbm, q_ref, pq_ref, scratch, sem, *, ny, nz, n_rows,
-              block_rows, window, c):
+def _kernel_a(p_hbm, q_ref, pq_ref, scratch, sem, *, ny, nz, nx, l_real,
+              bl, sl, c):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     cc, cx, cy, cz = c
-    i = pl.program_id(0)
-    # Real rows of block i live at layout rows block_rows + i*block_rows;
-    # the window starts ny rows above them.
-    start = (block_rows - ny) + i * block_rows
-    cp = pltpu.make_async_copy(p_hbm.at[pl.ds(start, window), :], scratch,
-                               sem)
+    j = pl.program_id(0)
+    # Real lanes of block j start at layout lane bl + j*bl; the window
+    # carries sl halo lanes on each side (start statically 128-aligned).
+    start = (bl - sl) + j * bl
+    cp = pltpu.make_async_copy(p_hbm.at[:, pl.ds(start, bl + 2 * sl)],
+                               scratch, sem)
     cp.start()
     cp.wait()
 
-    w = scratch[...]
-    nz_pad = w.shape[1]
-    g = w[ny:ny + block_rows]
-    y = cc * g
-    y = y + cz * jnp.pad(g[:, 1:], ((0, 0), (0, 1)))
-    y = y + cz * jnp.pad(g[:, :-1], ((0, 0), (1, 0)))
-    r = i * block_rows + jax.lax.broadcasted_iota(
-        jnp.int32, (block_rows, 1), 0)
-    j = r % ny
-    y = y + jnp.where(j < ny - 1, cy * w[ny + 1:ny + 1 + block_rows], 0.0)
-    y = y + jnp.where(j > 0, cy * w[ny - 1:ny - 1 + block_rows], 0.0)
-    y = y + cx * w[2 * ny:2 * ny + block_rows] + cx * w[:block_rows]
+    w = scratch[...]                         # (nx8, bl + 2*sl)
+    g = w[:, sl:sl + bl]
+    # Per-lane boundary masks (global lane id of this block's lanes).
+    lane = j * bl + jax.lax.broadcasted_iota(jnp.int32, (1, bl), 1)
+    k = lane % nz
+    jy = (lane // nz) % ny
+    valid = lane < l_real
 
-    col = jax.lax.broadcasted_iota(jnp.int32, (block_rows, nz_pad), 1)
-    y = jnp.where(jnp.logical_and(r < n_rows, col < nz), y, 0.0)
+    y = cc * g
+    y = y + jnp.where(k < nz - 1, cz * w[:, sl + 1:sl + 1 + bl], 0.0)
+    y = y + jnp.where(k > 0, cz * w[:, sl - 1:sl - 1 + bl], 0.0)
+    y = y + jnp.where(jy < ny - 1, cy * w[:, sl + nz:sl + nz + bl], 0.0)
+    y = y + jnp.where(jy > 0, cy * w[:, sl - nz:sl - nz + bl], 0.0)
+    # x ± 1: row shifts — full rows present; zero row padding = boundary.
+    y = y + cx * jnp.pad(g[1:, :], ((0, 1), (0, 0)))
+    y = y + cx * jnp.pad(g[:-1, :], ((1, 0), (0, 0)))
+    # Rows beyond nx are zero everywhere (zero-padded inputs), but lane
+    # padding could alias real lanes through the shifts — mask it out.
+    row = jax.lax.broadcasted_iota(jnp.int32, (w.shape[0], 1), 0)
+    y = jnp.where(jnp.logical_and(valid, row < nx), y, 0.0)
     q_ref[...] = y
 
-    @pl.when(i == 0)
+    @pl.when(j == 0)
     def _():
         pq_ref[0, 0] = 0.0
 
@@ -120,21 +141,8 @@ def _kernel_c(rznew_ref, rz_ref, r_ref, p_ref, p_out):
     p_out[...] = r_ref[...] + beta * p_ref[...]
 
 
-def _layout(s, block_rows):
-    n_rows = s.nx * s.ny
-    nz_pad = -(-s.nz // 128) * 128
-    block_rows = max(8, min(block_rows, -(-n_rows // 8) * 8))
-    if block_rows < s.ny + 8:
-        block_rows = -(-(s.ny + 8) // 8) * 8
-    rows_pad = -(-n_rows // block_rows) * block_rows
-    window = -(-(block_rows + 2 * s.ny) // 8) * 8
-    total = rows_pad + 2 * block_rows       # halo block on each side
-    return n_rows, nz_pad, block_rows, rows_pad, window, total
-
-
 def fused_stencil_cg(s, b: jnp.ndarray, *, tol: float = 1e-6,
                      atol: float = 0.0, maxiter: int = 1000,
-                     block_rows: int = 2048,
                      interpret: bool = False) -> CGResult:
     """Plain CG on a :class:`~cgx.sparse.stencil.Stencil3D`, fused passes.
 
@@ -146,33 +154,30 @@ def fused_stencil_cg(s, b: jnp.ndarray, *, tol: float = 1e-6,
 
     if not supports(s):
         raise ValueError("fused_stencil_cg: unsupported operator "
-                         "(need Stencil3D with ny % 8 == 0)")
-    n = s.shape[0]
-    n_rows, nz_pad, block_rows, rows_pad, window, total = _layout(
-        s, block_rows)
-    nb = rows_pad // block_rows
+                         "(need Stencil3D with nx <= 4096)")
+    nx8, l_real, sl, bl, l_pad, total = _geometry(s)
+    nb = l_pad // bl
     dtype = b.dtype
     coeffs = (s.c_center, s.c_x, s.c_y, s.c_z)
 
     def to_layout(v):
-        g = v.reshape(n_rows, s.nz)
-        return jnp.pad(g, ((block_rows, total - block_rows - n_rows),
-                           (0, nz_pad - s.nz)))
+        g = v.reshape(s.nx, l_real)
+        return jnp.pad(g, ((0, nx8 - s.nx), (bl, total - bl - l_real)))
 
     def from_layout(g):
-        return g[block_rows:block_rows + n_rows, :s.nz].reshape(-1)
+        return g[:s.nx, bl:bl + l_real].reshape(-1)
 
-    vec_blk = pl.BlockSpec((block_rows, nz_pad), lambda i: (i + 1, 0),
+    vec_blk = pl.BlockSpec((nx8, bl), lambda i: (0, i + 1),
                            memory_space=pltpu.VMEM)
     smem_in = pl.BlockSpec((1, 1), lambda i: (0, 0),
                            memory_space=pltpu.SMEM)
     smem_out = pl.BlockSpec((1, 1), lambda i: (0, 0),
                             memory_space=pltpu.SMEM)
-    vshape = jax.ShapeDtypeStruct((total, nz_pad), dtype)
+    vshape = jax.ShapeDtypeStruct((nx8, total), dtype)
     sshape = jax.ShapeDtypeStruct((1, 1), dtype)
 
-    kernel_a = partial(_kernel_a, ny=s.ny, nz=s.nz, n_rows=n_rows,
-                       block_rows=block_rows, window=window, c=coeffs)
+    kernel_a = partial(_kernel_a, ny=s.ny, nz=s.nz, nx=s.nx,
+                       l_real=l_real, bl=bl, sl=sl, c=coeffs)
 
     def call_a(p):
         return pl.pallas_call(
@@ -181,7 +186,7 @@ def fused_stencil_cg(s, b: jnp.ndarray, *, tol: float = 1e-6,
             in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
             out_specs=(vec_blk, smem_out),
             out_shape=(vshape, sshape),
-            scratch_shapes=[pltpu.VMEM((window, nz_pad), dtype),
+            scratch_shapes=[pltpu.VMEM((nx8, bl + 2 * sl), dtype),
                             pltpu.SemaphoreType.DMA(())],
             interpret=interpret,
         )(p)

@@ -336,3 +336,19 @@ def test_auto_solve_routes_and_matches(rng):
     b2 = jnp.asarray(rng.standard_normal(512), jnp.float32)
     res2 = cgx.auto_solve(s, b2, tol=1e-5, maxiter=500)
     assert bool(res2.converged)
+
+
+def test_cg_bf16_solve(rng):
+    """bf16 path: converges at loose tolerance (serving-grade precision)."""
+    import cgx
+    from cgx.io.poisson import poisson2d_dia
+    a = poisson2d_dia(16, 16).astype(jnp.bfloat16)
+    b = jnp.asarray(rng.standard_normal(256), jnp.bfloat16)
+    res = cgx.cg_solve(a, b, tol=3e-2, maxiter=500)
+    assert bool(res.converged)
+    x = np.asarray(res.x, dtype=np.float64)
+    from cgx.io.poisson import poisson2d
+    from cgx.ops.spmv import spmv
+    r = np.asarray(b, np.float64) - np.asarray(
+        spmv(poisson2d(16, 16), jnp.asarray(x)))
+    assert np.linalg.norm(r) <= 0.1 * np.linalg.norm(np.asarray(b, np.float64))

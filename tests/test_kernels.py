@@ -108,9 +108,11 @@ def test_fused_stencil_cg_fixed_iters_trajectory(rng):
 
 def test_fused_stencil_cg_rejects_unsupported():
     from cgx.kernels.fused_cg import fused_stencil_cg, supports
-    from cgx.sparse.stencil import poisson3d_stencil
-    s = poisson3d_stencil(5, 7, 6)  # ny % 8 != 0
+    from cgx.sparse.stencil import poisson3d_stencil, Stencil3D
+    s = Stencil3D(5000, 2, 2, 6.0, -1.0, -1.0, -1.0)  # nx > 4096
     assert not supports(s)
     import pytest as _pt
     with _pt.raises(ValueError):
-        fused_stencil_cg(s, jnp.zeros(210, jnp.float32))
+        fused_stencil_cg(s, jnp.zeros(20000, jnp.float32))
+    # v2 lifts the old ny % 8 restriction:
+    assert supports(poisson3d_stencil(5, 7, 6))
