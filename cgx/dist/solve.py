@@ -75,6 +75,7 @@ def dist_cg_solve(
     maxiter: Optional[int] = None,
     jacobi: bool = False,
     track_history: bool = False,
+    method: str = "cg",
 ) -> CGResult:
     """Solve ``A x = b`` with row-sharded (P)CG over ``mesh``.
 
@@ -85,6 +86,10 @@ def dist_cg_solve(
 
     ``jacobi=True`` builds the diagonal preconditioner *inside* the shard —
     no global setup traffic; padding rows (zero diagonal) stay exactly zero.
+
+    ``method``: ``"cg"`` (2 psums/iter) or ``"single_reduction"``
+    (Chronopoulos–Gear, 1 fused psum/iter — halves cross-chip latency on
+    large meshes; no history tracking).
     """
     if maxiter is None:
         maxiter = part.n
@@ -103,6 +108,12 @@ def dist_cg_solve(
             d = _local_diag(a_loc)
             inv = jnp.where(d != 0, 1.0 / jnp.where(d != 0, d, 1.0), 0.0)
             precond = lambda r: inv * r
+        if method == "single_reduction":
+            from cgx.solve.cg import cg_solve_single_reduction
+            return cg_solve_single_reduction(
+                mv, b_loc, x0_loc[0] if x0_loc else None, tol=tol,
+                atol=atol, maxiter=maxiter, preconditioner=precond,
+                axis_name=AXIS)
         return cg_solve(mv, b_loc, x0_loc[0] if x0_loc else None,
                         tol=tol, atol=atol, maxiter=maxiter,
                         preconditioner=precond, axis_name=AXIS,

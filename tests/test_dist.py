@@ -218,3 +218,16 @@ def test_2d_cg_matches_single_device(jacobi, rng):
     np.testing.assert_allclose(np.asarray(res.x)[:n], np.asarray(ref.x),
                                rtol=1e-9, atol=1e-11)
     assert abs(int(res.iterations) - int(ref.iterations)) <= 2
+
+
+def test_dist_cg_single_reduction_method(rng):
+    a = poisson2d_dia(16, 16)
+    b = rng.standard_normal(256)
+    part = partition_dia(a, 8)
+    res = dist_cg_solve(part, jnp.asarray(b), MESH, tol=1e-10, maxiter=600,
+                        jacobi=True, method="single_reduction")
+    assert bool(res.converged)
+    ref = dist_cg_solve(part, jnp.asarray(b), MESH, tol=1e-10, maxiter=600,
+                        jacobi=True)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                               rtol=1e-7, atol=1e-9)
