@@ -3,6 +3,7 @@ results and the Mosaic constraints that shaped them)."""
 from cgx.kernels.bsr import BlockELL, bell_from_bsr, bell_spmm, bell_spmv
 from cgx.kernels.stencil import stencil3d_spmv_pallas
 from cgx.kernels.fused_cg import fused_stencil_cg
+from cgx.kernels.fused_dia_cg import fused_dia_cg
 
 __all__ = ["BlockELL", "bell_from_bsr", "bell_spmm", "bell_spmv",
-           "stencil3d_spmv_pallas", "fused_stencil_cg"]
+           "stencil3d_spmv_pallas", "fused_stencil_cg", "fused_dia_cg"]

@@ -41,6 +41,8 @@ def auto_solve(
 ) -> CGResult:
     """:func:`cg_solve` semantics with backend auto-selection."""
     from cgx.kernels import fused_cg
+    from cgx.kernels import fused_dia_cg as fdc
+    from cgx.solve.precond import JacobiPrecond
     from cgx.sparse.stencil import Stencil3D
 
     n = b.shape[0]
@@ -50,6 +52,16 @@ def auto_solve(
             and fused_cg.supports(a) and n >= FUSED_MIN_ROWS):
         return fused_cg.fused_stencil_cg(
             a, b, tol=tol, atol=atol,
+            maxiter=int(maxiter) if maxiter is not None else n)
+    # Variable-coefficient 7-point DIA: fused path covers plain CG and
+    # operator-diagonal Jacobi (a JacobiPrecond is assumed to be
+    # from_matrix(a) — the only self-consistent choice).
+    jac = isinstance(preconditioner, JacobiPrecond)
+    if (on_tpu and (preconditioner is None or jac) and x0 is None
+            and not track_history and fdc.supports_dia(a)
+            and n >= FUSED_MIN_ROWS):
+        return fdc.fused_dia_cg(
+            a, b, tol=tol, atol=atol, jacobi=jac,
             maxiter=int(maxiter) if maxiter is not None else n)
     if padded_length(n) != n:
         return cg_solve_padded(a, b, x0, tol=tol, atol=atol,

@@ -116,3 +116,45 @@ def test_fused_stencil_cg_rejects_unsupported():
         fused_stencil_cg(s, jnp.zeros(20000, jnp.float32))
     # v2 lifts the old ny % 8 restriction:
     assert supports(poisson3d_stencil(5, 7, 6))
+
+
+def _scaled_poisson3d_dia(nx, ny, nz, rng):
+    """Variable-coefficient SPD 7-point operator: D A D for random D > 0."""
+    from cgx.io.poisson import poisson3d_dia
+    from cgx.sparse.types import DIAMatrix
+    a = poisson3d_dia(nx, ny, nz)
+    n = a.shape[0]
+    d = rng.uniform(0.5, 2.0, n)
+    data = np.asarray(a.data).copy()
+    for k, off in enumerate(a.offsets):
+        tgt = np.arange(n) + off
+        ok = (tgt >= 0) & (tgt < n)
+        data[k, ok] *= d[ok] * d[tgt[ok]]
+    return DIAMatrix(data=jnp.asarray(data), offsets=a.offsets,
+                     shape=a.shape)
+
+
+@pytest.mark.parametrize("jacobi", [True, False])
+def test_fused_dia_cg_matches_cg_solve(jacobi, rng):
+    import cgx
+    from cgx.kernels.fused_dia_cg import fused_dia_cg, supports_dia
+    a = _scaled_poisson3d_dia(6, 8, 7, rng)
+    assert supports_dia(a)
+    n = a.shape[0]
+    b = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    a32 = a.astype(jnp.float32)
+    m = cgx.JacobiPrecond.from_matrix(a32) if jacobi else None
+    ref = cgx.cg_solve(a32, b, tol=1e-5, maxiter=800, preconditioner=m)
+    res = fused_dia_cg(a32, b, tol=1e-5, maxiter=800, jacobi=jacobi,
+                       interpret=True)
+    assert bool(res.converged)
+    assert abs(int(res.iterations) - int(ref.iterations)) <= 2
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                               rtol=5e-3, atol=5e-4)
+
+
+def test_fused_dia_cg_pattern_detection():
+    from cgx.kernels.fused_dia_cg import dia_pattern_dims
+    from cgx.io.poisson import poisson3d_dia, poisson2d_dia
+    assert dia_pattern_dims(poisson3d_dia(4, 5, 6)) == (4, 5, 6)
+    assert dia_pattern_dims(poisson2d_dia(8, 8)) is None
