@@ -48,6 +48,7 @@ def main(argv=None) -> int:
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--n", type=int, default=52269)
     ap.add_argument("--bands", type=int, default=172)
+    ap.add_argument("--format", default="csr", choices=["csr", "ell"])
     args = ap.parse_args(argv)
 
     from cgx.io.legacy import write_legacy
@@ -93,6 +94,9 @@ def main(argv=None) -> int:
 
     # Reference runs iters+1 updates (post-update break, cg.c:125-127).
     a32 = a.astype(jnp.float32)
+    if args.format == "ell":
+        from cgx.sparse.types import ell_from_csr
+        a32 = ell_from_csr(a, width_multiple=128).astype(jnp.float32)
     b32 = jnp.asarray(b, jnp.float32)
     solve = jax.jit(lambda a, b: cg_solve(a, b, tol=0.0,
                                           maxiter=args.iters + 1))

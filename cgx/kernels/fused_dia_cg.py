@@ -59,7 +59,10 @@ def supports_dia(d) -> bool:
     return dims is not None and 1 <= dims[0] <= 4096
 
 
-def _geometry(nx, ny, nz, target_block_bytes=1 << 20):
+# Smaller blocks than the stencil kernel: kernel A pipelines the (7, nx8,
+# bl) coefficient block double-buffered, so VMEM holds ~2*7 + ~4 block
+# copies — 256 KB blocks keep that under the 16 MB budget.
+def _geometry(nx, ny, nz, target_block_bytes=1 << 18):
     nx8 = -(-nx // 8) * 8
     l_real = ny * nz
     sl = -(-nz // 128) * 128
