@@ -141,13 +141,15 @@ def _kernel_c(rznew_ref, rz_ref, r_ref, p_ref, p_out):
     p_out[...] = r_ref[...] + beta * p_ref[...]
 
 
-def fused_stencil_cg(s, b: jnp.ndarray, *, tol: float = 1e-6,
+def fused_stencil_cg(s, b: jnp.ndarray, x0=None, *, tol: float = 1e-6,
                      atol: float = 0.0, maxiter: int = 1000,
+                     track_history: bool = False,
                      interpret: bool = False) -> CGResult:
     """Plain CG on a :class:`~cgx.sparse.stencil.Stencil3D`, fused passes.
 
-    Semantics match ``cg_solve(s, b, tol=..., maxiter=...)`` (fp32 dot
-    accumulation; trajectories match the XLA path to fp32 roundoff).
+    Semantics match ``cg_solve(s, b, x0, tol=..., maxiter=...,
+    track_history=...)`` (fp32 dot accumulation; trajectories match the
+    XLA path to fp32 roundoff).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -155,6 +157,7 @@ def fused_stencil_cg(s, b: jnp.ndarray, *, tol: float = 1e-6,
     if not supports(s):
         raise ValueError("fused_stencil_cg: unsupported operator "
                          "(need Stencil3D with nx <= 4096)")
+    n = s.shape[0]
     nx8, l_real, sl, bl, l_pad, total = _geometry(s)
     nb = l_pad // bl
     dtype = b.dtype
@@ -215,25 +218,42 @@ def fused_stencil_cg(s, b: jnp.ndarray, *, tol: float = 1e-6,
         )(rznew, rz, r, p)
 
     b_l = to_layout(b)
-    x0 = jnp.zeros_like(b_l)
-    rz0 = jnp.sum(b_l * b_l).reshape(1, 1)
-    tol_sq = jnp.maximum(jnp.asarray(tol, dtype) ** 2 * rz0[0, 0],
+    bb = jnp.sum(b_l * b_l)
+    if x0 is None:
+        x_l = jnp.zeros_like(b_l)
+        r_l = b_l
+    else:
+        x_l = to_layout(x0)
+        q0, _ = call_a(x_l)
+        # q0's halo blocks are uninitialized (never written by the grid);
+        # mask the residual back to the real region so p keeps zero halos.
+        mask = to_layout(jnp.ones((n,), dtype))
+        r_l = jnp.where(mask > 0, b_l - q0, 0.0)
+    rz0 = jnp.sum(r_l * r_l).reshape(1, 1)
+    tol_sq = jnp.maximum(jnp.asarray(tol, dtype) ** 2 * bb,
                          jnp.asarray(atol, dtype) ** 2)
+    hist0 = (jnp.zeros((maxiter + 1,), dtype).at[0].set(rz0[0, 0])
+             if track_history else jnp.zeros((0,), dtype))
 
     def cond(carry):
-        x, r, p, rz, k = carry
+        x, r, p, rz, k, hist = carry
         return jnp.logical_and(k < maxiter, rz[0, 0] > tol_sq)
 
     def body(carry):
-        x, r, p, rz, k = carry
+        x, r, p, rz, k, hist = carry
         q, pq = call_a(p)
         x, r, rznew = call_b(rz, pq, x, r, p, q)
         p = call_c(rznew, rz, r, p)
-        return (x, r, p, rznew, k + 1)
+        if track_history:
+            hist = hist.at[k + 1].set(rznew[0, 0])
+        return (x, r, p, rznew, k + 1, hist)
 
-    x, r, p, rz, k = jax.lax.while_loop(
-        cond, body, (x0, b_l, b_l, rz0, jnp.zeros((), jnp.int32)))
+    x, r, p, rz, k, hist = jax.lax.while_loop(
+        cond, body, (x_l, r_l, r_l, rz0, jnp.zeros((), jnp.int32), hist0))
 
+    if track_history:
+        idx = jnp.arange(maxiter + 1)
+        hist = jnp.where(idx <= k, hist, rz[0, 0])
     return CGResult(x=from_layout(x), iterations=k,
                     residual_norm_sq=rz[0, 0], converged=rz[0, 0] <= tol_sq,
-                    history=jnp.zeros((0,), dtype))
+                    history=hist)

@@ -127,9 +127,9 @@ def _kernel_c(dots_ref, rz_ref, r_ref, p_ref, invd_ref, p_out):
     p_out[...] = invd_ref[...] * r_ref[...] + beta * p_ref[...]
 
 
-def fused_dia_cg(d, b: jnp.ndarray, *, tol: float = 1e-6,
+def fused_dia_cg(d, b: jnp.ndarray, x0=None, *, tol: float = 1e-6,
                  atol: float = 0.0, maxiter: int = 1000,
-                 jacobi: bool = True,
+                 jacobi: bool = True, track_history: bool = False,
                  interpret: bool = False) -> CGResult:
     """Jacobi-PCG (or plain CG with ``jacobi=False``) on a 7-point DIA
     operator, fused Pallas passes.  Matches ``cg_solve(d, b,
@@ -219,27 +219,42 @@ def fused_dia_cg(d, b: jnp.ndarray, *, tol: float = 1e-6,
         )(dots, rz, r, p, invd_l)
 
     b_l = to_layout(b)
-    x0 = jnp.zeros_like(b_l)
-    z0 = invd_l * b_l
-    rz0 = jnp.sum(b_l * z0).reshape(1, 1)
-    rr0 = jnp.sum(b_l * b_l)
-    tol_sq = jnp.maximum(jnp.asarray(tol, dtype) ** 2 * rr0,
+    bb = jnp.sum(b_l * b_l)
+    if x0 is None:
+        x_l = jnp.zeros_like(b_l)
+        r_l = b_l
+    else:
+        x_l = to_layout(x0)
+        q0, _ = call_a(x_l)
+        mask = to_layout(jnp.ones((n,), dtype))
+        r_l = jnp.where(mask > 0, b_l - q0, 0.0)
+    z0 = invd_l * r_l
+    rz0 = jnp.sum(r_l * z0).reshape(1, 1)
+    rr0 = jnp.sum(r_l * r_l)
+    tol_sq = jnp.maximum(jnp.asarray(tol, dtype) ** 2 * bb,
                          jnp.asarray(atol, dtype) ** 2)
+    hist0 = (jnp.zeros((maxiter + 1,), dtype).at[0].set(rr0)
+             if track_history else jnp.zeros((0,), dtype))
 
     def cond(carry):
-        x, r, p, rz, rr, k = carry
+        x, r, p, rz, rr, k, hist = carry
         return jnp.logical_and(k < maxiter, rr > tol_sq)
 
     def body(carry):
-        x, r, p, rz, rr, k = carry
+        x, r, p, rz, rr, k, hist = carry
         q, pq = call_a(p)
         x, r, dots = call_b(rz, pq, x, r, p, q)
         p = call_c(dots, rz, r, p)
-        return (x, r, p, dots[:, :1], dots[0, 1], k + 1)
+        if track_history:
+            hist = hist.at[k + 1].set(dots[0, 1])
+        return (x, r, p, dots[:, :1], dots[0, 1], k + 1, hist)
 
-    x, r, p, rz, rr, k = jax.lax.while_loop(
-        cond, body, (x0, b_l, z0, rz0, rr0, jnp.zeros((), jnp.int32)))
+    x, r, p, rz, rr, k, hist = jax.lax.while_loop(
+        cond, body,
+        (x_l, r_l, z0, rz0, rr0, jnp.zeros((), jnp.int32), hist0))
 
+    if track_history:
+        idx = jnp.arange(maxiter + 1)
+        hist = jnp.where(idx <= k, hist, rr)
     return CGResult(x=from_layout(x), iterations=k, residual_norm_sq=rr,
-                    converged=rr <= tol_sq,
-                    history=jnp.zeros((0,), dtype))
+                    converged=rr <= tol_sq, history=hist)

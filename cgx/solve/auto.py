@@ -47,22 +47,21 @@ def auto_solve(
 
     n = b.shape[0]
     on_tpu = jax.default_backend() == "tpu"
-    plain = preconditioner is None and x0 is None and not track_history
-    if (on_tpu and plain and isinstance(a, Stencil3D)
+    mi = int(maxiter) if maxiter is not None else n
+    if (on_tpu and preconditioner is None and isinstance(a, Stencil3D)
             and fused_cg.supports(a) and n >= FUSED_MIN_ROWS):
         return fused_cg.fused_stencil_cg(
-            a, b, tol=tol, atol=atol,
-            maxiter=int(maxiter) if maxiter is not None else n)
+            a, b, x0, tol=tol, atol=atol, maxiter=mi,
+            track_history=track_history)
     # Variable-coefficient 7-point DIA: fused path covers plain CG and
     # operator-diagonal Jacobi (a JacobiPrecond is assumed to be
     # from_matrix(a) — the only self-consistent choice).
     jac = isinstance(preconditioner, JacobiPrecond)
-    if (on_tpu and (preconditioner is None or jac) and x0 is None
-            and not track_history and fdc.supports_dia(a)
-            and n >= FUSED_MIN_ROWS):
+    if (on_tpu and (preconditioner is None or jac)
+            and fdc.supports_dia(a) and n >= FUSED_MIN_ROWS):
         return fdc.fused_dia_cg(
-            a, b, tol=tol, atol=atol, jacobi=jac,
-            maxiter=int(maxiter) if maxiter is not None else n)
+            a, b, x0, tol=tol, atol=atol, jacobi=jac, maxiter=mi,
+            track_history=track_history)
     if padded_length(n) != n:
         return cg_solve_padded(a, b, x0, tol=tol, atol=atol,
                                maxiter=maxiter,

@@ -158,3 +158,43 @@ def test_fused_dia_cg_pattern_detection():
     from cgx.io.poisson import poisson3d_dia, poisson2d_dia
     assert dia_pattern_dims(poisson3d_dia(4, 5, 6)) == (4, 5, 6)
     assert dia_pattern_dims(poisson2d_dia(8, 8)) is None
+
+
+def test_fused_stencil_cg_x0_and_history(rng):
+    from cgx.kernels.fused_cg import fused_stencil_cg
+    from cgx.sparse.stencil import poisson3d_stencil
+    from cgx.solve.cg import cg_solve
+    s = poisson3d_stencil(6, 8, 7)
+    n = 336
+    b = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    x0 = jnp.asarray(rng.standard_normal(n).astype(np.float32) * 0.1)
+    ref = cg_solve(s, b, x0, tol=1e-5, maxiter=500, track_history=True)
+    res = fused_stencil_cg(s, b, x0, tol=1e-5, maxiter=500,
+                           track_history=True, interpret=True)
+    assert bool(res.converged)
+    assert abs(int(res.iterations) - int(ref.iterations)) <= 2
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                               rtol=5e-3, atol=5e-4)
+    k = min(int(res.iterations), int(ref.iterations))
+    np.testing.assert_allclose(np.asarray(res.history)[:k],
+                               np.asarray(ref.history)[:k], rtol=2e-2)
+    # Warm start at the solution: immediate convergence.
+    res2 = fused_stencil_cg(s, b, ref.x, tol=1e-4, maxiter=500,
+                            interpret=True)
+    assert int(res2.iterations) == 0
+
+
+def test_fused_dia_cg_x0(rng):
+    import cgx
+    from cgx.kernels.fused_dia_cg import fused_dia_cg
+    a = _scaled_poisson3d_dia(5, 6, 7, rng).astype(jnp.float32)
+    n = a.shape[0]
+    b = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    x0 = jnp.asarray(rng.standard_normal(n).astype(np.float32) * 0.1)
+    m = cgx.JacobiPrecond.from_matrix(a)
+    ref = cgx.cg_solve(a, b, x0, tol=1e-5, maxiter=800, preconditioner=m)
+    res = fused_dia_cg(a, b, x0, tol=1e-5, maxiter=800, interpret=True)
+    assert bool(res.converged)
+    assert abs(int(res.iterations) - int(ref.iterations)) <= 2
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                               rtol=5e-3, atol=5e-4)
