@@ -20,6 +20,7 @@ from cgx.solve.ic0 import IC0Precond
 from cgx.solve.block import cg_solve_multi
 from cgx.solve.padded import cg_solve_padded
 from cgx.solve.auto import auto_solve
+from cgx.solve.chebyshev import chebyshev_solve, estimate_bounds
 
 __version__ = "0.1.0"
 
@@ -28,7 +29,7 @@ __all__ = [
     "bsr_from_csr", "coo_from_scipy", "csr_from_scipy", "dia_from_csr",
     "ell_from_csr", "spmv", "spmm", "blas", "CGResult", "cg_solve",
     "cg_solve_single_reduction", "cg_solve_multi", "cg_solve_padded",
-    "auto_solve",
+    "auto_solve", "chebyshev_solve", "estimate_bounds",
     "JacobiPrecond", "BlockJacobiPrecond", "PolynomialPrecond",
     "IC0Precond",
 ]

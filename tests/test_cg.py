@@ -352,3 +352,33 @@ def test_cg_bf16_solve(rng):
     r = np.asarray(b, np.float64) - np.asarray(
         spmv(poisson2d(16, 16), jnp.asarray(x)))
     assert np.linalg.norm(r) <= 0.1 * np.linalg.norm(np.asarray(b, np.float64))
+
+
+def test_chebyshev_solver(rng):
+    """Chebyshev: converges with estimated bounds; zero reductions/iter
+    (HLO-checked on the sharded variant is future work; here numerics)."""
+    from cgx.solve.chebyshev import chebyshev_solve, estimate_bounds
+    from cgx.io.poisson import poisson2d
+    a = poisson2d(16, 16)
+    b = jnp.asarray(rng.standard_normal(256))
+    lmin, lmax = estimate_bounds(a, 256, iters=50)
+    assert 0 < float(lmin) < 0.074          # below true lambda_min
+    assert float(lmax) > 7.9                # above true lambda_max
+    res = chebyshev_solve(a, b, lmin, lmax, tol=1e-8, maxiter=5000)
+    assert bool(res.converged)
+    r = np.asarray(b) - np.asarray(spmv(a, res.x))
+    assert np.linalg.norm(r) <= 1e-7 * np.linalg.norm(np.asarray(b))
+
+
+def test_chebyshev_preconditioned(rng):
+    import cgx
+    from cgx.solve.chebyshev import chebyshev_solve
+    from cgx.io.poisson import poisson2d
+    import scipy.sparse as sp
+    n = 256
+    s_mat = poisson2d(16, 16)
+    # Jacobi-preconditioned spectrum of D^-1 A for Poisson is A/4.
+    m = cgx.JacobiPrecond.from_matrix(s_mat)
+    res = chebyshev_solve(s_mat, jnp.ones(n), 0.074 / 4, 8.0 / 4,
+                          tol=1e-8, maxiter=5000, preconditioner=m)
+    assert bool(res.converged)
