@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass
+from functools import lru_cache
 from typing import Optional
 
 import jax
@@ -137,6 +138,21 @@ def dist_cg_solve_2d(
                           ell_cols=P(ROWS, COLS, None, None),
                           n=part.n, r=part.r, rows_local=rl)
     vec = P(ROWS)             # sharded over rx, replicated over cx
+    f = _cached_solver_2d(mesh, part.r, rl, float(tol), int(maxiter),
+                          bool(jacobi))
+    part_dev = jax.device_put(
+        part, jax.tree.map(lambda s: NamedSharding(mesh, s), op_spec,
+                           is_leaf=lambda v: isinstance(v, P)))
+    b_dev = jax.device_put(b_pad, NamedSharding(mesh, vec))
+    return f(part_dev, b_dev)
+
+
+@lru_cache(maxsize=32)
+def _cached_solver_2d(mesh, r, rl, tol, maxiter, jacobi):
+    """Jit the shard_map solver once per static config (fresh closures
+    would retrace per call — see the 1-D partner in cgx/dist/solve.py).
+    """
+    vec = P(ROWS)
     rep = P()
     out_specs = CGResult(x=vec, iterations=rep, residual_norm_sq=rep,
                          converged=rep, history=rep)
@@ -153,17 +169,14 @@ def dist_cg_solve_2d(
             b_idx = jax.lax.axis_index(COLS)
             own = jnp.arange(rl, dtype=cols.dtype)[:, None]
             on_diag = (cols == own) & (a_idx == b_idx)
+            from cgx.ops.blas import safe_recip
             d = jax.lax.psum(jnp.sum(jnp.where(on_diag, vals, 0), axis=1),
                              COLS)
-            inv = jnp.where(d != 0, 1.0 / jnp.where(d != 0, d, 1.0), 0.0)
+            inv = safe_recip(d)
             precond = lambda v: inv * v
-        return cg_solve(mv, b_loc, tol=tol, maxiter=int(maxiter),
+        return cg_solve(mv, b_loc, tol=tol, maxiter=maxiter,
                         preconditioner=precond, axis_name=ROWS)
 
-    f = jax.shard_map(local_solve, mesh=mesh, in_specs=(op_spec, vec),
-                      out_specs=out_specs)
-    part_dev = jax.device_put(
-        part, jax.tree.map(lambda s: NamedSharding(mesh, s), op_spec,
-                           is_leaf=lambda v: isinstance(v, P)))
-    b_dev = jax.device_put(b_pad, NamedSharding(mesh, vec))
-    return jax.jit(f)(part_dev, b_dev)
+    return jax.jit(jax.shard_map(local_solve, mesh=mesh,
+                                 in_specs=(P(ROWS, COLS), vec),
+                                 out_specs=out_specs))

@@ -8,7 +8,7 @@ live sharded for the whole solve; nothing is ever replicated.
 """
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Optional
 
 import jax
@@ -97,16 +97,51 @@ def dist_cg_solve(
 
     specs = operator_specs(part)
     vec = P(AXIS)
+    f = _cached_solver(mesh, _static_key(part), float(tol), float(atol),
+                       int(maxiter), bool(jacobi), bool(track_history),
+                       method, x0 is not None)
+
+    part_dev = jax.device_put(
+        part, jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
+                           is_leaf=lambda v: isinstance(v, P)))
+    args = [part_dev, jax.device_put(b_pad, NamedSharding(mesh, vec))]
+    if x0 is not None:
+        args.append(jax.device_put(
+            pad_vector(jnp.asarray(x0), part.n_padded),
+            NamedSharding(mesh, vec)))
+    return f(*args)
+
+
+def _static_key(part: Partition):
+    return (part.kind, part.mode, part.n, part.n_shards, part.rows_local,
+            part.halo_lo, part.halo_hi, part.dia_offsets, part.dtype.name)
+
+
+@lru_cache(maxsize=64)
+def _cached_solver(mesh, part_key, tol, atol, maxiter, jacobi,
+                   track_history, method, has_x0):
+    """Build-and-jit the shard_map solver once per static configuration.
+
+    A fresh closure per call would key ``jax.jit`` on function identity and
+    retrace/compile (plus re-lower the collectives) on EVERY solve — fatal
+    for time-stepping loops that call :func:`dist_cg_solve` repeatedly with
+    new right-hand sides.
+    """
+    vec = P(AXIS)
     rep = P()
     out_specs = CGResult(x=vec, iterations=rep, residual_norm_sq=rep,
                          converged=rep, history=rep)
+    # Pytree-prefix spec for the whole Partition argument: a single
+    # P(AXIS) broadcasts to every leaf (leading stacked axis sharded,
+    # trailing dims unsharded) — equivalent to operator_specs(part).
+    op_specs = P(AXIS)
 
     def local_solve(a_loc: Partition, b_loc, *x0_loc):
         mv = partial(local_matvec, a_loc, axis_name=AXIS)
         precond = None
         if jacobi:
-            d = _local_diag(a_loc)
-            inv = jnp.where(d != 0, 1.0 / jnp.where(d != 0, d, 1.0), 0.0)
+            from cgx.ops.blas import safe_recip
+            inv = safe_recip(_local_diag(a_loc))
             precond = lambda r: inv * r
         if method == "single_reduction":
             from cgx.solve.cg import cg_solve_single_reduction
@@ -119,16 +154,9 @@ def dist_cg_solve(
                         preconditioner=precond, axis_name=AXIS,
                         track_history=track_history)
 
-    in_specs = (specs, vec) + ((vec,) if x0 is not None else ())
-    f = jax.shard_map(local_solve, mesh=mesh, in_specs=in_specs,
-                      out_specs=out_specs)
+    in_specs = (op_specs, vec) + ((vec,) if has_x0 else ())
+    return jax.jit(jax.shard_map(local_solve, mesh=mesh,
+                                 in_specs=in_specs, out_specs=out_specs))
 
-    part_dev = jax.device_put(
-        part, jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
-                           is_leaf=lambda v: isinstance(v, P)))
-    args = [part_dev, jax.device_put(b_pad, NamedSharding(mesh, vec))]
-    if x0 is not None:
-        args.append(jax.device_put(
-            pad_vector(jnp.asarray(x0), part.n_padded),
-            NamedSharding(mesh, vec)))
-    return jax.jit(f)(*args)
+
+

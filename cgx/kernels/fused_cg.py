@@ -108,7 +108,9 @@ def _kernel_a(p_hbm, q_ref, pq_ref, scratch, sem, *, ny, nz, nx, l_real,
     def _():
         pq_ref[0, 0] = 0.0
 
-    pq_ref[0, 0] += jnp.sum(y * g)
+    # Accumulate in fp32 regardless of the vector dtype (bf16 partial sums
+    # across blocks would lose the reduction at multi-M rows).
+    pq_ref[0, 0] += jnp.sum((y * g).astype(jnp.float32))
 
 
 # --------------------------------------------------------------------------
@@ -120,7 +122,7 @@ def _kernel_b(rz_ref, pq_ref, x_ref, r_ref, p_ref, q_ref, x_out, r_out,
     from jax.experimental import pallas as pl
 
     i = pl.program_id(0)
-    alpha = rz_ref[0, 0] / pq_ref[0, 0]
+    alpha = (rz_ref[0, 0] / pq_ref[0, 0]).astype(x_ref.dtype)
     x_out[...] = x_ref[...] + alpha * p_ref[...]
     r_new = r_ref[...] - alpha * q_ref[...]
     r_out[...] = r_new
@@ -129,7 +131,7 @@ def _kernel_b(rz_ref, pq_ref, x_ref, r_ref, p_ref, q_ref, x_out, r_out,
     def _():
         rznew_ref[0, 0] = 0.0
 
-    rznew_ref[0, 0] += jnp.sum(r_new * r_new)
+    rznew_ref[0, 0] += jnp.sum((r_new * r_new).astype(jnp.float32))
 
 
 # --------------------------------------------------------------------------
@@ -137,7 +139,7 @@ def _kernel_b(rz_ref, pq_ref, x_ref, r_ref, p_ref, q_ref, x_out, r_out,
 # --------------------------------------------------------------------------
 
 def _kernel_c(rznew_ref, rz_ref, r_ref, p_ref, p_out):
-    beta = rznew_ref[0, 0] / rz_ref[0, 0]
+    beta = (rznew_ref[0, 0] / rz_ref[0, 0]).astype(p_ref.dtype)
     p_out[...] = r_ref[...] + beta * p_ref[...]
 
 
@@ -177,7 +179,7 @@ def fused_stencil_cg(s, b: jnp.ndarray, x0=None, *, tol: float = 1e-6,
     smem_out = pl.BlockSpec((1, 1), lambda i: (0, 0),
                             memory_space=pltpu.SMEM)
     vshape = jax.ShapeDtypeStruct((nx8, total), dtype)
-    sshape = jax.ShapeDtypeStruct((1, 1), dtype)
+    sshape = jax.ShapeDtypeStruct((1, 1), jnp.float32)
 
     kernel_a = partial(_kernel_a, ny=s.ny, nz=s.nz, nx=s.nx,
                        l_real=l_real, bl=bl, sl=sl, c=coeffs)
@@ -218,7 +220,7 @@ def fused_stencil_cg(s, b: jnp.ndarray, x0=None, *, tol: float = 1e-6,
         )(rznew, rz, r, p)
 
     b_l = to_layout(b)
-    bb = jnp.sum(b_l * b_l)
+    bb = jnp.sum((b_l * b_l).astype(jnp.float32))
     if x0 is None:
         x_l = jnp.zeros_like(b_l)
         r_l = b_l
@@ -227,13 +229,14 @@ def fused_stencil_cg(s, b: jnp.ndarray, x0=None, *, tol: float = 1e-6,
         q0, _ = call_a(x_l)
         # q0's halo blocks are uninitialized (never written by the grid);
         # mask the residual back to the real region so p keeps zero halos.
-        mask = to_layout(jnp.ones((n,), dtype))
-        r_l = jnp.where(mask > 0, b_l - q0, 0.0)
-    rz0 = jnp.sum(r_l * r_l).reshape(1, 1)
-    tol_sq = jnp.maximum(jnp.asarray(tol, dtype) ** 2 * bb,
-                         jnp.asarray(atol, dtype) ** 2)
-    hist0 = (jnp.zeros((maxiter + 1,), dtype).at[0].set(rz0[0, 0])
-             if track_history else jnp.zeros((0,), dtype))
+        # from_layout reads only the real region; to_layout re-zeroes the
+        # halo blocks q0 left uninitialized.
+        r_l = to_layout(b - from_layout(q0))
+    rz0 = jnp.sum((r_l * r_l).astype(jnp.float32)).reshape(1, 1)
+    tol_sq = jnp.maximum(jnp.asarray(tol, jnp.float32) ** 2 * bb,
+                         jnp.asarray(atol, jnp.float32) ** 2)
+    hist0 = (jnp.zeros((maxiter + 1,), jnp.float32).at[0].set(rz0[0, 0])
+             if track_history else jnp.zeros((0,), jnp.float32))
 
     def cond(carry):
         x, r, p, rz, k, hist = carry

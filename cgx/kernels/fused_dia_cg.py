@@ -99,7 +99,8 @@ def _kernel_a(p_hbm, data_ref, q_ref, pq_ref, scratch, sem, *, nz, bl, sl):
     def _():
         pq_ref[0, 0] = 0.0
 
-    pq_ref[0, 0] += jnp.sum(y * g)
+    # fp32 accumulation regardless of the vector dtype.
+    pq_ref[0, 0] += jnp.sum((y * g).astype(jnp.float32))
 
 
 def _kernel_b(rz_ref, pq_ref, x_ref, r_ref, p_ref, q_ref, invd_ref, x_out,
@@ -107,7 +108,7 @@ def _kernel_b(rz_ref, pq_ref, x_ref, r_ref, p_ref, q_ref, invd_ref, x_out,
     from jax.experimental import pallas as pl
 
     i = pl.program_id(0)
-    alpha = rz_ref[0, 0] / pq_ref[0, 0]
+    alpha = (rz_ref[0, 0] / pq_ref[0, 0]).astype(x_ref.dtype)
     x_out[...] = x_ref[...] + alpha * p_ref[...]
     r_new = r_ref[...] - alpha * q_ref[...]
     r_out[...] = r_new
@@ -118,22 +119,27 @@ def _kernel_b(rz_ref, pq_ref, x_ref, r_ref, p_ref, q_ref, invd_ref, x_out,
         dots_ref[0, 0] = 0.0
         dots_ref[0, 1] = 0.0
 
-    dots_ref[0, 0] += jnp.sum(r_new * z)     # rz'
-    dots_ref[0, 1] += jnp.sum(r_new * r_new)  # rr'
+    dots_ref[0, 0] += jnp.sum((r_new * z).astype(jnp.float32))      # rz'
+    dots_ref[0, 1] += jnp.sum((r_new * r_new).astype(jnp.float32))  # rr'
 
 
 def _kernel_c(dots_ref, rz_ref, r_ref, p_ref, invd_ref, p_out):
-    beta = dots_ref[0, 0] / rz_ref[0, 0]
+    beta = (dots_ref[0, 0] / rz_ref[0, 0]).astype(p_ref.dtype)
     p_out[...] = invd_ref[...] * r_ref[...] + beta * p_ref[...]
 
 
 def fused_dia_cg(d, b: jnp.ndarray, x0=None, *, tol: float = 1e-6,
                  atol: float = 0.0, maxiter: int = 1000,
-                 jacobi: bool = True, track_history: bool = False,
+                 jacobi: bool = True, inv_diag=None,
+                 track_history: bool = False,
                  interpret: bool = False) -> CGResult:
     """Jacobi-PCG (or plain CG with ``jacobi=False``) on a 7-point DIA
     operator, fused Pallas passes.  Matches ``cg_solve(d, b,
     preconditioner=JacobiPrecond.from_matrix(d))`` to fp32 roundoff.
+
+    ``inv_diag``: explicit diagonal preconditioner values (overrides the
+    operator-derived ``1/diag(A)``) — lets a caller-supplied
+    :class:`~cgx.solve.precond.JacobiPrecond` keep its exact trajectory.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -158,9 +164,11 @@ def fused_dia_cg(d, b: jnp.ndarray, x0=None, *, tol: float = 1e-6,
     data_l = jnp.stack([to_layout(d.data[k].astype(dtype))
                         for k in range(7)])          # (7, nx8, total)
     diag = d.data[3].astype(dtype)
-    if jacobi:
-        invd_flat = jnp.where(diag != 0, 1.0 / jnp.where(diag != 0, diag,
-                                                         1.0), 0.0)
+    if inv_diag is not None:
+        invd_flat = jnp.asarray(inv_diag, dtype)
+    elif jacobi:
+        from cgx.ops.blas import safe_recip
+        invd_flat = safe_recip(diag)
     else:
         invd_flat = jnp.ones((n,), dtype)
     invd_l = to_layout(invd_flat)
@@ -178,8 +186,8 @@ def fused_dia_cg(d, b: jnp.ndarray, x0=None, *, tol: float = 1e-6,
     smem2_out = pl.BlockSpec((1, 2), lambda i: (0, 0),
                              memory_space=pltpu.SMEM)
     vshape = jax.ShapeDtypeStruct((nx8, total), dtype)
-    s1 = jax.ShapeDtypeStruct((1, 1), dtype)
-    s2 = jax.ShapeDtypeStruct((1, 2), dtype)
+    s1 = jax.ShapeDtypeStruct((1, 1), jnp.float32)
+    s2 = jax.ShapeDtypeStruct((1, 2), jnp.float32)
 
     kernel_a = partial(_kernel_a, nz=nz, bl=bl, sl=sl)
 
@@ -219,22 +227,21 @@ def fused_dia_cg(d, b: jnp.ndarray, x0=None, *, tol: float = 1e-6,
         )(dots, rz, r, p, invd_l)
 
     b_l = to_layout(b)
-    bb = jnp.sum(b_l * b_l)
+    bb = jnp.sum((b_l * b_l).astype(jnp.float32))
     if x0 is None:
         x_l = jnp.zeros_like(b_l)
         r_l = b_l
     else:
         x_l = to_layout(x0)
         q0, _ = call_a(x_l)
-        mask = to_layout(jnp.ones((n,), dtype))
-        r_l = jnp.where(mask > 0, b_l - q0, 0.0)
+        r_l = to_layout(b - from_layout(q0))
     z0 = invd_l * r_l
-    rz0 = jnp.sum(r_l * z0).reshape(1, 1)
-    rr0 = jnp.sum(r_l * r_l)
-    tol_sq = jnp.maximum(jnp.asarray(tol, dtype) ** 2 * bb,
-                         jnp.asarray(atol, dtype) ** 2)
-    hist0 = (jnp.zeros((maxiter + 1,), dtype).at[0].set(rr0)
-             if track_history else jnp.zeros((0,), dtype))
+    rz0 = jnp.sum((r_l * z0).astype(jnp.float32)).reshape(1, 1)
+    rr0 = jnp.sum((r_l * r_l).astype(jnp.float32))
+    tol_sq = jnp.maximum(jnp.asarray(tol, jnp.float32) ** 2 * bb,
+                         jnp.asarray(atol, jnp.float32) ** 2)
+    hist0 = (jnp.zeros((maxiter + 1,), jnp.float32).at[0].set(rr0)
+             if track_history else jnp.zeros((0,), jnp.float32))
 
     def cond(carry):
         x, r, p, rz, rr, k, hist = carry

@@ -89,9 +89,8 @@ def stencil3d_spmv_pallas(x: jnp.ndarray, *, nx: int, ny: int, nz: int,
     window = -(-(block_rows + 2 * ny) // 8) * 8
     n_blocks = rows_pad // block_rows
     # Padded operand: ny top halo rows + bottom fill so the last block's
-    # window stays in range: length >= (n_blocks - 1) * block_rows + window.
-    op_len = max(rows_pad + window - block_rows,
-                 (n_blocks - 1) * block_rows + window)
+    # window stays in range.
+    op_len = (n_blocks - 1) * block_rows + window
     g = x.reshape(n_rows, nz)
     g = jnp.pad(g, ((ny, op_len - ny - n_rows), (0, nz_pad - nz)))
 

@@ -20,7 +20,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-__all__ = ["dot", "norm_sq", "norm", "axpy"]
+__all__ = ["dot", "norm_sq", "norm", "axpy", "safe_recip"]
 
 
 def dot(a: jnp.ndarray, b: jnp.ndarray,
@@ -47,3 +47,14 @@ def norm(a: jnp.ndarray, axis_name: Optional[str] = None) -> jnp.ndarray:
 def axpy(alpha: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     """``alpha * x + y`` — written for XLA to fuse into its consumer."""
     return alpha * x + y
+
+
+def safe_recip(d: jnp.ndarray) -> jnp.ndarray:
+    """Elementwise ``1/d`` with zeros mapped to zero (not inf).
+
+    The shared zero-diagonal policy for Jacobi-type preconditioners: zero
+    diagonal entries (padding rows from shard/tile equalization) leave
+    their components untouched.
+    """
+    return jnp.where(d != 0, 1.0 / jnp.where(d != 0, d, 1.0),
+                     jnp.zeros_like(d))

@@ -54,14 +54,15 @@ def auto_solve(
             a, b, x0, tol=tol, atol=atol, maxiter=mi,
             track_history=track_history)
     # Variable-coefficient 7-point DIA: fused path covers plain CG and
-    # operator-diagonal Jacobi (a JacobiPrecond is assumed to be
-    # from_matrix(a) — the only self-consistent choice).
+    # Jacobi (the caller's JacobiPrecond.inv_diag is passed through, so a
+    # custom diagonal keeps its exact trajectory).
     jac = isinstance(preconditioner, JacobiPrecond)
     if (on_tpu and (preconditioner is None or jac)
             and fdc.supports_dia(a) and n >= FUSED_MIN_ROWS):
         return fdc.fused_dia_cg(
-            a, b, x0, tol=tol, atol=atol, jacobi=jac, maxiter=mi,
-            track_history=track_history)
+            a, b, x0, tol=tol, atol=atol, jacobi=jac,
+            inv_diag=preconditioner.inv_diag if jac else None,
+            maxiter=mi, track_history=track_history)
     if padded_length(n) != n:
         return cg_solve_padded(a, b, x0, tol=tol, atol=atol,
                                maxiter=maxiter,

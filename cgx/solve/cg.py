@@ -223,7 +223,10 @@ def _make_cond_body(matvec, apply_m, axis_name, maxiter, tol_sq,
         beta = rz / s.rz
         p = z + beta * s.p
         if track_history:
-            hist = s.history.at[s.k + 1].set(rr)
+            # Saturate at the last slot rather than silently dropping
+            # out-of-bounds writes (cg_chunk may run past the buffer).
+            idx = jnp.minimum(s.k + 1, s.history.shape[0] - 1)
+            hist = s.history.at[idx].set(rr)
         else:
             hist = s.history
         return CGState(x=x, r=r, z=z, p=p, rz=rz, rr=rr, k=s.k + 1,
@@ -328,6 +331,11 @@ def cg_chunk(
     returned state, repeat; the trajectory is identical to one uninterrupted
     :func:`cg_solve`.  Pass ``b`` with a nonzero ``tol`` to stop early
     inside the chunk (relative tolerance needs ‖b‖).  Jittable.
+
+    History note: the residual history buffer is sized at :func:`cg_init`
+    (``history_len``); once the cumulative iteration count reaches the
+    buffer end, further entries overwrite the last slot (saturate) rather
+    than being silently dropped.
     """
     matvec = as_matvec(a)
     apply_m = _as_apply(preconditioner)

@@ -33,12 +33,19 @@ __all__ = ["ic0_factor", "IC0Precond"]
 
 
 def _tril_pattern(a):
-    """Lower-triangular (diag-inclusive) CSR pattern of ``a``, vectorized."""
+    """Lower-triangular (diag-inclusive) CSR pattern of ``a``, vectorized.
+
+    Entries are (row, col)-sorted here — the factorization and level
+    scheduler rely on ascending columns with the diagonal last in each
+    row, and ``CSRMatrix.from_arrays`` does not guarantee sorted input.
+    """
     vals = np.asarray(a.values, dtype=np.float64)
     cols = np.asarray(a.col_indices).astype(np.int64)
     indptr = np.asarray(a.indptr).astype(np.int64)
     n = a.shape[0]
     rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+    order = np.lexsort((cols, rows))
+    rows, cols, vals = rows[order], cols[order], vals[order]
     keep = cols <= rows
     l_vals = vals[keep]
     l_cols = cols[keep].astype(np.int32)

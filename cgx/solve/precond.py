@@ -41,10 +41,8 @@ class JacobiPrecond:
 
     @classmethod
     def from_matrix(cls, a) -> "JacobiPrecond":
-        d = a.diagonal()
-        inv = jnp.where(d != 0, 1.0 / jnp.where(d != 0, d, 1.0),
-                        jnp.zeros_like(d))
-        return cls(inv_diag=inv)
+        from cgx.ops.blas import safe_recip
+        return cls(inv_diag=safe_recip(a.diagonal()))
 
     def apply(self, r: jnp.ndarray) -> jnp.ndarray:
         return self.inv_diag * r
@@ -137,10 +135,8 @@ class PolynomialPrecond:
     @classmethod
     def from_matrix(cls, a, steps: int = 3,
                     omega: float = 2.0 / 3.0) -> "PolynomialPrecond":
-        d = a.diagonal()
-        inv = jnp.where(d != 0, 1.0 / jnp.where(d != 0, d, 1.0),
-                        jnp.zeros_like(d))
-        return cls(a, inv, steps=steps, omega=omega)
+        from cgx.ops.blas import safe_recip
+        return cls(a, safe_recip(a.diagonal()), steps=steps, omega=omega)
 
     def apply(self, r: jnp.ndarray) -> jnp.ndarray:
         z = self.omega * self.inv_diag * r
