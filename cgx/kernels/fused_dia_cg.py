@@ -32,7 +32,8 @@ import numpy as np
 
 from cgx.solve.cg import CGResult
 
-__all__ = ["fused_dia_cg", "supports_dia", "dia_pattern_dims"]
+__all__ = ["fused_dia_cg", "supports_dia", "dia_pattern_dims",
+           "wrap_entries_zero"]
 
 
 def dia_pattern_dims(d) -> Optional[Tuple[int, int, int]]:
@@ -57,6 +58,45 @@ def dia_pattern_dims(d) -> Optional[Tuple[int, int, int]]:
 def supports_dia(d) -> bool:
     dims = dia_pattern_dims(d)
     return dims is not None and 1 <= dims[0] <= 4096
+
+
+def wrap_entries_zero(d) -> bool:
+    """True iff the DIA data is zero at every slot whose flat offset
+    crosses an x-plane boundary — the positions the fused lane-major
+    layout cannot represent.
+
+    The (nx, ny·nz) layout keeps the lane axis contiguous over (y, z), so
+    the ±1 and ±nz lane shifts are exact *within* an x-plane but read the
+    layout's zero padding where the flat index would cross into the next
+    x-plane: offset +1 at (x, ny-1, nz-1), offset -1 at (x, 0, 0), offset
+    +nz anywhere in the j == ny-1 plane, offset -nz in j == 0.  A banded
+    matrix with nonzero entries there is a *different operator* under the
+    fused kernel than under the generic ``_dia_spmv``; callers must check
+    this before routing (``auto_solve`` does).
+
+    Requires concrete (non-traced) data; raises ``ValueError`` on a
+    tracer because the check is inherently data-dependent.
+    """
+    dims = dia_pattern_dims(d)
+    if dims is None:
+        return False
+    if isinstance(d.data, jax.core.Tracer):
+        raise ValueError(
+            "wrap_entries_zero needs concrete DIA data (got a tracer); "
+            "check before jit, or call fused_dia_cg directly if the "
+            "operator is known to have zero x-plane-crossing entries")
+    nx, ny, nz = dims
+
+    def grid(k):
+        return d.data[k].reshape(nx, ny, nz)
+
+    # Slots where the flat offset crosses an x-plane (in-range only; slots
+    # whose flat target falls outside the matrix are ignored either way).
+    s = (jnp.sum(jnp.abs(grid(4)[:nx - 1, ny - 1, nz - 1]))   # +1
+         + jnp.sum(jnp.abs(grid(2)[1:, 0, 0]))                # -1
+         + jnp.sum(jnp.abs(grid(5)[:nx - 1, ny - 1, :]))      # +nz
+         + jnp.sum(jnp.abs(grid(1)[1:, 0, :])))               # -nz
+    return bool(s == 0)
 
 
 # Smaller blocks than the stencil kernel: kernel A pipelines the (7, nx8,
@@ -148,6 +188,15 @@ def fused_dia_cg(d, b: jnp.ndarray, x0=None, *, tol: float = 1e-6,
     if dims is None or not supports_dia(d):
         raise ValueError("fused_dia_cg: operator lacks the 3-D 7-point "
                          "DIA pattern (or nx > 4096)")
+    # The lane layout drops contributions at x-plane-crossing slots (see
+    # wrap_entries_zero).  Verify when the data is concrete; under jit the
+    # caller is responsible (auto_solve checks before routing here).
+    if not isinstance(d.data, jax.core.Tracer) and not wrap_entries_zero(d):
+        raise ValueError(
+            "fused_dia_cg: DIA data has nonzero entries at x-plane-"
+            "crossing slots (offsets ±1 at the j/k-extremes, ±nz in the "
+            "j-boundary planes); the fused layout would silently drop "
+            "them — use cg_solve instead")
     nx, ny, nz = dims
     n = d.shape[0]
     nx8, l_real, sl, bl, l_pad, total = _geometry(nx, ny, nz)

@@ -86,7 +86,8 @@ def parse_legacy(path: str):
         return None
     h = l.cgx_parse_legacy(path.encode())
     if not h:
-        raise IOError(f"cgx_parse_legacy: cannot read {path!r}")
+        raise IOError(f"cgx_parse_legacy: cannot read or parse {path!r} "
+                      "(I/O failure or non-numeric token)")
     try:
         nnz = ctypes.c_int64()
         nrp = ctypes.c_int64()

@@ -28,13 +28,18 @@ struct Parsed {
 };
 
 // Scan one comma/newline-separated line of numbers.  Returns the pointer
-// one past the terminating '\n' (or end).
+// one past the terminating '\n' (or end); nullptr on a malformed token.
+// The buffer MUST carry a '\0' sentinel at `end` (strtol/strtod read past
+// `end` otherwise), and a token the converter can't consume at all
+// (next == p) is a parse error — pushing and retrying would loop forever.
 template <typename T, typename Conv>
 const char* scan_line(const char* p, const char* end, std::vector<T>* out,
                       Conv conv) {
   while (p < end && *p != '\n') {
     char* next = nullptr;
-    out->push_back(conv(p, &next));
+    T v = conv(p, &next);
+    if (next == p) return nullptr;  // non-numeric token: parse error
+    out->push_back(v);
     p = next;
     while (p < end && (*p == ',' || *p == ' ' || *p == '\r')) ++p;
   }
@@ -53,10 +58,13 @@ void* cgx_parse_legacy(const char* path) {
   std::fseek(f, 0, SEEK_END);
   long size = std::ftell(f);
   std::fseek(f, 0, SEEK_SET);
-  std::vector<char> buf(static_cast<size_t>(size));
+  // +1 for a '\0' sentinel: strtol/strtod need a terminated buffer (a
+  // file not ending in whitespace would otherwise over-read the heap).
+  std::vector<char> buf(static_cast<size_t>(size) + 1);
   size_t got = size ? std::fread(buf.data(), 1, size, f) : 0;
   std::fclose(f);
   if (static_cast<long>(got) != size) return nullptr;
+  buf[static_cast<size_t>(size)] = '\0';
 
   auto* out = new Parsed();
   const char* p = buf.data();
@@ -64,13 +72,23 @@ void* cgx_parse_legacy(const char* path) {
   p = scan_line(p, end, &out->col_indices, [](const char* s, char** e) {
     return static_cast<int32_t>(std::strtol(s, e, 10));
   });
-  p = scan_line(p, end, &out->row_ptr, [](const char* s, char** e) {
-    return static_cast<int32_t>(std::strtol(s, e, 10));
-  });
-  p = scan_line(p, end, &out->a_values,
-                [](const char* s, char** e) { return std::strtod(s, e); });
-  scan_line(p, end, &out->b_values,
-            [](const char* s, char** e) { return std::strtod(s, e); });
+  if (p) {
+    p = scan_line(p, end, &out->row_ptr, [](const char* s, char** e) {
+      return static_cast<int32_t>(std::strtol(s, e, 10));
+    });
+  }
+  if (p) {
+    p = scan_line(p, end, &out->a_values,
+                  [](const char* s, char** e) { return std::strtod(s, e); });
+  }
+  if (p) {
+    p = scan_line(p, end, &out->b_values,
+                  [](const char* s, char** e) { return std::strtod(s, e); });
+  }
+  if (!p) {  // malformed input: report as failure, don't return junk
+    delete out;
+    return nullptr;
+  }
   return out;
 }
 

@@ -57,8 +57,20 @@ def auto_solve(
     # Jacobi (the caller's JacobiPrecond.inv_diag is passed through, so a
     # custom diagonal keeps its exact trajectory).
     jac = isinstance(preconditioner, JacobiPrecond)
-    if (on_tpu and (preconditioner is None or jac)
-            and fdc.supports_dia(a) and n >= FUSED_MIN_ROWS):
+    # Routing to the fused DIA path additionally requires zero entries at
+    # every x-plane-crossing slot (the lane layout drops those — see
+    # fused_dia_cg.wrap_entries_zero).  The check is data-dependent, so
+    # under jit (traced data) we conservatively fall back to the XLA path;
+    # callers who know their operator is wrap-free can call fused_dia_cg
+    # directly inside jit.
+    def _dia_ok(d):
+        if not (fdc.supports_dia(d) and n >= FUSED_MIN_ROWS):
+            return False
+        if isinstance(d.data, jax.core.Tracer):
+            return False
+        return fdc.wrap_entries_zero(d)
+
+    if on_tpu and (preconditioner is None or jac) and _dia_ok(a):
         return fdc.fused_dia_cg(
             a, b, x0, tol=tol, atol=atol, jacobi=jac,
             inv_diag=preconditioner.inv_diag if jac else None,

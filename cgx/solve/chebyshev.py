@@ -88,6 +88,14 @@ def chebyshev_solve(
 
     theta = (jnp.asarray(lam_max, dtype) + jnp.asarray(lam_min, dtype)) / 2
     delta = (jnp.asarray(lam_max, dtype) - jnp.asarray(lam_min, dtype)) / 2
+    # Guard the degenerate / collapsed-bounds case (lam_min == lam_max is a
+    # legal single-point spectrum, e.g. A = c·I; a bad estimate can also
+    # collapse the interval): clamp delta away from zero relative to theta
+    # so sigma1 stays finite.  With a point spectrum the first step
+    # x += z/theta is exact, r becomes 0 and the delta-scaled term never
+    # contributes, so the clamp does not perturb that trajectory.
+    eps = jnp.asarray(jnp.finfo(dtype).eps, dtype)
+    delta = jnp.maximum(delta, eps * jnp.maximum(jnp.abs(theta), eps))
     sigma1 = theta / delta
 
     bb = blas.norm_sq(b, axis_name)

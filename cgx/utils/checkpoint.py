@@ -82,20 +82,21 @@ def cg_solve_checkpointed(
     from cgx.solve.cg import _tol_sq
     tol_sq = _tol_sq(tol, atol, b, None)
 
-    from functools import partial
-
     # NOTE on donation (SURVEY.md §2.1 #2): the initial state aliases b
     # (r0 = z0 = p0 = b when x0 is None), so donate_argnums=1 would donate
     # one buffer several times; XLA's while_loop already updates the carried
     # state in place inside each chunk, which is where the traffic is.
-    @partial(jax.jit, static_argnums=3)
-    def step(a, s, b, iters):
+    # `a` is closed over (it may be a matvec callable — not a JAX type) and
+    # `iters` is traced (only the while_loop cond uses it), so every chunk —
+    # including a short final one — reuses one compilation.
+    @jax.jit
+    def step(s, b, iters):
         return cg_chunk(a, s, iters, b=b, tol=tol, atol=atol,
                         preconditioner=preconditioner)
 
     while int(state.k) < maxiter and float(state.rr) > float(tol_sq):
         iters = min(chunk, maxiter - int(state.k))
-        state = jax.block_until_ready(step(a, state, b, iters))
+        state = jax.block_until_ready(step(state, b, jnp.int32(iters)))
         if checkpoint_path:
             save_state(checkpoint_path, state)
         if on_chunk is not None:

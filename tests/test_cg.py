@@ -382,3 +382,17 @@ def test_chebyshev_preconditioned(rng):
     res = chebyshev_solve(s_mat, jnp.ones(n), 0.074 / 4, 8.0 / 4,
                           tol=1e-8, maxiter=5000, preconditioner=m)
     assert bool(res.converged)
+
+
+def test_chebyshev_degenerate_point_spectrum(rng):
+    """lam_min == lam_max (A = c*I) must not divide by zero (ADVICE r1):
+    the first step is exact and the solve converges without NaNs."""
+    from cgx.solve.chebyshev import chebyshev_solve
+    n = 64
+    c = 3.0
+    b = jnp.asarray(rng.standard_normal(n))
+    res = chebyshev_solve(lambda v: c * v, b, c, c, tol=1e-10, maxiter=50)
+    assert bool(res.converged)
+    assert np.all(np.isfinite(np.asarray(res.x)))
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(b) / c,
+                               rtol=1e-12)

@@ -90,3 +90,22 @@ def test_chunk_early_exit_on_tol(rng):
     state = cg_chunk(a, state, 1000, b=b, tol=1e-10)
     ref = cg_solve(a, b, tol=1e-10, maxiter=1000)
     assert int(state.k) == int(ref.iterations)
+
+
+def test_checkpointed_accepts_callable_matvec(rng):
+    """`a` may be a matvec closure (not a JAX type): it must be closed
+    over, not traced (ADVICE r1 TypeError at the first chunk)."""
+    from conftest import random_spd_csr
+    from cgx.sparse.types import csr_from_scipy
+    from cgx.ops.spmv import spmv
+    from cgx.utils.checkpoint import cg_solve_checkpointed
+    import cgx
+
+    a = csr_from_scipy(random_spd_csr(60, 0.1, rng))
+    b = jnp.asarray(rng.standard_normal(60))
+    res = cg_solve_checkpointed(lambda v: spmv(a, v), b, tol=1e-10,
+                                chunk=7, maxiter=200)
+    ref = cgx.cg_solve(a, b, tol=1e-10, maxiter=200)
+    assert bool(res.converged)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                               rtol=1e-10, atol=1e-12)

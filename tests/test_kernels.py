@@ -198,3 +198,43 @@ def test_fused_dia_cg_x0(rng):
     assert abs(int(res.iterations) - int(ref.iterations)) <= 2
     np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
                                rtol=5e-3, atol=5e-4)
+
+
+def test_fused_dia_wrap_entries_rejected(rng):
+    """A 7-point-pattern DIA matrix with nonzero x-plane-crossing entries
+    is a DIFFERENT operator under the fused lane layout (ADVICE r1): the
+    check must detect it and fused_dia_cg must refuse to run."""
+    from cgx.kernels.fused_dia_cg import (fused_dia_cg, supports_dia,
+                                          wrap_entries_zero)
+    from cgx.io.poisson import poisson3d_dia
+    from cgx.sparse.types import DIAMatrix
+
+    clean = poisson3d_dia(4, 5, 6)
+    assert wrap_entries_zero(clean)
+
+    # Inject a nonzero at an x-plane-crossing slot of offset +1:
+    # position (x=1, j=ny-1, k=nz-1) -> flat 1*30 + 4*6 + 5 = 59.
+    data = np.asarray(clean.data).copy()
+    data[4, 59] = 1.0
+    data[2, 60] = 1.0  # keep it symmetric (offset -1 at (2, 0, 0))
+    dirty = DIAMatrix(data=jnp.asarray(data), offsets=clean.offsets,
+                      shape=clean.shape)
+    assert supports_dia(dirty)          # pattern alone still matches
+    assert not wrap_entries_zero(dirty)
+    b = jnp.asarray(rng.standard_normal(120), jnp.float32)
+    with pytest.raises(ValueError, match="x-plane"):
+        fused_dia_cg(dirty.astype(jnp.float32), b, interpret=True)
+
+
+def test_fused_dia_wrap_entries_offset_nz(rng):
+    from cgx.kernels.fused_dia_cg import wrap_entries_zero
+    from cgx.io.poisson import poisson3d_dia
+    from cgx.sparse.types import DIAMatrix
+
+    clean = poisson3d_dia(4, 5, 6)
+    # offset +nz entry inside the j == ny-1 plane: (x=0, j=4, k=2) -> 26.
+    data = np.asarray(clean.data).copy()
+    data[5, 26] = 0.5
+    dirty = DIAMatrix(data=jnp.asarray(data), offsets=clean.offsets,
+                      shape=clean.shape)
+    assert not wrap_entries_zero(dirty)

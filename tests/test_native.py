@@ -61,3 +61,26 @@ def test_native_ic0_levels_match_python_schedule(rng):
     _, levels = ic0_factor_native(lp, lc, lv)
     ref = _level_schedule(lc, lp, a.shape[0])
     np.testing.assert_array_equal(levels, ref)
+
+
+@pytest.mark.skipif(not HAVE_NATIVE, reason="no native toolchain")
+def test_native_parser_no_trailing_newline(tmp_path):
+    """File not ending in whitespace: the '\\0' sentinel keeps strtod in
+    bounds (ADVICE r1 heap over-read)."""
+    p = tmp_path / "in.txt"
+    p.write_text("0,1\n0,1,2\n2.0,3.0\n1.5,2.5")  # no final newline
+    cols, rp, av, bv = parse_legacy(str(p))
+    np.testing.assert_array_equal(cols, [0, 1])
+    np.testing.assert_array_equal(rp, [0, 1, 2])
+    np.testing.assert_allclose(av, [2.0, 3.0])
+    np.testing.assert_allclose(bv, [1.5, 2.5])
+
+
+@pytest.mark.skipif(not HAVE_NATIVE, reason="no native toolchain")
+def test_native_parser_malformed_token(tmp_path):
+    """A non-numeric token is a clean error, not an infinite loop
+    (ADVICE r1: strtol returning next == p never advanced)."""
+    p = tmp_path / "bad.txt"
+    p.write_text("0,xyz,2\n0,1,2\n2.0,3.0\n1.5,2.5\n")
+    with pytest.raises(IOError):
+        parse_legacy(str(p))
