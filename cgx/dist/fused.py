@@ -1,0 +1,199 @@
+"""Distributed fused CG: the two-pass Pallas engine under ``shard_map``.
+
+Round 1's two strongest assets — the fused Pallas iteration and the
+row-sharded SPMD solver — composed: the mesh shards the grid's x-planes
+(``P("rows")`` on the flat vectors, contiguous x-plane blocks per device),
+each device runs the identical fused kernels on its local layout, the
+engine's embedded halo rows are filled by a two-row ``ppermute`` per
+iteration, and the two fused dot pairs become two ``psum`` s — the same
+cross-chip sync structure as the XLA path
+(:func:`cgx.dist.solve.dist_cg_solve`), at the fused path's per-pass
+streaming cost.  This is the north-star config-5 shape (10 M-row 3-D
+Poisson across a slice, SURVEY.md §2.2 CP row); it plays the role MPI
+would have in the reference's assignment series (Makefile:20-30).
+
+Constraints: ``nx % n_devices == 0`` (whole x-planes per shard) and a
+fused-capable operator (:func:`cgx.kernels.fused_cg.supports` or a 7-point
+DIA passing :func:`cgx.kernels.fused_dia_cg.wrap_entries_zero`).
+"""
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from cgx.dist.solve import AXIS
+from cgx.kernels import fused_cg as _fc
+# Name imports (not the module): the kernels package __init__ re-exports a
+# FUNCTION named fused_dia_cg that shadows the submodule attribute.
+from cgx.kernels.fused_dia_cg import (build_fused_dia, dia_pattern_dims,
+                                      supports_dia, wrap_entries_zero)
+from cgx.kernels.fused_engine import FusedCG, make_geometry
+from cgx.solve.cg import CGResult
+
+__all__ = ["dist_fused_cg", "dist_fused_supported"]
+
+
+def _mesh_size(mesh: Mesh) -> int:
+    return mesh.devices.size
+
+
+def _interpret_default(mesh: Mesh) -> bool:
+    return next(iter(mesh.devices.flat)).platform != "tpu"
+
+
+def dist_fused_supported(a, mesh: Mesh) -> bool:
+    """Whether ``dist_fused_cg`` can run ``a`` on ``mesh``."""
+    nd = _mesh_size(mesh)
+    spec = _fc.stencil_taps(a)
+    if spec is not None and _fc.supports(a):
+        return spec[0] % nd == 0
+    if supports_dia(a):
+        nx = dia_pattern_dims(a)[0]
+        return (nx % nd == 0
+                and not isinstance(a.data, jax.core.Tracer)
+                and wrap_entries_zero(a))
+    return False
+
+
+def dist_fused_cg(
+    a,
+    b: jnp.ndarray,
+    mesh: Mesh,
+    *,
+    x0: Optional[jnp.ndarray] = None,
+    tol: float = 1e-6,
+    atol: float = 0.0,
+    maxiter: Optional[int] = None,
+    jacobi: bool = False,
+    track_history: bool = False,
+    interpret: Optional[bool] = None,
+) -> CGResult:
+    """Row-sharded fused CG over ``mesh``; semantics of
+    :func:`cgx.solve.cg.cg_solve` (``jacobi=True`` = Jacobi PCG, DIA
+    operators only).
+
+    ``b``/``x0`` are global vectors (host or device); the returned
+    :class:`CGResult` carries the global solution.
+    """
+    n = a.shape[0]
+    if maxiter is None:
+        maxiter = n
+    if interpret is None:
+        interpret = _interpret_default(mesh)
+    nd = _mesh_size(mesh)
+    vec = NamedSharding(mesh, P(AXIS))
+
+    spec = _fc.stencil_taps(a)
+    if spec is not None:
+        if jacobi:
+            raise ValueError("jacobi=True needs a DIA operator (constant-"
+                             "diagonal stencils: Jacobi is an exact "
+                             "rescaling — plain CG IS the PCG path)")
+        if spec[0] % nd:
+            raise ValueError(f"nx={spec[0]} not divisible by mesh size {nd}")
+        f = _cached_stencil_solver(mesh, a, b.dtype.name, float(tol),
+                                   float(atol), int(maxiter),
+                                   bool(track_history), x0 is not None,
+                                   bool(interpret))
+        args = [jax.device_put(b, vec)]
+        if x0 is not None:
+            args.append(jax.device_put(x0, vec))
+        return f(*args)
+
+    if not supports_dia(a):
+        raise ValueError("dist_fused_cg: unsupported operator (need a "
+                         "fused-capable stencil or 7-point DIA)")
+    if not isinstance(a.data, jax.core.Tracer) and not wrap_entries_zero(a):
+        raise ValueError("dist_fused_cg: DIA data has nonzero x-plane-"
+                         "crossing entries — use dist_cg_solve instead")
+    nx = dia_pattern_dims(a)[0]
+    if nx % nd:
+        raise ValueError(f"nx={nx} not divisible by mesh size {nd}")
+
+    geom, e, planes, weight = build_fused_dia(
+        a, b.dtype, jacobi=jacobi, n_shards=nd)
+    f = _cached_dia_solver(mesh, geom, b.dtype.name, float(tol), float(atol),
+                           int(maxiter), bool(track_history), x0 is not None,
+                           e is not None, bool(interpret))
+    mat = NamedSharding(mesh, P(None, AXIS))
+    args = [jax.device_put(planes, mat), jax.device_put(b, vec)]
+    if e is not None:
+        args.append(jax.device_put(e, vec))
+        args.append(jax.device_put(weight, vec))
+    if x0 is not None:
+        args.append(jax.device_put(x0, vec))
+    return f(*args)
+
+
+def _result_specs():
+    return CGResult(x=P(AXIS), iterations=P(), residual_norm_sq=P(),
+                    converged=P(), history=P())
+
+
+@lru_cache(maxsize=64)
+def _cached_stencil_solver(mesh, s, dtype_name, tol, atol, maxiter, track,
+                           has_x0, interpret):
+    nx, ny, nz, taps, coeffs = _fc.stencil_taps(s)
+    nd = _mesh_size(mesh)
+    geom = make_geometry(nx, ny, nz, taps, n_shards=nd)
+    dtype = jnp.dtype(dtype_name)
+
+    def local(b_loc, *x0_loc):
+        eng = FusedCG(geom, dtype=dtype, coeffs=coeffs, axis_name=AXIS,
+                      interpret=interpret)
+        return eng.solve(b_loc, x0_loc[0] if x0_loc else None, tol=tol,
+                         atol=atol, maxiter=maxiter, track_history=track)
+
+    in_specs = (P(AXIS),) + ((P(AXIS),) if has_x0 else ())
+    # check_vma=False: Pallas scratch buffers in interpret mode trip the
+    # varying-axes checker inside shard_map (JAX limitation; the suggested
+    # workaround).  Sharding correctness is covered by the trajectory-
+    # identity and HLO-inspection tests.
+    return jax.jit(jax.shard_map(local, mesh=mesh, in_specs=in_specs,
+                                 out_specs=_result_specs(),
+                                 check_vma=False))
+
+
+@lru_cache(maxsize=64)
+def _cached_dia_solver(mesh, geom, dtype_name, tol, atol, maxiter, track,
+                       has_x0, scaled, interpret):
+    import dataclasses as _dc
+
+    dtype = jnp.dtype(dtype_name)
+
+    def local(planes_loc, b_loc, *rest):
+        rest = list(rest)
+        if scaled:
+            e_loc = rest.pop(0)
+            w_loc = rest.pop(0)
+        else:
+            e_loc = w_loc = None
+        x0_loc = rest.pop(0) if rest else None
+        eng = FusedCG(geom, dtype=dtype, planes=planes_loc, weight=w_loc,
+                      axis_name=AXIS, interpret=interpret)
+        if e_loc is not None:
+            b_s = e_loc * b_loc
+            if x0_loc is not None:
+                x0_loc = jnp.where(e_loc > 0,
+                                   x0_loc / jnp.where(e_loc > 0, e_loc, 1.0),
+                                   0.0)
+        else:
+            b_s = b_loc
+        res = eng.solve(b_s, x0_loc, tol=tol, atol=atol, maxiter=maxiter,
+                        track_history=track)
+        if e_loc is not None:
+            res = _dc.replace(res, x=e_loc * res.x)
+        return res
+
+    in_specs = (P(None, AXIS), P(AXIS))
+    if scaled:
+        in_specs = in_specs + (P(AXIS), P(AXIS))
+    if has_x0:
+        in_specs = in_specs + (P(AXIS),)
+    return jax.jit(jax.shard_map(local, mesh=mesh, in_specs=in_specs,
+                                 out_specs=_result_specs(),
+                                 check_vma=False))

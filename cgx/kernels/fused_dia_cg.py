@@ -1,39 +1,31 @@
-"""Fused (P)CG iteration for variable-coefficient 7-point DIA operators.
+"""Fused (P)CG for variable-coefficient 7-point DIA operators.
 
-Extends :mod:`cgx.kernels.fused_cg` (constant-coefficient stencils) to
-:class:`~cgx.sparse.types.DIAMatrix` operators whose offsets form the 3-D
-7-point pattern ``(-ny·nz, -nz, -1, 0, 1, nz, ny·nz)`` — i.e. Poisson-type
-problems with spatially varying coefficients, where Jacobi preconditioning
-genuinely changes the trajectory (the diagonal is no longer a scalar).
+Thin wrapper over the unified two-pass engine
+(:mod:`cgx.kernels.fused_engine`).  Jacobi preconditioning is applied as a
+one-time symmetric diagonal scaling ``Ã = E A E`` with ``E = diag(√(d⁻¹))``
+— exactly Jacobi-PCG in exact arithmetic (the classic transform) — so the
+hot loop is always *plain* fused CG: the scaled coefficient planes stream
+through kernel A, and kernel B accumulates the true (unscaled) residual
+norm with the per-row weight ``w = diag(A)`` so the convergence test and
+history match ``cg_solve(d, b, preconditioner=JacobiPrecond...)``.
 
-Same three passes per iteration, same lane-major ``(nx, ny·nz)`` layout;
-differences from the stencil version:
-
-* kernel A streams the 7 coefficient planes alongside the iterate window
-  (row-aligned DIA convention ``data[k, i] = A[i, i + off_k]`` means the
-  coefficient is read at the *output* row — regular BlockSpec pipelining,
-  no halos on the data);
-* boundary handling needs NO masks at all — the DIA data is already zero
-  where a neighbour falls outside the grid, and the layout's zero padding
-  covers the rest;
-* optional Jacobi: kernel B computes ``z = D⁻¹ r`` on the fly and
-  accumulates both ``r·z`` (for β) and ``r·r`` (for the convergence test);
-  kernel C recomputes ``z`` from ``r`` (one extra stream, no extra
-  buffer).
+Layout constraint (unchanged from round 1): the lane-major layout drops
+contributions at x-plane-crossing slots, so the data must be zero there —
+see :func:`wrap_entries_zero`.  ``auto_solve`` checks before routing.
 """
 from __future__ import annotations
 
-from functools import partial
+import dataclasses
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
+from cgx.kernels.fused_engine import FusedCG, make_geometry
 from cgx.solve.cg import CGResult
 
 __all__ = ["fused_dia_cg", "supports_dia", "dia_pattern_dims",
-           "wrap_entries_zero"]
+           "wrap_entries_zero", "build_fused_dia"]
 
 
 def dia_pattern_dims(d) -> Optional[Tuple[int, int, int]]:
@@ -99,73 +91,64 @@ def wrap_entries_zero(d) -> bool:
     return bool(s == 0)
 
 
-# Smaller blocks than the stencil kernel: kernel A pipelines the (7, nx8,
-# bl) coefficient block double-buffered, so VMEM holds ~2*7 + ~4 block
-# copies — 256 KB blocks keep that under the 16 MB budget.
-def _geometry(nx, ny, nz, target_block_bytes=1 << 18):
-    nx8 = -(-nx // 8) * 8
-    l_real = ny * nz
-    sl = -(-nz // 128) * 128
-    bl = max(sl, (target_block_bytes // (nx8 * 4) // 128) * 128)
-    l_pad = -(-l_real // bl) * bl
-    total = l_pad + 2 * bl
-    return nx8, l_real, sl, bl, l_pad, total
+# Offset order (-o3, -o2, -1, 0, 1, o2, o3) in engine tap convention.
+_DIA_TAPS = ((-1, 0, 0), (0, -1, 0), (0, 0, -1), (0, 0, 0), (0, 0, 1),
+             (0, 1, 0), (1, 0, 0))
 
 
-def _kernel_a(p_hbm, data_ref, q_ref, pq_ref, scratch, sem, *, nz, bl, sl):
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
+def _scaled_planes(d, e: jnp.ndarray, dtype) -> jnp.ndarray:
+    """Symmetrically scaled coefficient planes: data'[t][i] =
+    e[i]·data[t][i]·e[i+off] (row-aligned convention)."""
+    from cgx.ops.spmv import shifted
 
-    j = pl.program_id(0)
-    start = (bl - sl) + j * bl
-    cp = pltpu.make_async_copy(p_hbm.at[:, pl.ds(start, bl + 2 * sl)],
-                               scratch, sem)
-    cp.start()
-    cp.wait()
-
-    w = scratch[...]                       # (nx8, bl + 2*sl)
-    g = w[:, sl:sl + bl]
-    d = data_ref[...]                      # (7, nx8, bl)
-    y = d[3] * g
-    y = y + d[4] * w[:, sl + 1:sl + 1 + bl]
-    y = y + d[2] * w[:, sl - 1:sl - 1 + bl]
-    y = y + d[5] * w[:, sl + nz:sl + nz + bl]
-    y = y + d[1] * w[:, sl - nz:sl - nz + bl]
-    y = y + d[6] * jnp.pad(g[1:, :], ((0, 1), (0, 0)))
-    y = y + d[0] * jnp.pad(g[:-1, :], ((1, 0), (0, 0)))
-    q_ref[...] = y
-
-    @pl.when(j == 0)
-    def _():
-        pq_ref[0, 0] = 0.0
-
-    # fp32 accumulation regardless of the vector dtype.
-    pq_ref[0, 0] += jnp.sum((y * g).astype(jnp.float32))
+    out = []
+    for t, off in enumerate(d.offsets):
+        plane = d.data[t].astype(dtype)
+        out.append(e * plane * shifted(e, off))
+    return jnp.stack(out)
 
 
-def _kernel_b(rz_ref, pq_ref, x_ref, r_ref, p_ref, q_ref, invd_ref, x_out,
-              r_out, dots_ref):
-    from jax.experimental import pallas as pl
+def build_fused_dia(d, dtype, *, jacobi: bool = True, inv_diag=None,
+                    n_shards: int = 1, axis_name: Optional[str] = None,
+                    interpret: bool = False):
+    """``(engine, e, planes)`` for a 7-point DIA operator.
 
-    i = pl.program_id(0)
-    alpha = (rz_ref[0, 0] / pq_ref[0, 0]).astype(x_ref.dtype)
-    x_out[...] = x_ref[...] + alpha * p_ref[...]
-    r_new = r_ref[...] - alpha * q_ref[...]
-    r_out[...] = r_new
-    z = invd_ref[...] * r_new
+    ``e = √(inv_diag)`` is the scaling vector (ones when ``jacobi=False``);
+    the caller solves ``Ã y = e·b`` and recovers ``x = e·y``.  The returned
+    ``planes`` are the *global* scaled planes — shard them (and ``e``)
+    before entering ``shard_map`` for the distributed path.
+    """
+    dims = dia_pattern_dims(d)
+    if dims is None or not supports_dia(d):
+        raise ValueError("fused_dia_cg: operator lacks the 3-D 7-point "
+                         "DIA pattern (or nx > 4096)")
+    nx, ny, nz = dims
+    if inv_diag is not None:
+        invd = jnp.asarray(inv_diag, dtype)
+    elif jacobi:
+        from cgx.ops.blas import safe_recip
+        invd = safe_recip(d.data[3].astype(dtype))
+    else:
+        invd = None
 
-    @pl.when(i == 0)
-    def _():
-        dots_ref[0, 0] = 0.0
-        dots_ref[0, 1] = 0.0
+    geom = make_geometry(nx, ny, nz, _DIA_TAPS, n_shards=n_shards,
+                         target_block_bytes=1 << 18)
+    if invd is None:
+        planes = jnp.stack([d.data[t].astype(dtype)
+                            for t in range(len(d.offsets))])
+        e = None
+        weight = None
+    else:
+        e = jnp.sqrt(invd)
+        planes = _scaled_planes(d, e, dtype)
+        from cgx.ops.blas import safe_recip
+        weight = safe_recip(invd)              # = diag(A) for true ‖r‖²
 
-    dots_ref[0, 0] += jnp.sum((r_new * z).astype(jnp.float32))      # rz'
-    dots_ref[0, 1] += jnp.sum((r_new * r_new).astype(jnp.float32))  # rr'
-
-
-def _kernel_c(dots_ref, rz_ref, r_ref, p_ref, invd_ref, p_out):
-    beta = (dots_ref[0, 0] / rz_ref[0, 0]).astype(p_ref.dtype)
-    p_out[...] = invd_ref[...] * r_ref[...] + beta * p_ref[...]
+    if n_shards == 1:
+        eng = FusedCG(geom, dtype=dtype, planes=planes, weight=weight,
+                      axis_name=axis_name, interpret=interpret)
+        return eng, e, planes
+    return geom, e, planes, weight             # dist path builds per-shard
 
 
 def fused_dia_cg(d, b: jnp.ndarray, x0=None, *, tol: float = 1e-6,
@@ -181,13 +164,6 @@ def fused_dia_cg(d, b: jnp.ndarray, x0=None, *, tol: float = 1e-6,
     operator-derived ``1/diag(A)``) — lets a caller-supplied
     :class:`~cgx.solve.precond.JacobiPrecond` keep its exact trajectory.
     """
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    dims = dia_pattern_dims(d)
-    if dims is None or not supports_dia(d):
-        raise ValueError("fused_dia_cg: operator lacks the 3-D 7-point "
-                         "DIA pattern (or nx > 4096)")
     # The lane layout drops contributions at x-plane-crossing slots (see
     # wrap_entries_zero).  Verify when the data is concrete; under jit the
     # caller is responsible (auto_solve checks before routing here).
@@ -197,120 +173,18 @@ def fused_dia_cg(d, b: jnp.ndarray, x0=None, *, tol: float = 1e-6,
             "crossing slots (offsets ±1 at the j/k-extremes, ±nz in the "
             "j-boundary planes); the fused layout would silently drop "
             "them — use cg_solve instead")
-    nx, ny, nz = dims
-    n = d.shape[0]
-    nx8, l_real, sl, bl, l_pad, total = _geometry(nx, ny, nz)
-    nb = l_pad // bl
+
     dtype = b.dtype
-
-    def to_layout(v):
-        g = v.reshape(nx, l_real)
-        return jnp.pad(g, ((0, nx8 - nx), (bl, total - bl - l_real)))
-
-    def from_layout(g):
-        return g[:nx, bl:bl + l_real].reshape(-1)
-
-    data_l = jnp.stack([to_layout(d.data[k].astype(dtype))
-                        for k in range(7)])          # (7, nx8, total)
-    diag = d.data[3].astype(dtype)
-    if inv_diag is not None:
-        invd_flat = jnp.asarray(inv_diag, dtype)
-    elif jacobi:
-        from cgx.ops.blas import safe_recip
-        invd_flat = safe_recip(diag)
-    else:
-        invd_flat = jnp.ones((n,), dtype)
-    invd_l = to_layout(invd_flat)
-
-    vec_blk = pl.BlockSpec((nx8, bl), lambda i: (0, i + 1),
-                           memory_space=pltpu.VMEM)
-    data_blk = pl.BlockSpec((7, nx8, bl), lambda i: (0, 0, i + 1),
-                            memory_space=pltpu.VMEM)
-    smem_in = pl.BlockSpec((1, 1), lambda i: (0, 0),
-                           memory_space=pltpu.SMEM)
-    smem2_in = pl.BlockSpec((1, 2), lambda i: (0, 0),
-                            memory_space=pltpu.SMEM)
-    smem_out = pl.BlockSpec((1, 1), lambda i: (0, 0),
-                            memory_space=pltpu.SMEM)
-    smem2_out = pl.BlockSpec((1, 2), lambda i: (0, 0),
-                             memory_space=pltpu.SMEM)
-    vshape = jax.ShapeDtypeStruct((nx8, total), dtype)
-    s1 = jax.ShapeDtypeStruct((1, 1), jnp.float32)
-    s2 = jax.ShapeDtypeStruct((1, 2), jnp.float32)
-
-    kernel_a = partial(_kernel_a, nz=nz, bl=bl, sl=sl)
-
-    def call_a(p):
-        return pl.pallas_call(
-            kernel_a,
-            grid=(nb,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY), data_blk],
-            out_specs=(vec_blk, smem_out),
-            out_shape=(vshape, s1),
-            scratch_shapes=[pltpu.VMEM((nx8, bl + 2 * sl), dtype),
-                            pltpu.SemaphoreType.DMA(())],
-            interpret=interpret,
-        )(p, data_l)
-
-    def call_b(rz, pq, x, r, p, q):
-        return pl.pallas_call(
-            _kernel_b,
-            grid=(nb,),
-            in_specs=[smem_in, smem_in, vec_blk, vec_blk, vec_blk,
-                      vec_blk, vec_blk],
-            out_specs=(vec_blk, vec_blk, smem2_out),
-            out_shape=(vshape, vshape, s2),
-            input_output_aliases={2: 0, 3: 1},
-            interpret=interpret,
-        )(rz, pq, x, r, p, q, invd_l)
-
-    def call_c(dots, rz, r, p):
-        return pl.pallas_call(
-            _kernel_c,
-            grid=(nb,),
-            in_specs=[smem2_in, smem_in, vec_blk, vec_blk, vec_blk],
-            out_specs=vec_blk,
-            out_shape=vshape,
-            input_output_aliases={3: 0},
-            interpret=interpret,
-        )(dots, rz, r, p, invd_l)
-
-    b_l = to_layout(b)
-    bb = jnp.sum((b_l * b_l).astype(jnp.float32))
-    if x0 is None:
-        x_l = jnp.zeros_like(b_l)
-        r_l = b_l
-    else:
-        x_l = to_layout(x0)
-        q0, _ = call_a(x_l)
-        r_l = to_layout(b - from_layout(q0))
-    z0 = invd_l * r_l
-    rz0 = jnp.sum((r_l * z0).astype(jnp.float32)).reshape(1, 1)
-    rr0 = jnp.sum((r_l * r_l).astype(jnp.float32))
-    tol_sq = jnp.maximum(jnp.asarray(tol, jnp.float32) ** 2 * bb,
-                         jnp.asarray(atol, jnp.float32) ** 2)
-    hist0 = (jnp.zeros((maxiter + 1,), jnp.float32).at[0].set(rr0)
-             if track_history else jnp.zeros((0,), jnp.float32))
-
-    def cond(carry):
-        x, r, p, rz, rr, k, hist = carry
-        return jnp.logical_and(k < maxiter, rr > tol_sq)
-
-    def body(carry):
-        x, r, p, rz, rr, k, hist = carry
-        q, pq = call_a(p)
-        x, r, dots = call_b(rz, pq, x, r, p, q)
-        p = call_c(dots, rz, r, p)
-        if track_history:
-            hist = hist.at[k + 1].set(dots[0, 1])
-        return (x, r, p, dots[:, :1], dots[0, 1], k + 1, hist)
-
-    x, r, p, rz, rr, k, hist = jax.lax.while_loop(
-        cond, body,
-        (x_l, r_l, z0, rz0, rr0, jnp.zeros((), jnp.int32), hist0))
-
-    if track_history:
-        idx = jnp.arange(maxiter + 1)
-        hist = jnp.where(idx <= k, hist, rr)
-    return CGResult(x=from_layout(x), iterations=k, residual_norm_sq=rr,
-                    converged=rr <= tol_sq, history=hist)
+    eng, e, _ = build_fused_dia(d, dtype, jacobi=jacobi, inv_diag=inv_diag,
+                                interpret=interpret)
+    if e is None:
+        res = eng.solve(b, x0, tol=tol, atol=atol, maxiter=maxiter,
+                        track_history=track_history)
+        return res
+    b_s = e * b
+    x0_s = None
+    if x0 is not None:
+        x0_s = jnp.where(e > 0, x0 / jnp.where(e > 0, e, 1.0), 0.0)
+    res = eng.solve(b_s, x0_s, tol=tol, atol=atol, maxiter=maxiter,
+                    track_history=track_history)
+    return dataclasses.replace(res, x=e * res.x)

@@ -1,0 +1,510 @@
+"""Unified fused-CG engine (v3): TWO Pallas passes per iteration.
+
+Successor to the round-1 three-pass kernels (``fused_cg.py`` v1/v2,
+``fused_dia_cg.py``), which ran 11 logical vector passes per iteration at
+the chip's streaming limit (docs/PERF_NOTES.md).  This engine restructures
+the iteration to ~9 passes and 2 kernel launches using the classic
+communication-avoiding identity
+
+    ‖r_{k+1}‖² = α² ‖A p_k‖² − ‖r_k‖²        (exact arithmetic)
+
+(Chronopoulos–Gear / s-step CG literature): kernel A accumulates ``q·q``
+alongside ``p·q`` for free (``q`` is in registers), which makes β available
+*before* the update pass — so the old kernels B (x/r update) and C
+(p update) merge into one pass.  The *accurate* ``‖r‖²`` is still
+re-accumulated from the updated residual inside kernel B (also free —
+``r_new`` is in registers), so the identity only ever supplies one β and is
+corrected every iteration; the convergence test always uses the accumulated
+value.
+
+Per iteration:
+
+  A. ``q = A p`` (+ ``pq``, ``qq`` accumulated)     — read p window, write q.
+  B. ``α = rz/pq;  β = (α²·qq − rz)/rz``            — scalars, on-core
+     ``x += α p;  r −= α q;  p = r + β p``           — read x,r,p,q(,w);
+     (+ ``Σ r²``, ``Σ r²·w`` accumulated)              write x,r,p.
+
+Pattern-parameterized: the operator is a static list of *taps*
+``(dx, dy, dk)`` — grid-axis offsets with ``|dx| ≤ 1`` — with either scalar
+coefficients (constant stencils: 3-D 7-point, 2-D 5-point, 27-point, …) or
+per-row coefficient planes (variable-coefficient DIA operators).  Layout is
+the measured-fastest lane-major form ``(x-planes ↓ sublanes, (y,z) →
+lanes)``, extended with ONE embedded halo row above and below the real
+x-planes.  Single-device, the halo rows are permanently zero (they *are*
+the Dirichlet boundary); under ``shard_map`` they receive the neighbour
+shard's boundary x-planes via a per-iteration two-row ``ppermute`` — the
+same kernels run unmodified in both settings, and the dot products become
+``psum`` s of the per-shard partials (2 fused scalar collectives per
+iteration, matching the XLA path's sync structure).
+
+Variable-coefficient (DIA) operators are handled by one-time symmetric
+diagonal scaling ``Ã = E A E`` with ``E = diag(1/√d)`` — exactly
+Jacobi-PCG in exact arithmetic — so the hot loop is always *plain* CG; the
+true (unscaled) residual norm for the convergence test is accumulated with
+a per-row weight vector in kernel B.
+
+The reference's algorithm anchor is ``conj_grad`` (cg.c:88-141); this is
+its TPU speed-of-light form.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from cgx.solve.cg import CGResult
+
+__all__ = ["Geometry", "make_geometry", "FusedCG", "FusedState"]
+
+
+def _r8(v: int) -> int:
+    return -(-v // 8) * 8
+
+
+def _r128(v: int) -> int:
+    return -(-v // 128) * 128
+
+
+@dataclass(frozen=True)
+class Geometry:
+    """Static layout geometry for one fused problem (hashable)."""
+
+    nx: int            # global x-planes
+    ny: int
+    nz: int
+    nxl: int           # local x-planes on this shard (== nx unsharded)
+    taps: Tuple[Tuple[int, int, int], ...]   # (dx, dy, dk) per tap
+    rows8: int         # sublane rows: round8(nxl + 2 halo rows)
+    sl: int            # lane halo (covers max |dy·nz + dk|)
+    bl: int            # lane block
+    l_real: int        # ny·nz
+    l_pad: int
+    total: int         # l_pad + 2·bl (one halo block each side)
+    nb: int            # number of lane blocks
+
+    @property
+    def n_local(self) -> int:
+        return self.nxl * self.l_real
+
+
+def make_geometry(nx: int, ny: int, nz: int,
+                  taps: Sequence[Tuple[int, int, int]],
+                  n_shards: int = 1,
+                  target_block_bytes: int = 1 << 20) -> Geometry:
+    if nx % n_shards:
+        raise ValueError(f"nx={nx} not divisible by n_shards={n_shards}")
+    nxl = nx // n_shards
+    for (dx, dy, dk) in taps:
+        if abs(dx) > 1:
+            raise ValueError(f"tap {dx, dy, dk}: |dx| must be <= 1 "
+                             "(one embedded halo row per side)")
+    rows8 = _r8(nxl + 2)
+    l_real = ny * nz
+    reach = max([abs(dy * nz + dk) for (_, dy, dk) in taps] + [1])
+    sl = _r128(reach)
+    bl = max(sl, (target_block_bytes // (rows8 * 4) // 128) * 128)
+    l_pad = -(-l_real // bl) * bl
+    return Geometry(nx=nx, ny=ny, nz=nz, nxl=nxl, taps=tuple(map(tuple, taps)),
+                    rows8=rows8, sl=sl, bl=bl, l_real=l_real, l_pad=l_pad,
+                    total=l_pad + 2 * bl, nb=l_pad // bl)
+
+
+# ---------------------------------------------------------------------------
+# Layout conversion (local flat <-> padded layout)
+# ---------------------------------------------------------------------------
+
+def to_layout(g: Geometry, v: jnp.ndarray) -> jnp.ndarray:
+    arr = v.reshape(g.nxl, g.l_real)
+    return jnp.pad(arr, ((1, g.rows8 - 1 - g.nxl),
+                         (g.bl, g.total - g.bl - g.l_real)))
+
+
+def from_layout(g: Geometry, a: jnp.ndarray) -> jnp.ndarray:
+    return a[1:1 + g.nxl, g.bl:g.bl + g.l_real].reshape(-1)
+
+
+# ---------------------------------------------------------------------------
+# Kernel A: q = A p (+ pq, qq)
+# ---------------------------------------------------------------------------
+
+def _kernel_a(*refs, g: Geometry, coeffs, variable: bool):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if variable:
+        p_hbm, planes_ref, q_ref, dots_ref, scratch, sem = refs
+    else:
+        p_hbm, q_ref, dots_ref, scratch, sem = refs
+
+    j = pl.program_id(0)
+    start = (g.bl - g.sl) + j * g.bl          # statically 128-aligned
+    cp = pltpu.make_async_copy(
+        p_hbm.at[:, pl.ds(start, g.bl + 2 * g.sl)], scratch, sem)
+    cp.start()
+    cp.wait()
+
+    w = scratch[...]                           # (rows8, bl + 2·sl)
+    nxl = g.nxl
+    lane = j * g.bl + jax.lax.broadcasted_iota(jnp.int32, (1, g.bl), 1)
+    k = lane % g.nz
+    jy = (lane // g.nz) % g.ny
+    valid = lane < g.l_real
+
+    y = None
+    for t, (dx, dy, dk) in enumerate(g.taps):
+        dl = dy * g.nz + dk
+        # Row shift dx is an offset into the halo-extended rows (real rows
+        # live at 1..nxl); lane shift dl indexes the halo window.
+        s = w[1 + dx:1 + dx + nxl, g.sl + dl:g.sl + dl + g.bl]
+        if variable:
+            # Coefficient plane at the OUTPUT rows (row-aligned DIA
+            # convention); boundary zeros are encoded in the data.
+            term = planes_ref[t, 1:1 + nxl, :] * s
+        else:
+            term = coeffs[t] * s
+            # Boundary masks from index arithmetic (register work only).
+            m = None
+            if dk:
+                m = (k + dk >= 0) & (k + dk < g.nz)
+            if dy:
+                my = (jy + dy >= 0) & (jy + dy < g.ny)
+                m = my if m is None else m & my
+            if m is not None:
+                term = jnp.where(m, term, 0.0)
+        y = term if y is None else y + term
+
+    if not variable:
+        # Lane-padding outputs must be zeroed: shifted reads can pull real
+        # values into padding lanes, which would corrupt qq and r.
+        y = jnp.where(valid, y, 0.0)
+
+    q_ref[...] = jnp.pad(y, ((1, g.rows8 - 1 - nxl), (0, 0)))
+
+    @pl.when(j == 0)
+    def _():
+        dots_ref[0, 0] = 0.0
+        dots_ref[0, 1] = 0.0
+
+    gc = w[1:1 + nxl, g.sl:g.sl + g.bl]
+    # fp32 accumulation regardless of vector dtype.
+    dots_ref[0, 0] += jnp.sum((y * gc).astype(jnp.float32))
+    dots_ref[0, 1] += jnp.sum((y * y).astype(jnp.float32))
+
+
+# ---------------------------------------------------------------------------
+# Kernel B: scalars on-core; x += αp; r -= αq; p = r + βp (+ Σr², Σr²w)
+# ---------------------------------------------------------------------------
+
+def _kernel_b(*refs, weighted: bool):
+    from jax.experimental import pallas as pl
+
+    if weighted:
+        (rz_ref, pqqq_ref, x_ref, r_ref, p_ref, q_ref, w_ref,
+         x_out, r_out, p_out, dots_ref) = refs
+    else:
+        (rz_ref, pqqq_ref, x_ref, r_ref, p_ref, q_ref,
+         x_out, r_out, p_out, dots_ref) = refs
+
+    i = pl.program_id(0)
+    rz = rz_ref[0, 0]
+    pq = pqqq_ref[0, 0]
+    qq = pqqq_ref[0, 1]
+    alpha32 = rz / pq
+    # β from the CA-CG identity ‖r'‖² = α²·qq − rz: available BEFORE the
+    # pass, which is what lets p update here instead of a third kernel.
+    beta = ((alpha32 * alpha32 * qq - rz) / rz).astype(p_ref.dtype)
+    alpha = alpha32.astype(x_ref.dtype)
+
+    pv = p_ref[...]
+    x_out[...] = x_ref[...] + alpha * pv
+    r_new = r_ref[...] - alpha * q_ref[...]
+    r_out[...] = r_new
+    p_out[...] = r_new + beta * pv
+
+    @pl.when(i == 0)
+    def _():
+        dots_ref[0, 0] = 0.0
+        dots_ref[0, 1] = 0.0
+
+    rsq = (r_new * r_new).astype(jnp.float32)
+    s = jnp.sum(rsq)
+    dots_ref[0, 0] += s                       # solve-space ‖r̃‖² (exact)
+    if weighted:
+        dots_ref[0, 1] += jnp.sum(rsq * w_ref[...].astype(jnp.float32))
+    else:
+        dots_ref[0, 1] += s                   # true ‖r‖² == solve-space
+
+
+# ---------------------------------------------------------------------------
+# State + driver
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class FusedState:
+    """Layout-space CG state — the fused analogue of
+    :class:`cgx.solve.cg.CGState` (checkpoint/chunk unit)."""
+
+    x: jnp.ndarray         # (rows8, total) layout
+    r: jnp.ndarray
+    p: jnp.ndarray
+    rz: jnp.ndarray        # (1, 2) fp32: [solve-space ‖r̃‖², true ‖r‖²]
+    k: jnp.ndarray         # int32
+    history: jnp.ndarray   # (maxiter+1,) fp32 or (0,)
+
+
+class FusedCG:
+    """The fused solver for one (geometry, coefficients) configuration.
+
+    Built once per problem; provides ``init`` / ``run`` / ``result`` (the
+    chunked-stepping primitives behind checkpoint/resume) and ``solve``
+    (the monolithic while_loop).  All methods are jit-compatible; under
+    ``shard_map`` pass ``axis_name`` and per-shard arrays.
+
+    Args:
+      geom: :func:`make_geometry` output (per-shard when sharded).
+      coeffs: scalar tap coefficients (constant-coefficient path), or
+        ``None`` with ``planes`` set.
+      planes: per-tap coefficient planes, local flat ``(T, nxl·ny·nz)``
+        (variable-coefficient path — boundary zeros encoded in the data).
+      weight: optional per-row weights, local flat; kernel B then
+        accumulates ``Σ r²·w`` as the *true* residual norm (used by the
+        diagonal-scaling PCG transform: ``w = diag(A)``).
+      axis_name: mesh axis for ``psum``/halo exchange under ``shard_map``.
+      interpret: run Pallas kernels in interpreter mode (CPU tests).
+    """
+
+    def __init__(self, geom: Geometry, *, dtype,
+                 coeffs: Optional[Tuple[float, ...]] = None,
+                 planes: Optional[jnp.ndarray] = None,
+                 weight: Optional[jnp.ndarray] = None,
+                 axis_name: Optional[str] = None,
+                 interpret: bool = False):
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        g = geom
+        self.geom = g
+        self.axis_name = axis_name
+        self.dtype = dtype
+        variable = planes is not None
+        if variable:
+            planes_l = jnp.stack(
+                [to_layout(g, planes[t].astype(dtype))
+                 for t in range(len(g.taps))])
+        self.weight_l = (to_layout(g, weight.astype(dtype))
+                         if weight is not None else None)
+        weighted = self.weight_l is not None
+
+        vec_blk = pl.BlockSpec((g.rows8, g.bl), lambda i: (0, i + 1),
+                               memory_space=pltpu.VMEM)
+        smem1_in = pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                memory_space=pltpu.SMEM)
+        smem2_in = pl.BlockSpec((1, 2), lambda i: (0, 0),
+                                memory_space=pltpu.SMEM)
+        smem2_out = pl.BlockSpec((1, 2), lambda i: (0, 0),
+                                 memory_space=pltpu.SMEM)
+        # Under shard_map the kernel outputs vary across the mesh axis
+        # (per-shard layouts and partial dots); annotate for vma checking.
+        vma = frozenset() if axis_name is None else frozenset({axis_name})
+        vshape = jax.ShapeDtypeStruct((g.rows8, g.total), dtype, vma=vma)
+        s2 = jax.ShapeDtypeStruct((1, 2), jnp.float32, vma=vma)
+
+        kernel_a = partial(_kernel_a, g=g,
+                           coeffs=None if variable else tuple(coeffs),
+                           variable=variable)
+        kernel_b = partial(_kernel_b, weighted=weighted)
+
+        a_in = [pl.BlockSpec(memory_space=pl.ANY)]
+        a_args = ()
+        if variable:
+            a_in.append(pl.BlockSpec((len(g.taps), g.rows8, g.bl),
+                                     lambda i: (0, 0, i + 1),
+                                     memory_space=pltpu.VMEM))
+            a_args = (planes_l,)
+
+        def call_a(p_l):
+            return pl.pallas_call(
+                kernel_a,
+                grid=(g.nb,),
+                in_specs=a_in,
+                out_specs=(vec_blk, smem2_out),
+                out_shape=(vshape, s2),
+                scratch_shapes=[pltpu.VMEM((g.rows8, g.bl + 2 * g.sl), dtype),
+                                pltpu.SemaphoreType.DMA(())],
+                interpret=interpret,
+            )(p_l, *a_args)
+
+        b_in = [smem1_in, smem2_in, vec_blk, vec_blk, vec_blk, vec_blk]
+        b_args = ()
+        if weighted:
+            b_in.append(vec_blk)
+            b_args = (self.weight_l,)
+
+        def call_b(rz, pqqq, x, r, p, q):
+            return pl.pallas_call(
+                kernel_b,
+                grid=(g.nb,),
+                in_specs=b_in,
+                out_specs=(vec_blk, vec_blk, vec_blk, smem2_out),
+                out_shape=(vshape, vshape, vshape, s2),
+                input_output_aliases={2: 0, 3: 1, 4: 2},
+                interpret=interpret,
+            )(rz, pqqq, x, r, p, q, *b_args)
+
+        self._call_a = call_a
+        self._call_b = call_b
+
+    # -- collectives -------------------------------------------------------
+
+    def _allsum(self, v):
+        if self.axis_name is None:
+            return v
+        return jax.lax.psum(v, self.axis_name)
+
+    def _exchange(self, p_l):
+        """Fill the embedded halo rows from the neighbour shards (no-op
+        single-device: the halo rows stay zero = Dirichlet boundary)."""
+        if self.axis_name is None:
+            return p_l
+        g = self.geom
+        nd = jax.lax.psum(1, self.axis_name)    # static under shard_map
+        if nd == 1:
+            return p_l
+        fwd = jax.lax.ppermute(p_l[g.nxl], self.axis_name,
+                               [(i, i + 1) for i in range(nd - 1)])
+        bwd = jax.lax.ppermute(p_l[1], self.axis_name,
+                               [(i, i - 1) for i in range(1, nd)])
+        return p_l.at[0, :].set(fwd).at[g.nxl + 1, :].set(bwd)
+
+    # -- chunked-stepping primitives --------------------------------------
+
+    def init(self, b_l: jnp.ndarray, x0_l: Optional[jnp.ndarray] = None,
+             history_len: int = 0) -> FusedState:
+        """Initial state from the *solve-space* local RHS (already scaled
+        by the wrapper for the DIA transform)."""
+        g = self.geom
+        b_lay = to_layout(g, b_l.astype(self.dtype))
+        if x0_l is None:
+            x_l = jnp.zeros_like(b_lay)
+            r_l = b_lay
+        else:
+            x_l = to_layout(g, x0_l.astype(self.dtype))
+            q0, _ = self._call_a(self._exchange(x_l))
+            # q0's halo lane blocks are uninitialized (the grid never
+            # writes them); round-tripping through flat space re-zeroes.
+            r_l = to_layout(g, b_l.astype(self.dtype) - from_layout(g, q0))
+        rz0 = self._rz_of(r_l)
+        hist0 = (jnp.zeros((history_len,), jnp.float32).at[0].set(rz0[0, 1])
+                 if history_len else jnp.zeros((0,), jnp.float32))
+        return FusedState(x=x_l, r=r_l, p=r_l, rz=rz0,
+                          k=jnp.zeros((), jnp.int32), history=hist0)
+
+    def _rz_of(self, r_l):
+        rsq = (r_l * r_l).astype(jnp.float32)
+        s = jnp.sum(rsq)
+        if self.weight_l is not None:
+            sw = jnp.sum(rsq * self.weight_l.astype(jnp.float32))
+        else:
+            sw = s
+        return self._allsum(jnp.stack([s, sw]).reshape(1, 2))
+
+    def norm_sq_b(self, b_l) -> jnp.ndarray:
+        """True-space ‖b‖² (fp32, global) for the relative tolerance."""
+        bsq = (b_l.astype(jnp.float32)) ** 2
+        if self.weight_l is not None:
+            w = from_layout(self.geom, self.weight_l).astype(jnp.float32)
+            bsq = bsq * w
+        return self._allsum(jnp.sum(bsq))
+
+    def run(self, state: FusedState, upto, tol_sq) -> FusedState:
+        """Advance until ``k == upto`` or true ‖r‖² ≤ tol_sq (both may be
+        traced scalars)."""
+        track = state.history.shape[0] > 0
+
+        def cond(s: FusedState):
+            return jnp.logical_and(s.k < upto, s.rz[0, 1] > tol_sq)
+
+        def body(s: FusedState) -> FusedState:
+            p = self._exchange(s.p)
+            q, pqqq = self._call_a(p)
+            pqqq = self._allsum(pqqq)
+            x, r, p, dots = self._call_b(s.rz[:, :1], pqqq, s.x, s.r, p, q)
+            dots = self._allsum(dots)
+            hist = s.history
+            if track:
+                idx = jnp.minimum(s.k + 1, hist.shape[0] - 1)
+                hist = hist.at[idx].set(dots[0, 1])
+            return FusedState(x=x, r=r, p=p, rz=dots, k=s.k + 1,
+                              history=hist)
+
+        return jax.lax.while_loop(cond, body, state)
+
+    def result(self, state: FusedState, tol_sq,
+               maxiter: Optional[int] = None) -> CGResult:
+        """Package a :class:`CGResult` (local-flat solution)."""
+        hist = state.history
+        if hist.shape[0] > 0 and maxiter is not None:
+            idx = jnp.arange(maxiter + 1)
+            hist = jnp.where(idx <= state.k, hist, state.rz[0, 1])
+        return CGResult(x=from_layout(self.geom, state.x),
+                        iterations=state.k,
+                        residual_norm_sq=state.rz[0, 1],
+                        converged=state.rz[0, 1] <= tol_sq,
+                        history=hist)
+
+    # -- checkpoint interop (flat CGState <-> layout FusedState) ----------
+
+    def state_to_flat(self, st: FusedState, e=None):
+        """Convert to a :class:`cgx.solve.cg.CGState` in the ORIGINAL
+        (unscaled) problem space — snapshot files are interchangeable with
+        the XLA path's.  ``e`` is the diagonal scaling vector (DIA
+        transform); ``z = M⁻¹r`` is reconstructed from it."""
+        from cgx.solve.cg import CGState
+
+        g = self.geom
+        x = from_layout(g, st.x)
+        r = from_layout(g, st.r)
+        p = from_layout(g, st.p)
+        if e is not None:
+            inv_e = jnp.where(e > 0, 1.0 / jnp.where(e > 0, e, 1.0), 0.0)
+            x, r, p = e * x, inv_e * r, e * p
+            z = e * from_layout(g, st.r)      # z = M⁻¹ r = e·r̃
+        else:
+            z = r
+        return CGState(x=x, r=r, z=z, p=p,
+                       rz=st.rz[0, 0].astype(self.dtype),
+                       rr=st.rz[0, 1].astype(self.dtype),
+                       k=st.k, history=st.history.astype(self.dtype))
+
+    def state_from_flat(self, cg, e=None) -> FusedState:
+        """Inverse of :meth:`state_to_flat` (resume from any backend's
+        snapshot)."""
+        g = self.geom
+        x, r, p = cg.x, cg.r, cg.p
+        if e is not None:
+            inv_e = jnp.where(e > 0, 1.0 / jnp.where(e > 0, e, 1.0), 0.0)
+            x, r, p = inv_e * x, e * r, inv_e * p
+        rz = jnp.stack([cg.rz.astype(jnp.float32),
+                        cg.rr.astype(jnp.float32)]).reshape(1, 2)
+        return FusedState(x=to_layout(g, x.astype(self.dtype)),
+                          r=to_layout(g, r.astype(self.dtype)),
+                          p=to_layout(g, p.astype(self.dtype)),
+                          rz=rz, k=jnp.asarray(cg.k, jnp.int32),
+                          history=cg.history.astype(jnp.float32))
+
+    # -- monolithic solve --------------------------------------------------
+
+    def solve(self, b_l, x0_l=None, *, tol: float = 1e-6, atol: float = 0.0,
+              maxiter: int = 1000, track_history: bool = False) -> CGResult:
+        bb = self.norm_sq_b(b_l)
+        tol_sq = jnp.maximum(jnp.asarray(tol, jnp.float32) ** 2 * bb,
+                             jnp.asarray(atol, jnp.float32) ** 2)
+        st = self.init(b_l, x0_l,
+                       history_len=maxiter + 1 if track_history else 0)
+        st = self.run(st, maxiter, tol_sq)
+        return self.result(st, tol_sq, maxiter)

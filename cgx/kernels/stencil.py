@@ -99,7 +99,7 @@ def stencil3d_spmv_pallas(x: jnp.ndarray, *, nx: int, ny: int, nz: int,
     out = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((block_rows, nz_pad), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rows_pad, nz_pad), x.dtype),

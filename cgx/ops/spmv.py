@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from cgx.sparse.types import (BSRMatrix, COOMatrix, CSRMatrix, DIAMatrix,
                               ELLMatrix)
-from cgx.sparse.stencil import Stencil2D, Stencil3D
+from cgx.sparse.stencil import GeneralStencil3D, Stencil2D, Stencil3D
 
 __all__ = ["spmv", "spmm", "shifted"]
 
@@ -169,7 +169,13 @@ def _stencil3d_spmv(a, x: jnp.ndarray) -> jnp.ndarray:
     return a.matvec(x)
 
 
+@spmv.register(GeneralStencil3D)
+def _general_stencil_spmv(a, x: jnp.ndarray) -> jnp.ndarray:
+    return a.matvec(x)
+
+
 @spmm.register(Stencil2D)
 @spmm.register(Stencil3D)
+@spmm.register(GeneralStencil3D)
 def _stencil_spmm(a, x: jnp.ndarray) -> jnp.ndarray:
     return jax.vmap(a.matvec, in_axes=1, out_axes=1)(x)

@@ -2,10 +2,10 @@
 
 The measured decision surface (docs/PERF_NOTES.md, single v5e chip):
 
-* 3-D stencil operators with ≥ ~3 M rows: XLA's loop-body fusion has
-  collapsed (vector > VMEM) → the fused Pallas iteration wins ~5x
-  (`cgx.kernels.fused_cg`); requires plain/Jacobi-equivalent CG and a TPU
-  backend.
+* Fused-capable operators (constant-coefficient stencils, wrap-free
+  7-point DIA) with ≥ ~2 M rows on TPU: XLA's loop-body fusion has
+  collapsed (vector > VMEM) → the fused two-pass Pallas engine wins ~5-7x
+  (`cgx.kernels.fused_engine`); plain CG or Jacobi only.
 * Everything else: the XLA while_loop (`cg_solve`), in tile-padded space
   when the dimension is off-tile (`cg_solve_padded`).
 """
@@ -19,13 +19,46 @@ import jax.numpy as jnp
 from cgx.solve.cg import CGResult
 from cgx.solve.padded import cg_solve_padded, padded_length
 
-__all__ = ["auto_solve", "FUSED_MIN_ROWS"]
+__all__ = ["auto_solve", "select_backend", "FUSED_MIN_ROWS"]
 
 # XLA's CG-body mega-fusion holds up to one vector per VMEM (measured
 # 40.6 us/iter at 2.1 M rows vs 600 us/iter at 4.1 M rows, fp32).
 FUSED_MIN_ROWS = 2_000_000  # fused measured faster from 128^3 up
 # (31.9 vs 40.6 us/iter at 128^3; 114.9 vs 600 at 160^3; 564 vs 1086 at
-# 216^3)
+# 216^3 — v2 numbers; v3 lowers all three)
+
+
+def select_backend(a, b, preconditioner=None) -> str:
+    """The backend :func:`auto_solve` would route this problem to:
+    ``"fused_stencil"`` | ``"fused_dia"`` | ``"padded"`` | ``"xla"``.
+
+    Call OUTSIDE jit with concrete data (the DIA wrap-entry check is
+    data-dependent); pass the result to ``auto_solve(backend=...)`` when
+    jitting the solve.
+    """
+    from cgx.kernels import fused_cg
+    from cgx.kernels.fused_dia_cg import supports_dia, wrap_entries_zero
+    from cgx.solve.precond import JacobiPrecond
+
+    n = b.shape[0]
+    on_tpu = jax.default_backend() == "tpu"
+    jac = isinstance(preconditioner, JacobiPrecond)
+    if (on_tpu and preconditioner is None
+            and fused_cg.supports(a) and n >= FUSED_MIN_ROWS):
+        return "fused_stencil"
+    # The fused DIA route additionally requires zero entries at every
+    # x-plane-crossing slot (the lane layout drops those — see
+    # fused_dia_cg.wrap_entries_zero).  The check is data-dependent, so
+    # for traced data we conservatively fall back to the XLA path; callers
+    # who know their operator is wrap-free can pass backend="fused_dia".
+    if (on_tpu and (preconditioner is None or jac)
+            and supports_dia(a) and n >= FUSED_MIN_ROWS
+            and not isinstance(a.data, jax.core.Tracer)
+            and wrap_entries_zero(a)):
+        return "fused_dia"
+    if padded_length(n) != n:
+        return "padded"
+    return "xla"
 
 
 def auto_solve(
@@ -38,48 +71,40 @@ def auto_solve(
     maxiter: Optional[int] = None,
     preconditioner=None,
     track_history: bool = False,
+    backend: Optional[str] = None,
 ) -> CGResult:
-    """:func:`cg_solve` semantics with backend auto-selection."""
-    from cgx.kernels import fused_cg
-    from cgx.kernels import fused_dia_cg as fdc
+    """:func:`cg_solve` semantics with backend auto-selection.
+
+    ``backend``: override the routing (one of :func:`select_backend`'s
+    values) — required to reach the fused DIA path under ``jit``, where the
+    data-dependent wrap check cannot run.
+    """
+    from cgx.kernels.fused_cg import fused_stencil_cg
+    from cgx.kernels.fused_dia_cg import fused_dia_cg
     from cgx.solve.precond import JacobiPrecond
-    from cgx.sparse.stencil import Stencil3D
 
+    if backend is None:
+        backend = select_backend(a, b, preconditioner)
     n = b.shape[0]
-    on_tpu = jax.default_backend() == "tpu"
     mi = int(maxiter) if maxiter is not None else n
-    if (on_tpu and preconditioner is None and isinstance(a, Stencil3D)
-            and fused_cg.supports(a) and n >= FUSED_MIN_ROWS):
-        return fused_cg.fused_stencil_cg(
-            a, b, x0, tol=tol, atol=atol, maxiter=mi,
-            track_history=track_history)
-    # Variable-coefficient 7-point DIA: fused path covers plain CG and
-    # Jacobi (the caller's JacobiPrecond.inv_diag is passed through, so a
-    # custom diagonal keeps its exact trajectory).
-    jac = isinstance(preconditioner, JacobiPrecond)
-    # Routing to the fused DIA path additionally requires zero entries at
-    # every x-plane-crossing slot (the lane layout drops those — see
-    # fused_dia_cg.wrap_entries_zero).  The check is data-dependent, so
-    # under jit (traced data) we conservatively fall back to the XLA path;
-    # callers who know their operator is wrap-free can call fused_dia_cg
-    # directly inside jit.
-    def _dia_ok(d):
-        if not (fdc.supports_dia(d) and n >= FUSED_MIN_ROWS):
-            return False
-        if isinstance(d.data, jax.core.Tracer):
-            return False
-        return fdc.wrap_entries_zero(d)
-
-    if on_tpu and (preconditioner is None or jac) and _dia_ok(a):
-        return fdc.fused_dia_cg(
+    if backend == "fused_stencil":
+        return fused_stencil_cg(a, b, x0, tol=tol, atol=atol, maxiter=mi,
+                                track_history=track_history)
+    if backend == "fused_dia":
+        # The caller's JacobiPrecond.inv_diag is passed through, so a
+        # custom diagonal keeps its exact trajectory.
+        jac = isinstance(preconditioner, JacobiPrecond)
+        return fused_dia_cg(
             a, b, x0, tol=tol, atol=atol, jacobi=jac,
             inv_diag=preconditioner.inv_diag if jac else None,
             maxiter=mi, track_history=track_history)
-    if padded_length(n) != n:
+    if backend == "padded":
         return cg_solve_padded(a, b, x0, tol=tol, atol=atol,
                                maxiter=maxiter,
                                preconditioner=preconditioner,
                                track_history=track_history)
+    if backend != "xla":
+        raise ValueError(f"unknown backend {backend!r}")
     from cgx.solve.cg import cg_solve
     return cg_solve(a, b, x0, tol=tol, atol=atol, maxiter=maxiter,
                     preconditioner=preconditioner,

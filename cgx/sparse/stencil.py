@@ -23,8 +23,8 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["Stencil2D", "Stencil3D", "poisson2d_stencil",
-           "poisson3d_stencil"]
+__all__ = ["Stencil2D", "Stencil3D", "GeneralStencil3D", "poisson2d_stencil",
+           "poisson3d_stencil", "poisson3d_27point"]
 
 
 def _shift1(x, offset: int):
@@ -186,6 +186,84 @@ class Stencil3D:
         y = y + self.c_x * _shift1(x_pad, ny * nz)
         y = y + self.c_x * _shift1(x_pad, -ny * nz)
         return jnp.where(idx < n, y, 0.0)
+
+
+def _shiftk(g, axis: int, off: int):
+    """``out[..i..] = g[..i+off..]`` along ``axis`` with zero fill (any
+    static offset)."""
+    if off == 0:
+        return g
+    sl = [slice(None)] * g.ndim
+    pad = [(0, 0)] * g.ndim
+    if off > 0:
+        sl[axis] = slice(off, None)
+        pad[axis] = (0, off)
+    else:
+        sl[axis] = slice(None, off)
+        pad[axis] = (-off, 0)
+    return jnp.pad(g[tuple(sl)], pad)
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class GeneralStencil3D:
+    """Arbitrary constant-coefficient stencil on an ``nx × ny × nz`` grid
+    (Dirichlet): ``A[(i,j,k), (i+dx, j+dy, k+dz)] = coeffs[t]`` for each tap
+    ``taps[t] = (dx, dy, dz)``.  Covers 27-point (and any fixed-offset)
+    patterns the 7-point :class:`Stencil3D` cannot express; same matrix-free
+    zero-storage design, same solver/fused-kernel plumbing.
+    """
+
+    nx: int = dataclasses.field(metadata=dict(static=True))
+    ny: int = dataclasses.field(metadata=dict(static=True))
+    nz: int = dataclasses.field(metadata=dict(static=True))
+    taps: Tuple[Tuple[int, int, int], ...] = dataclasses.field(
+        metadata=dict(static=True))
+    coeffs: Tuple[float, ...] = dataclasses.field(metadata=dict(static=True))
+    dtype_name: str = dataclasses.field(default="float32",
+                                        metadata=dict(static=True))
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        n = self.nx * self.ny * self.nz
+        return (n, n)
+
+    @property
+    def dtype(self):
+        return jnp.dtype(self.dtype_name)
+
+    def diagonal(self) -> jnp.ndarray:
+        c0 = 0.0
+        for t, tap in enumerate(self.taps):
+            if tap == (0, 0, 0):
+                c0 = self.coeffs[t]
+        return jnp.full((self.nx * self.ny * self.nz,), c0, self.dtype)
+
+    def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
+        g = x.reshape(self.nx, self.ny, self.nz)
+        y = jnp.zeros_like(g)
+        for (dx, dy, dz), c in zip(self.taps, self.coeffs):
+            s = _shiftk(_shiftk(_shiftk(g, 0, dx), 1, dy), 2, dz)
+            y = y + c * s
+        return y.reshape(-1)
+
+
+def poisson3d_27point(nx: int, ny: int, nz: int) -> GeneralStencil3D:
+    """27-point Laplacian-type operator: neighbour weights −2/−1/−½ by
+    face/edge/corner adjacency, center 28 (zero interior row sum — weakly
+    diagonally dominant; SPD with the Dirichlet truncation, like the
+    7-point Poisson operators)."""
+    taps = []
+    coeffs = []
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dz in (-1, 0, 1):
+                nnz_axes = (dx != 0) + (dy != 0) + (dz != 0)
+                taps.append((dx, dy, dz))
+                coeffs.append(28.0 if nnz_axes == 0
+                              else -float(2 ** (3 - nnz_axes) / 2))
+    return GeneralStencil3D(nx=nx, ny=ny, nz=nz, taps=tuple(taps),
+                            coeffs=tuple(coeffs))
 
 
 def poisson2d_stencil(nx: int, ny: int) -> Stencil2D:

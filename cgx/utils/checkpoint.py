@@ -58,6 +58,7 @@ def cg_solve_checkpointed(
     chunk: int = 100,
     checkpoint_path: Optional[str] = None,
     on_chunk: Optional[Callable[[CGState], None]] = None,
+    backend: str = "xla",
 ) -> CGResult:
     """:func:`cg_solve` semantics with periodic snapshots every ``chunk``
     iterations.
@@ -66,9 +67,23 @@ def cg_solve_checkpointed(
     recovery after preemption: relaunch with the same arguments).  The
     trajectory is bit-identical to an uninterrupted solve — chunking only
     changes where the host observes the state.
+
+    ``backend``: ``"xla"`` (any operator/preconditioner) or ``"fused"``
+    (the two-pass Pallas engine, fused-capable stencil/DIA operators; the
+    path :func:`~cgx.solve.auto.auto_solve` routes big problems to).
+    Snapshot files are backend-interchangeable — a solve checkpointed under
+    one backend can resume under the other.
     """
     import jax
     import jax.numpy as jnp
+
+    if backend == "fused":
+        return _fused_checkpointed(
+            a, b, x0, tol=tol, atol=atol, maxiter=maxiter,
+            preconditioner=preconditioner, chunk=chunk,
+            checkpoint_path=checkpoint_path, on_chunk=on_chunk)
+    if backend != "xla":
+        raise ValueError(f"unknown backend {backend!r}")
 
     if maxiter is None:
         maxiter = b.shape[0]
@@ -109,3 +124,78 @@ def cg_solve_checkpointed(
         converged=state.rr <= tol_sq,
         history=state.history,
     )
+
+
+def _fused_checkpointed(a, b, x0=None, *, tol, atol, maxiter,
+                        preconditioner, chunk, checkpoint_path,
+                        on_chunk) -> CGResult:
+    """Chunked fused-engine solve with snapshots (VERDICT r1 #3): the same
+    elasticity semantics as the XLA path, on the kernels ``auto_solve``
+    routes big problems to.  Snapshots are written in the unscaled flat
+    :class:`CGState` format, so files interoperate with ``backend="xla"``.
+    """
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from cgx.kernels import fused_cg as _fc
+    from cgx.kernels.fused_dia_cg import (build_fused_dia, supports_dia,
+                                          wrap_entries_zero)
+    from cgx.solve.precond import JacobiPrecond
+
+    interpret = jax.default_backend() != "tpu"
+    dtype = b.dtype
+    e = None
+    if _fc.supports(a):
+        if preconditioner is not None:
+            raise ValueError("fused stencil backend: preconditioner must "
+                             "be None (constant-diagonal operators: Jacobi "
+                             "is an exact rescaling)")
+        eng = _fc.build_fused(a, dtype, interpret=interpret)
+    elif supports_dia(a) and wrap_entries_zero(a):
+        jac = isinstance(preconditioner, JacobiPrecond)
+        if preconditioner is not None and not jac:
+            raise ValueError("fused DIA backend supports only Jacobi "
+                             "preconditioning")
+        eng, e, _ = build_fused_dia(
+            a, dtype, jacobi=jac,
+            inv_diag=preconditioner.inv_diag if jac else None,
+            interpret=interpret)
+    else:
+        raise ValueError("backend='fused': operator is not fused-capable "
+                         "(need a supported stencil or wrap-free 7-point "
+                         "DIA)")
+
+    if maxiter is None:
+        maxiter = b.shape[0]
+    maxiter = int(maxiter)
+    b_s = e * b if e is not None else b
+    x0_s = x0
+    if x0 is not None and e is not None:
+        x0_s = jnp.where(e > 0, x0 / jnp.where(e > 0, e, 1.0), 0.0)
+
+    bb = eng.norm_sq_b(b_s)
+    tol_sq = jnp.maximum(jnp.asarray(tol, jnp.float32) ** 2 * bb,
+                         jnp.asarray(atol, jnp.float32) ** 2)
+
+    if checkpoint_path and os.path.exists(checkpoint_path):
+        st = eng.state_from_flat(load_state(checkpoint_path), e)
+    else:
+        st = eng.init(b_s, x0_s)
+
+    step = jax.jit(lambda s, upto: eng.run(s, upto, tol_sq))
+
+    while int(st.k) < maxiter and float(st.rz[0, 1]) > float(tol_sq):
+        upto = min(int(st.k) + chunk, maxiter)
+        st = jax.block_until_ready(step(st, jnp.int32(upto)))
+        flat = eng.state_to_flat(st, e)
+        if checkpoint_path:
+            save_state(checkpoint_path, flat)
+        if on_chunk is not None:
+            on_chunk(flat)
+
+    res = eng.result(st, tol_sq)
+    if e is not None:
+        res = dataclasses.replace(res, x=e * res.x)
+    return res

@@ -109,3 +109,103 @@ def test_checkpointed_accepts_callable_matvec(rng):
     assert bool(res.converged)
     np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
                                rtol=1e-10, atol=1e-12)
+
+
+import pytest
+
+
+@pytest.mark.parametrize("op_kind", ["stencil", "dia_jacobi"])
+def test_fused_resume_after_preemption_identical_trajectory(tmp_path, rng,
+                                                            op_kind):
+    """VERDICT r1 #3: checkpoint/resume on the fused backend — the kernels
+    auto_solve actually routes big problems to — with snapshot files in the
+    backend-interchangeable flat CGState format."""
+    from cgx.io.poisson import poisson3d_dia
+    from cgx.sparse.stencil import poisson3d_stencil
+
+    if op_kind == "stencil":
+        a = poisson3d_stencil(8, 7, 6)
+        m = None
+    else:
+        a = poisson3d_dia(8, 7, 6, dtype=np.float32)
+        m = JacobiPrecond.from_matrix(a)
+    n = 8 * 7 * 6
+    b = jnp.asarray(rng.standard_normal(n), jnp.float32)
+
+    ref = cg_solve_checkpointed(a, b, tol=1e-6, maxiter=400,
+                                preconditioner=m, chunk=25, backend="fused")
+    assert bool(ref.converged)
+    # Matches the monolithic fused solve exactly (chunking only moves where
+    # the host observes the state).
+    if op_kind == "stencil":
+        from cgx.kernels.fused_cg import fused_stencil_cg
+        mono = fused_stencil_cg(a, b, tol=1e-6, maxiter=400, interpret=True)
+    else:
+        from cgx.kernels.fused_dia_cg import fused_dia_cg
+        mono = fused_dia_cg(a, b, tol=1e-6, maxiter=400, interpret=True)
+    assert int(ref.iterations) == int(mono.iterations)
+    np.testing.assert_allclose(np.asarray(ref.x), np.asarray(mono.x),
+                               rtol=1e-6, atol=1e-7)
+
+    ckpt = str(tmp_path / "fused.npz")
+    seen = []
+
+    class Preempt(Exception):
+        pass
+
+    def killer(state):
+        seen.append(int(state.k))
+        if len(seen) == 2:
+            raise Preempt
+
+    try:
+        cg_solve_checkpointed(a, b, tol=1e-6, maxiter=400,
+                              preconditioner=m, chunk=25, backend="fused",
+                              checkpoint_path=ckpt, on_chunk=killer)
+        assert False, "should have been preempted"
+    except Preempt:
+        pass
+    assert os.path.exists(ckpt)
+
+    res = cg_solve_checkpointed(a, b, tol=1e-6, maxiter=400,
+                                preconditioner=m, chunk=25, backend="fused",
+                                checkpoint_path=ckpt)
+    assert bool(res.converged)
+    assert int(res.iterations) == int(ref.iterations)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_fused_checkpoint_cross_backend_resume(tmp_path, rng):
+    """A snapshot written by the fused backend resumes under the XLA
+    backend (and lands on the same solution)."""
+    from cgx.io.poisson import poisson3d_dia
+
+    a = poisson3d_dia(8, 7, 6, dtype=np.float32)
+    m = JacobiPrecond.from_matrix(a)
+    n = 8 * 7 * 6
+    b = jnp.asarray(rng.standard_normal(n), jnp.float32)
+
+    ckpt = str(tmp_path / "x.npz")
+
+    class Stop(Exception):
+        pass
+
+    def once(state):
+        raise Stop
+
+    try:
+        cg_solve_checkpointed(a, b, tol=1e-6, maxiter=400, preconditioner=m,
+                              chunk=20, backend="fused",
+                              checkpoint_path=ckpt, on_chunk=once)
+    except Stop:
+        pass
+    assert os.path.exists(ckpt)
+
+    res = cg_solve_checkpointed(a, b, tol=1e-6, maxiter=400,
+                                preconditioner=m, chunk=20, backend="xla",
+                                checkpoint_path=ckpt)
+    assert bool(res.converged)
+    ref = cg_solve(a, b, tol=1e-6, maxiter=400, preconditioner=m)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                               rtol=1e-4, atol=1e-5)

@@ -119,3 +119,66 @@ def test_native_format_roundtrip(tmp_path, rng):
         np.testing.assert_allclose(y1, y2, rtol=1e-6, err_msg=name)
         if name == "csr":
             np.testing.assert_allclose(np.asarray(b2), b)
+
+
+def test_bench_json_reports_path(capsys):
+    """`cgx bench` routes through auto_solve and reports the selected
+    backend (VERDICT r1 #10)."""
+    code, out, err = run_cli(
+        ["bench", "--poisson", "16x16", "--format", "dia", "--dtype", "f64",
+         "--precond", "jacobi", "--reps", "1"], capsys)
+    assert code == 0
+    rec = json.loads(out.strip())
+    assert rec["path"] in ("xla", "padded")      # CPU: no fused routing
+
+
+def test_select_backend_routes_fused_on_tpu(monkeypatch, rng):
+    """A >=2M-row stencil config selects the fused path on TPU (simulated
+    backend — CPU CI), and a wrap-dirty DIA falls back."""
+    import cgx.solve.auto as auto
+    from cgx.sparse.stencil import poisson3d_stencil
+    from cgx.io.poisson import poisson3d_dia
+    from cgx.sparse.types import DIAMatrix
+    import jax.numpy as jnp
+    import numpy as np
+
+    monkeypatch.setattr(auto.jax, "default_backend", lambda: "tpu")
+
+    s = poisson3d_stencil(128, 128, 128)     # 2.1 M rows
+    b = jnp.zeros((s.shape[0],), jnp.float32)
+    assert auto.select_backend(s, b) == "fused_stencil"
+
+    # DIA: fused when wrap-free... (tiny data stretched is fine: only the
+    # shape/pattern and wrap slots matter for routing)
+    a = poisson3d_dia(128, 128, 128, dtype=np.float32)
+    assert auto.select_backend(a, b) == "fused_dia"
+    data = np.asarray(a.data).copy()
+    data[4, 128 * 128 - 1] = 1.0             # x-plane-crossing slot
+    dirty = DIAMatrix(data=jnp.asarray(data), offsets=a.offsets,
+                      shape=a.shape)
+    assert auto.select_backend(dirty, b) == "xla"
+
+    # Small problems stay on XLA even on TPU.
+    s_small = poisson3d_stencil(16, 16, 16)
+    b2 = jnp.zeros((s_small.shape[0],), jnp.float32)
+    assert auto.select_backend(s_small, b2) in ("xla", "padded")
+
+
+def test_solve_distributed_method_flag(capsys):
+    """--method single_reduction reaches the Chronopoulos-Gear path."""
+    code, out, err = run_cli(
+        ["solve", "--poisson", "16x16", "--format", "dia", "--dtype", "f64",
+         "--precond", "jacobi", "--devices", "8", "--tol", "1e-8",
+         "--method", "single_reduction"], capsys)
+    assert code == 0
+    assert "converged=True" in err
+
+
+def test_solve_distributed_fused_stencil(capsys):
+    """--devices with a stencil source now routes the fused shard_map
+    engine (used to SystemExit)."""
+    code, out, err = run_cli(
+        ["solve", "--poisson", "16x6x7", "--format", "stencil",
+         "--dtype", "f32", "--devices", "8", "--tol", "1e-5"], capsys)
+    assert code == 0
+    assert "converged=True" in err

@@ -231,3 +231,86 @@ def test_dist_cg_single_reduction_method(rng):
                         jacobi=True)
     np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
                                rtol=1e-7, atol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Distributed fused engine (cgx/dist/fused.py)
+# ---------------------------------------------------------------------------
+
+def test_dist_fused_stencil_matches_single_device(rng):
+    """8-way sharded fused CG == single-device fused CG (VERDICT r1 #1)."""
+    from cgx.dist.fused import dist_fused_cg, dist_fused_supported
+    from cgx.kernels.fused_cg import fused_stencil_cg
+    from cgx.sparse.stencil import poisson3d_stencil
+    s = poisson3d_stencil(16, 6, 7)
+    assert dist_fused_supported(s, MESH)
+    n = 16 * 6 * 7
+    b = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    ref = fused_stencil_cg(s, b, tol=1e-5, maxiter=600, interpret=True)
+    res = dist_fused_cg(s, b, MESH, tol=1e-5, maxiter=600)
+    assert bool(res.converged)
+    assert abs(int(res.iterations) - int(ref.iterations)) <= 2
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                               rtol=5e-4, atol=5e-5)
+    # And against the plain XLA solver (independent ground truth).
+    xla = cg_solve(s, b, tol=1e-5, maxiter=600)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(xla.x),
+                               rtol=5e-3, atol=5e-4)
+
+
+def test_dist_fused_stencil_x0_and_history(rng):
+    from cgx.dist.fused import dist_fused_cg
+    from cgx.kernels.fused_cg import fused_stencil_cg
+    from cgx.sparse.stencil import poisson3d_stencil
+    s = poisson3d_stencil(8, 9, 5)
+    n = 8 * 9 * 5
+    b = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    x0 = jnp.asarray(rng.standard_normal(n).astype(np.float32) * 0.1)
+    ref = fused_stencil_cg(s, b, x0, tol=1e-5, maxiter=600,
+                           track_history=True, interpret=True)
+    res = dist_fused_cg(s, b, MESH, x0=x0, tol=1e-5, maxiter=600,
+                        track_history=True)
+    assert bool(res.converged)
+    assert abs(int(res.iterations) - int(ref.iterations)) <= 2
+    k = min(int(res.iterations), int(ref.iterations))
+    np.testing.assert_allclose(np.asarray(res.history)[:k],
+                               np.asarray(ref.history)[:k], rtol=2e-2)
+
+
+def test_dist_fused_dia_jacobi(rng):
+    """Sharded fused DIA Jacobi-PCG vs single-device fused and XLA PCG."""
+    import cgx
+    from cgx.dist.fused import dist_fused_cg, dist_fused_supported
+    from cgx.kernels.fused_dia_cg import fused_dia_cg
+    from tests.test_kernels import _scaled_poisson3d_dia
+    a = _scaled_poisson3d_dia(8, 6, 7, rng).astype(jnp.float32)
+    assert dist_fused_supported(a, MESH)
+    n = a.shape[0]
+    b = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    ref = fused_dia_cg(a, b, tol=1e-5, maxiter=800, interpret=True)
+    res = dist_fused_cg(a, b, MESH, jacobi=True, tol=1e-5, maxiter=800)
+    assert bool(res.converged)
+    assert abs(int(res.iterations) - int(ref.iterations)) <= 2
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                               rtol=5e-4, atol=5e-5)
+    m = cgx.JacobiPrecond.from_matrix(a)
+    xla = cgx.cg_solve(a, b, tol=1e-5, maxiter=800, preconditioner=m)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(xla.x),
+                               rtol=5e-3, atol=5e-4)
+
+
+def test_dist_fused_emits_no_allgather(rng):
+    """The fused sharded loop exchanges two boundary rows by
+    collective-permute and reduces scalars by all-reduce — it must never
+    all-gather the iterate."""
+    from cgx.dist import fused as df
+    from cgx.sparse.stencil import poisson3d_stencil
+    s = poisson3d_stencil(16, 6, 7)
+    n = 16 * 6 * 7
+    b = jnp.zeros((n,), jnp.float32)
+    f = df._cached_stencil_solver(MESH, s, "float32", 1e-5, 0.0, 50, False,
+                                  False, True)
+    hlo = f.lower(b).compile().as_text()
+    assert "all-gather" not in hlo, "fused dist must not all-gather x"
+    assert "collective-permute" in hlo
+    assert "all-reduce" in hlo

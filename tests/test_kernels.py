@@ -238,3 +238,60 @@ def test_fused_dia_wrap_entries_offset_nz(rng):
     dirty = DIAMatrix(data=jnp.asarray(data), offsets=clean.offsets,
                       shape=clean.shape)
     assert not wrap_entries_zero(dirty)
+
+
+def test_fused_2d_stencil_matches_cg_solve(rng):
+    """2-D 5-point fused path (engine dims (nx, 1, ny))."""
+    from cgx.kernels.fused_cg import fused_stencil_cg, supports
+    from cgx.sparse.stencil import poisson2d_stencil
+    from cgx.solve.cg import cg_solve
+    s = poisson2d_stencil(17, 13)
+    assert supports(s)
+    n = 17 * 13
+    b = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    ref = cg_solve(s, b, tol=1e-5, maxiter=500)
+    res = fused_stencil_cg(s, b, tol=1e-5, maxiter=500, interpret=True)
+    assert bool(res.converged)
+    assert abs(int(res.iterations) - int(ref.iterations)) <= 2
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                               rtol=5e-3, atol=5e-4)
+
+
+def test_fused_27point_matches_cg_solve(rng):
+    """27-point general-stencil fused path (corner taps: simultaneous
+    row + lane shifts)."""
+    from cgx.kernels.fused_cg import fused_stencil_cg, supports
+    from cgx.sparse.stencil import poisson3d_27point
+    from cgx.solve.cg import cg_solve
+    s = poisson3d_27point(6, 7, 5)
+    assert supports(s)
+    n = 6 * 7 * 5
+    b = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    ref = cg_solve(s, b, tol=1e-5, maxiter=500)
+    res = fused_stencil_cg(s, b, tol=1e-5, maxiter=500, interpret=True)
+    assert bool(res.converged)
+    assert abs(int(res.iterations) - int(ref.iterations)) <= 2
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                               rtol=5e-3, atol=5e-4)
+
+
+def test_general_stencil_matvec_matches_scipy(rng):
+    """GeneralStencil3D.matvec against an explicitly assembled matrix."""
+    from cgx.sparse.stencil import poisson3d_27point
+    s = poisson3d_27point(4, 3, 5)
+    n = 60
+    x = rng.standard_normal(n)
+    # Assemble densely from the tap definition.
+    a = np.zeros((n, n))
+    for (dx, dy, dz), c in zip(s.taps, s.coeffs):
+        for i in range(4):
+            for j in range(3):
+                for k in range(5):
+                    ii, jj, kk = i + dx, j + dy, k + dz
+                    if 0 <= ii < 4 and 0 <= jj < 3 and 0 <= kk < 5:
+                        a[(i * 3 + j) * 5 + k, (ii * 3 + jj) * 5 + kk] = c
+    np.testing.assert_allclose(
+        np.asarray(s.matvec(jnp.asarray(x, jnp.float64))), a @ x,
+        rtol=1e-12, atol=1e-12)
+    # SPD sanity: all eigenvalues positive.
+    assert np.linalg.eigvalsh(a).min() > 0
