@@ -1,0 +1,100 @@
+"""SuiteSparse-SPD PCG benchmark row (BASELINE.md / SURVEY.md §6).
+
+Runs (P)CG to ``tol`` on the SuiteSparse target set — the real matrices
+when vendored (``CGX_SUITESPARSE_DIR``), else the documented stand-ins
+from :mod:`cgx.io.suitesparse` — across the preconditioner set, and
+prints one JSON line per (matrix, preconditioner).  Output marks
+stand-ins explicitly: their numbers are comparable in character
+(dimension, sparsity, conditioning class), not identical to the real
+matrices.
+
+Usage: ``python -m cgx.bench.suitesparse [--scale 0.1] [--tol 1e-6]``.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def bench_matrix(name: str, a, is_standin: bool, *, tol: float = 1e-6,
+                 maxiter: int = 30000, reps: int = 3, dtype="float32"):
+    """One matrix across the preconditioner set; returns result dicts."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import cgx
+
+    a32 = a.astype(jnp.dtype(dtype))
+    n = a.shape[0]
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal(n).astype(dtype)
+
+    preconds = {"none": None, "jacobi": cgx.JacobiPrecond.from_matrix(a32)}
+    try:
+        t0 = time.perf_counter()
+        preconds["ic0"] = cgx.IC0Precond.from_matrix(a, dtype=np.dtype(dtype))
+        ic0_setup_s = time.perf_counter() - t0
+    except np.linalg.LinAlgError as exc:   # IC(0) breakdown is a real
+        preconds["ic0"] = exc              # property of the matrix: report
+        ic0_setup_s = None
+    # 3 dof/node for the stiffness set; 8 otherwise.
+    bs = 3 if name.startswith("bcsstk") and n % 3 == 0 else 8
+    preconds["block_jacobi"] = cgx.BlockJacobiPrecond.from_matrix(a, bs)
+
+    out = []
+    for pname, m in preconds.items():
+        rec = {"matrix": name, "standin": bool(is_standin), "n": n,
+               "nnz": int(a.nnz), "precond": pname, "dtype": dtype,
+               "tol": tol}
+        if isinstance(m, Exception):
+            rec["error"] = f"IC(0) breakdown: {m}"
+            out.append(rec)
+            continue
+        solve = jax.jit(lambda b, m=m: cgx.cg_solve(
+            a32, b, tol=tol, maxiter=maxiter, preconditioner=m))
+        res = jax.block_until_ready(solve(jnp.asarray(base)))   # compile
+        best = None
+        for i in range(reps):
+            b = jnp.asarray(base * (1 + 0.001 * (i + 1)))
+            jax.block_until_ready(b)
+            t0 = time.perf_counter()
+            res = jax.block_until_ready(solve(b))
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        rec.update(iterations=int(res.iterations),
+                   converged=bool(res.converged),
+                   relres=float(res.residual_norm
+                                / jnp.linalg.norm(jnp.asarray(base))),
+                   solve_ms=round(best * 1e3, 2))
+        if pname == "ic0" and ic0_setup_s is not None:
+            rec["setup_s"] = round(ic0_setup_s, 2)
+        out.append(rec)
+    return out
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--names", default="bcsstk17,thermal2")
+    ap.add_argument("--scale", type=float, default=1.0,
+                    help="shrink stand-in dimensions (CPU smoke)")
+    ap.add_argument("--tol", type=float, default=1e-6)
+    ap.add_argument("--maxiter", type=int, default=30000)
+    ap.add_argument("--dir", default=None,
+                    help="directory with real .mtx artifacts")
+    args = ap.parse_args(argv)
+
+    from cgx.io.suitesparse import load_or_standin
+
+    for name in args.names.split(","):
+        a, standin = load_or_standin(name, args.dir, scale=args.scale)
+        for rec in bench_matrix(name, a, standin, tol=args.tol,
+                                maxiter=args.maxiter):
+            print(json.dumps(rec), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

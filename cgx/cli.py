@@ -152,8 +152,15 @@ def _solve_distributed(args, a, b, n, tol, maxiter):
     mesh = make_row_mesh(args.devices)
     method = args.method
     jacobi = args.precond == "jacobi"
+    precond = {"none": "none", "jacobi": "jacobi",
+               "block-jacobi": "block_jacobi", "poly": "poly"}.get(
+                   args.precond)
+    if precond is None:
+        raise SystemExit(f"--devices>1 supports --precond none/jacobi/"
+                         f"block-jacobi/poly (got {args.precond!r})")
     if method == "auto":
-        method = "fused" if dist_fused_supported(a, mesh) else "cg"
+        method = ("fused" if dist_fused_supported(a, mesh)
+                  and precond in ("none", "jacobi") else "cg")
 
     if method == "fused":
         if not dist_fused_supported(a, mesh):
@@ -175,7 +182,8 @@ def _solve_distributed(args, a, b, n, tol, maxiter):
                          "sources (use --method fused for stencils)")
     t0 = time.perf_counter()
     res = jax.block_until_ready(dist_cg_solve(
-        part, b, mesh, tol=tol, maxiter=maxiter, jacobi=jacobi,
+        part, b, mesh, tol=tol, maxiter=maxiter, preconditioner=precond,
+        blocksize=args.blocksize, poly_steps=args.poly_steps,
         method=method))
     dt = time.perf_counter() - t0
     return res, dt, unpad_vector(np.asarray(res.x), n)
@@ -319,7 +327,8 @@ def main(argv=None) -> int:
     ps.add_argument("--devices", type=int, default=1,
                     help="row-shard the solve over N devices")
     ps.add_argument("--method", default="auto",
-                    choices=["auto", "cg", "single_reduction", "fused"],
+                    choices=["auto", "cg", "single_reduction", "fused",
+                             "chebyshev"],
                     help="distributed solver method (with --devices>1)")
     ps.add_argument("--legacy-compat", action="store_true",
                     help="reference semantics: fixed iters, \\t%%f dump")

@@ -30,7 +30,8 @@ from cgx.kernels import fused_cg as _fc
 # Name imports (not the module): the kernels package __init__ re-exports a
 # FUNCTION named fused_dia_cg that shadows the submodule attribute.
 from cgx.kernels.fused_dia_cg import (build_fused_dia, dia_pattern_dims,
-                                      supports_dia, wrap_entries_zero)
+                                      supports_dia,
+                                      wrap_entries_zero_or_none)
 from cgx.kernels.fused_engine import FusedCG, make_geometry
 from cgx.solve.cg import CGResult
 
@@ -53,9 +54,7 @@ def dist_fused_supported(a, mesh: Mesh) -> bool:
         return spec[0] % nd == 0
     if supports_dia(a):
         nx = dia_pattern_dims(a)[0]
-        return (nx % nd == 0
-                and not isinstance(a.data, jax.core.Tracer)
-                and wrap_entries_zero(a))
+        return nx % nd == 0 and wrap_entries_zero_or_none(a) is True
     return False
 
 
@@ -107,18 +106,18 @@ def dist_fused_cg(
     if not supports_dia(a):
         raise ValueError("dist_fused_cg: unsupported operator (need a "
                          "fused-capable stencil or 7-point DIA)")
-    if not isinstance(a.data, jax.core.Tracer) and not wrap_entries_zero(a):
+    if wrap_entries_zero_or_none(a) is False:
         raise ValueError("dist_fused_cg: DIA data has nonzero x-plane-"
                          "crossing entries — use dist_cg_solve instead")
     nx = dia_pattern_dims(a)[0]
     if nx % nd:
         raise ValueError(f"nx={nx} not divisible by mesh size {nd}")
 
-    geom, e, planes, weight = build_fused_dia(
+    geom, e, planes, weight, coeffs = build_fused_dia(
         a, b.dtype, jacobi=jacobi, n_shards=nd)
-    f = _cached_dia_solver(mesh, geom, b.dtype.name, float(tol), float(atol),
-                           int(maxiter), bool(track_history), x0 is not None,
-                           e is not None, bool(interpret))
+    f = _cached_dia_solver(mesh, geom, coeffs, b.dtype.name, float(tol),
+                           float(atol), int(maxiter), bool(track_history),
+                           x0 is not None, e is not None, bool(interpret))
     mat = NamedSharding(mesh, P(None, AXIS))
     args = [jax.device_put(planes, mat), jax.device_put(b, vec)]
     if e is not None:
@@ -159,8 +158,8 @@ def _cached_stencil_solver(mesh, s, dtype_name, tol, atol, maxiter, track,
 
 
 @lru_cache(maxsize=64)
-def _cached_dia_solver(mesh, geom, dtype_name, tol, atol, maxiter, track,
-                       has_x0, scaled, interpret):
+def _cached_dia_solver(mesh, geom, coeffs, dtype_name, tol, atol, maxiter,
+                       track, has_x0, scaled, interpret):
     import dataclasses as _dc
 
     dtype = jnp.dtype(dtype_name)
@@ -173,8 +172,8 @@ def _cached_dia_solver(mesh, geom, dtype_name, tol, atol, maxiter, track,
         else:
             e_loc = w_loc = None
         x0_loc = rest.pop(0) if rest else None
-        eng = FusedCG(geom, dtype=dtype, planes=planes_loc, weight=w_loc,
-                      axis_name=AXIS, interpret=interpret)
+        eng = FusedCG(geom, dtype=dtype, coeffs=coeffs, planes=planes_loc,
+                      weight=w_loc, axis_name=AXIS, interpret=interpret)
         if e_loc is not None:
             b_s = e_loc * b_loc
             if x0_loc is not None:

@@ -42,6 +42,84 @@ def operator_specs(part: Partition):
         lambda leaf: P(AXIS, *(None,) * (leaf.ndim - 1)), part)
 
 
+def _local_block_inverses(a_loc: Partition, bs: int) -> jnp.ndarray:
+    """Dense inverses of the (bs, bs) diagonal blocks of this shard's rows,
+    built entirely from the local operator layout (no global traffic).
+
+    Requires ``rows_local % bs == 0`` so blocks never straddle shards.
+    Matches :class:`cgx.solve.precond.BlockJacobiPrecond` block-for-block
+    (padding rows get identity), so sharded PCG trajectories are identical
+    to the single-device path.
+    """
+    rl = a_loc.rows_local
+    if rl % bs:
+        raise ValueError(f"blocksize {bs} must divide rows_local {rl}")
+    nb = rl // bs
+    i_loc = jnp.arange(rl)
+    if a_loc.kind == "dia":
+        data = a_loc.dia_data.reshape(a_loc.dia_data.shape[1:])  # (rl, nd)
+        blocks = jnp.zeros((nb, bs, bs), data.dtype)
+        ir = i_loc % bs
+        for k, off in enumerate(a_loc.dia_offsets):
+            ic = ir + off
+            ok = (ic >= 0) & (ic < bs)
+            blocks = blocks.at[i_loc // bs, ir,
+                               jnp.clip(ic, 0, bs - 1)].add(
+                jnp.where(ok, data[:, k], 0.0))
+    else:
+        vals = a_loc.ell_values.reshape(a_loc.ell_values.shape[1:])
+        cols = a_loc.ell_cols.reshape(a_loc.ell_cols.shape[1:])
+        first = jax.lax.axis_index(AXIS).astype(cols.dtype) * rl
+        if a_loc.mode == "halo":
+            # Extended-local → global: col_g = col_ext + first - halo_lo.
+            col_g = cols + first - a_loc.halo_lo
+        else:
+            col_g = cols
+        row_g = (first + i_loc)[:, None]
+        ic = col_g - (row_g // bs) * bs
+        ok = (col_g // bs) == (row_g // bs)
+        ir = (i_loc % bs)[:, None] + jnp.zeros_like(cols)
+        blk = jnp.broadcast_to((i_loc // bs)[:, None], cols.shape)
+        blocks = jnp.zeros((nb, bs, bs), vals.dtype)
+        blocks = blocks.at[blk, ir, jnp.clip(ic, 0, bs - 1)].add(
+            jnp.where(ok, vals, 0.0))
+    # Zero diagonal slots (padding rows / empty rows) get 1 so the inverse
+    # is defined — identical convention to BlockJacobiPrecond.from_matrix.
+    di = jnp.arange(bs)
+    d = blocks[:, di, di]
+    blocks = blocks.at[:, di, di].set(jnp.where(d == 0, 1.0, d))
+    return jnp.linalg.inv(blocks)
+
+
+def _make_local_precond(a_loc: Partition, kind: str, mv, *, blocksize: int,
+                        poly_steps: int):
+    """Shard-local preconditioner closure (SURVEY §5.h: zero global setup
+    traffic — everything derives from the local operator)."""
+    from cgx.ops.blas import safe_recip
+
+    if kind == "none":
+        return None
+    if kind == "jacobi":
+        inv = safe_recip(_local_diag(a_loc))
+        return lambda r: inv * r
+    if kind == "block_jacobi":
+        inv_blocks = _local_block_inverses(a_loc, blocksize)
+        bs = blocksize
+
+        def apply_bj(r):
+            zb = jnp.einsum("bij,bj->bi", inv_blocks, r.reshape(-1, bs),
+                            preferred_element_type=r.dtype)
+            return zb.reshape(-1)
+
+        return apply_bj
+    if kind == "poly":
+        from cgx.solve.precond import PolynomialPrecond
+        inv = safe_recip(_local_diag(a_loc))
+        return PolynomialPrecond(mv, inv, steps=poly_steps).apply
+    raise ValueError(f"unknown preconditioner {kind!r} (distributed path "
+                     "supports none/jacobi/block_jacobi/poly)")
+
+
 def _local_diag(a_loc: Partition) -> jnp.ndarray:
     """Diagonal of this shard's rows, from the local operator layout."""
     if a_loc.kind == "dia":
@@ -74,8 +152,13 @@ def dist_cg_solve(
     atol: float = 0.0,
     maxiter: Optional[int] = None,
     jacobi: bool = False,
+    preconditioner: Optional[str] = None,
+    blocksize: int = 8,
+    poly_steps: int = 3,
     track_history: bool = False,
     method: str = "cg",
+    lam_min: Optional[float] = None,
+    lam_max: Optional[float] = None,
 ) -> CGResult:
     """Solve ``A x = b`` with row-sharded (P)CG over ``mesh``.
 
@@ -84,22 +167,34 @@ def dist_cg_solve(
     :class:`CGResult` carries the padded global solution — strip with
     :func:`cgx.dist.partition.unpad_vector`.
 
-    ``jacobi=True`` builds the diagonal preconditioner *inside* the shard —
-    no global setup traffic; padding rows (zero diagonal) stay exactly zero.
+    ``preconditioner``: ``"none"`` | ``"jacobi"`` | ``"block_jacobi"`` |
+    ``"poly"`` — all built *inside* the shard from the local operator (no
+    global setup traffic); padding rows stay exactly zero.  Sharded
+    trajectories are identical to the single-device PCG with the matching
+    preconditioner.  ``jacobi=True`` is the round-1 spelling of
+    ``preconditioner="jacobi"`` (kept for compatibility).
 
-    ``method``: ``"cg"`` (2 psums/iter) or ``"single_reduction"``
+    ``method``: ``"cg"`` (2 psums/iter), ``"single_reduction"``
     (Chronopoulos–Gear, 1 fused psum/iter — halves cross-chip latency on
-    large meshes; no history tracking).
+    large meshes; no history tracking), or ``"chebyshev"`` (ZERO reductions
+    per iteration given eigenvalue bounds ``lam_min``/``lam_max`` of
+    ``M⁻¹A`` — estimated by distributed power iteration when omitted; the
+    latency-optimal method on large meshes).
     """
     if maxiter is None:
         maxiter = part.n
+    if preconditioner is None:
+        preconditioner = "jacobi" if jacobi else "none"
     b_pad = pad_vector(jnp.asarray(b), part.n_padded)
 
     specs = operator_specs(part)
     vec = P(AXIS)
     f = _cached_solver(mesh, _static_key(part), float(tol), float(atol),
-                       int(maxiter), bool(jacobi), bool(track_history),
-                       method, x0 is not None)
+                       int(maxiter), preconditioner, int(blocksize),
+                       int(poly_steps), bool(track_history),
+                       method, x0 is not None,
+                       None if lam_min is None else float(lam_min),
+                       None if lam_max is None else float(lam_max))
 
     part_dev = jax.device_put(
         part, jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
@@ -118,8 +213,9 @@ def _static_key(part: Partition):
 
 
 @lru_cache(maxsize=64)
-def _cached_solver(mesh, part_key, tol, atol, maxiter, jacobi,
-                   track_history, method, has_x0):
+def _cached_solver(mesh, part_key, tol, atol, maxiter, precond_kind,
+                   blocksize, poly_steps, track_history, method, has_x0,
+                   lam_min, lam_max):
     """Build-and-jit the shard_map solver once per static configuration.
 
     A fresh closure per call would key ``jax.jit`` on function identity and
@@ -138,18 +234,28 @@ def _cached_solver(mesh, part_key, tol, atol, maxiter, jacobi,
 
     def local_solve(a_loc: Partition, b_loc, *x0_loc):
         mv = partial(local_matvec, a_loc, axis_name=AXIS)
-        precond = None
-        if jacobi:
-            from cgx.ops.blas import safe_recip
-            inv = safe_recip(_local_diag(a_loc))
-            precond = lambda r: inv * r
+        precond = _make_local_precond(a_loc, precond_kind, mv,
+                                      blocksize=blocksize,
+                                      poly_steps=poly_steps)
+        x0l = x0_loc[0] if x0_loc else None
         if method == "single_reduction":
             from cgx.solve.cg import cg_solve_single_reduction
             return cg_solve_single_reduction(
-                mv, b_loc, x0_loc[0] if x0_loc else None, tol=tol,
-                atol=atol, maxiter=maxiter, preconditioner=precond,
-                axis_name=AXIS)
-        return cg_solve(mv, b_loc, x0_loc[0] if x0_loc else None,
+                mv, b_loc, x0l, tol=tol, atol=atol, maxiter=maxiter,
+                preconditioner=precond, axis_name=AXIS)
+        if method == "chebyshev":
+            from cgx.solve.chebyshev import chebyshev_solve, estimate_bounds
+            if lam_min is None or lam_max is None:
+                op = mv if precond is None else (
+                    lambda v: precond(mv(v)))
+                lo, hi = estimate_bounds(op, b_loc.shape[0],
+                                         axis_name=AXIS)
+            else:
+                lo, hi = lam_min, lam_max
+            return chebyshev_solve(mv, b_loc, lo, hi, x0l, tol=tol,
+                                   maxiter=maxiter, preconditioner=precond,
+                                   axis_name=AXIS)
+        return cg_solve(mv, b_loc, x0l,
                         tol=tol, atol=atol, maxiter=maxiter,
                         preconditioner=precond, axis_name=AXIS,
                         track_history=track_history)

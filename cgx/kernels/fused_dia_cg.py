@@ -25,7 +25,8 @@ from cgx.kernels.fused_engine import FusedCG, make_geometry
 from cgx.solve.cg import CGResult
 
 __all__ = ["fused_dia_cg", "supports_dia", "dia_pattern_dims",
-           "wrap_entries_zero", "build_fused_dia"]
+           "wrap_entries_zero", "wrap_entries_zero_or_none",
+           "build_fused_dia"]
 
 
 def dia_pattern_dims(d) -> Optional[Tuple[int, int, int]]:
@@ -66,17 +67,27 @@ def wrap_entries_zero(d) -> bool:
     fused kernel than under the generic ``_dia_spmv``; callers must check
     this before routing (``auto_solve`` does).
 
-    Requires concrete (non-traced) data; raises ``ValueError`` on a
-    tracer because the check is inherently data-dependent.
+    Requires concrete (non-traced) data; raises ``ValueError`` when
+    called under tracing (use :func:`wrap_entries_zero_or_none` for a
+    soft check) — the check is inherently data-dependent.
     """
+    ok = wrap_entries_zero_or_none(d)
+    if ok is None:
+        raise ValueError(
+            "wrap_entries_zero needs concrete DIA data (called under jit/"
+            "tracing); check before jit, or call fused_dia_cg directly if "
+            "the operator is known to have zero x-plane-crossing entries")
+    return ok
+
+
+def wrap_entries_zero_or_none(d):
+    """Like :func:`wrap_entries_zero` but returns ``None`` when the check
+    cannot run (traced data / called inside jit)."""
     dims = dia_pattern_dims(d)
     if dims is None:
         return False
     if isinstance(d.data, jax.core.Tracer):
-        raise ValueError(
-            "wrap_entries_zero needs concrete DIA data (got a tracer); "
-            "check before jit, or call fused_dia_cg directly if the "
-            "operator is known to have zero x-plane-crossing entries")
+        return None
     nx, ny, nz = dims
 
     def grid(k):
@@ -88,7 +99,11 @@ def wrap_entries_zero(d) -> bool:
          + jnp.sum(jnp.abs(grid(2)[1:, 0, 0]))                # -1
          + jnp.sum(jnp.abs(grid(5)[:nx - 1, ny - 1, :]))      # +nz
          + jnp.sum(jnp.abs(grid(1)[1:, 0, :])))               # -nz
-    return bool(s == 0)
+    try:
+        return bool(s == 0)
+    except jax.errors.TracerBoolConversionError:
+        # Inside a trace even concrete operands produce tracers.
+        return None
 
 
 # Offset order (-o3, -o2, -1, 0, 1, o2, o3) in engine tap convention.
@@ -133,6 +148,7 @@ def build_fused_dia(d, dtype, *, jacobi: bool = True, inv_diag=None,
 
     geom = make_geometry(nx, ny, nz, _DIA_TAPS, n_shards=n_shards,
                          target_block_bytes=1 << 18)
+    coeffs = (None,) * 7
     if invd is None:
         planes = jnp.stack([d.data[t].astype(dtype)
                             for t in range(len(d.offsets))])
@@ -143,12 +159,31 @@ def build_fused_dia(d, dtype, *, jacobi: bool = True, inv_diag=None,
         planes = _scaled_planes(d, e, dtype)
         from cgx.ops.blas import safe_recip
         weight = safe_recip(invd)              # = diag(A) for true ‖r‖²
+        # After the symmetric scaling the diagonal plane is 1 (exactly, in
+        # exact arithmetic) whenever inv_diag = 1/diag with no zero rows:
+        # keep it as a constant tap instead of streaming a plane of ones —
+        # one fewer full-vector pass per iteration.  Check on the concrete
+        # host data (d.data is concrete even when b is traced).
+        import numpy as np
+        if not (isinstance(d.data, jax.core.Tracer)
+                or isinstance(inv_diag, jax.core.Tracer)):
+            # NB: np.asarray on the WHOLE concrete array, then index —
+            # d.data[3] would be a traced op inside jit.
+            diag_np = np.asarray(d.data, np.float64)[3]
+            inv_np = (np.asarray(inv_diag, np.float64)
+                      if inv_diag is not None
+                      else np.where(diag_np != 0, 1.0 / np.where(
+                          diag_np != 0, diag_np, 1.0), 0.0))
+            if np.allclose(diag_np * inv_np, 1.0, rtol=1e-6, atol=1e-6):
+                coeffs = (None, None, None, 1.0, None, None, None)
+                planes = jnp.concatenate([planes[:3], planes[4:]])
 
     if n_shards == 1:
-        eng = FusedCG(geom, dtype=dtype, planes=planes, weight=weight,
-                      axis_name=axis_name, interpret=interpret)
+        eng = FusedCG(geom, dtype=dtype, coeffs=coeffs, planes=planes,
+                      weight=weight, axis_name=axis_name,
+                      interpret=interpret)
         return eng, e, planes
-    return geom, e, planes, weight             # dist path builds per-shard
+    return geom, e, planes, weight, coeffs     # dist path builds per-shard
 
 
 def fused_dia_cg(d, b: jnp.ndarray, x0=None, *, tol: float = 1e-6,
@@ -167,7 +202,7 @@ def fused_dia_cg(d, b: jnp.ndarray, x0=None, *, tol: float = 1e-6,
     # The lane layout drops contributions at x-plane-crossing slots (see
     # wrap_entries_zero).  Verify when the data is concrete; under jit the
     # caller is responsible (auto_solve checks before routing here).
-    if not isinstance(d.data, jax.core.Tracer) and not wrap_entries_zero(d):
+    if wrap_entries_zero_or_none(d) is False:
         raise ValueError(
             "fused_dia_cg: DIA data has nonzero entries at x-plane-"
             "crossing slots (offsets ±1 at the j/k-extremes, ±nz in the "

@@ -71,7 +71,14 @@ def _r128(v: int) -> int:
 
 @dataclass(frozen=True)
 class Geometry:
-    """Static layout geometry for one fused problem (hashable)."""
+    """Static layout geometry for one fused problem (hashable).
+
+    Two lane-block sizes: ``bl`` is kernel B's (VMEM-bound: 7 concurrent
+    double-buffered streams) and ``bl_a = a_factor·bl`` is kernel A's
+    (only the window scratch + q live in VMEM, so bigger blocks amortize
+    the ±sl window-overlap read amplification).  The layout's halo lane
+    blocks are ``bl_a`` wide so both block sizes tile it exactly.
+    """
 
     nx: int            # global x-planes
     ny: int
@@ -80,11 +87,14 @@ class Geometry:
     taps: Tuple[Tuple[int, int, int], ...]   # (dx, dy, dk) per tap
     rows8: int         # sublane rows: round8(nxl + 2 halo rows)
     sl: int            # lane halo (covers max |dy·nz + dk|)
-    bl: int            # lane block
+    bl: int            # kernel-B lane block
+    bl_a: int          # kernel-A lane block (multiple of bl)
     l_real: int        # ny·nz
-    l_pad: int
-    total: int         # l_pad + 2·bl (one halo block each side)
-    nb: int            # number of lane blocks
+    l_pad: int         # rounded up to a multiple of bl_a
+    total: int         # l_pad + 2·bl_a (one halo block each side)
+    nb: int            # kernel-B grid size (l_pad / bl)
+    nb_a: int          # kernel-A grid size (l_pad / bl_a)
+    double_buffer: bool  # overlap kernel A's window DMA with compute
 
     @property
     def n_local(self) -> int:
@@ -94,7 +104,10 @@ class Geometry:
 def make_geometry(nx: int, ny: int, nz: int,
                   taps: Sequence[Tuple[int, int, int]],
                   n_shards: int = 1,
-                  target_block_bytes: int = 1 << 20) -> Geometry:
+                  target_block_bytes: int = 1 << 19) -> Geometry:
+    """``target_block_bytes`` sizes kernel B's blocks (7-8 double-buffered
+    streams — keep modest); kernel A's block multiple ``m`` is chosen per
+    regime (see the inline comments)."""
     if nx % n_shards:
         raise ValueError(f"nx={nx} not divisible by n_shards={n_shards}")
     nxl = nx // n_shards
@@ -107,10 +120,37 @@ def make_geometry(nx: int, ny: int, nz: int,
     reach = max([abs(dy * nz + dk) for (_, dy, dk) in taps] + [1])
     sl = _r128(reach)
     bl = max(sl, (target_block_bytes // (rows8 * 4) // 128) * 128)
-    l_pad = -(-l_real // bl) * bl
+    # Two regimes (measured, docs/PERF_NOTES.md): when the ~5-buffer
+    # working set fits in VMEM (~128 MB on v5e) XLA keeps the carried
+    # vectors VMEM-resident and the iteration runs at ~2.5 TB/s — small
+    # blocks, no window amortization needed (m = 1).  Past residency the
+    # iteration is HBM-streaming-bound and kernel A wants the biggest
+    # window its scoped-VMEM budget allows.
+    l_pad1 = -(-l_real // bl) * bl
+    working_set = 5 * rows8 * (l_pad1 + 2 * bl) * 4
+    if working_set <= (96 << 20):
+        # Resident regime: smallest layout, no window DMA double-buffering
+        # (its per-block control overhead measured ~50% at 128^3, and
+        # VMEM-to-VMEM copies don't need hiding).
+        m = 1
+        double_buffer = False
+    else:
+        # Streaming regime: widest A-window whose scoped-VMEM fits.
+        # Model (calibrated on-chip; 288^3 OOMed at bl_a=1536/rows8=296,
+        # 216^3 compiled at bl_a=2048/rows8=224): double-buffered window
+        # scratch 2·(bl_a + 2·sl) plus ~7 block-sized temporaries,
+        # × rows8 × 4 B ≤ 15 MB.  Grid-pipelined inputs (the coefficient
+        # planes) do NOT count: their buffers live in regular VMEM
+        # (~128 MB on v5e), not the 16 MB scoped stack.
+        cap = (15 << 20) // (4 * rows8) - 4 * sl
+        m = max(1, int(cap // (9 * bl)))
+        double_buffer = True
+    bl_a = bl * m
+    l_pad = -(-l_real // bl_a) * bl_a
     return Geometry(nx=nx, ny=ny, nz=nz, nxl=nxl, taps=tuple(map(tuple, taps)),
-                    rows8=rows8, sl=sl, bl=bl, l_real=l_real, l_pad=l_pad,
-                    total=l_pad + 2 * bl, nb=l_pad // bl)
+                    rows8=rows8, sl=sl, bl=bl, bl_a=bl_a, l_real=l_real,
+                    l_pad=l_pad, total=l_pad + 2 * bl_a, nb=l_pad // bl,
+                    nb_a=l_pad // bl_a, double_buffer=double_buffer)
 
 
 # ---------------------------------------------------------------------------
@@ -120,11 +160,11 @@ def make_geometry(nx: int, ny: int, nz: int,
 def to_layout(g: Geometry, v: jnp.ndarray) -> jnp.ndarray:
     arr = v.reshape(g.nxl, g.l_real)
     return jnp.pad(arr, ((1, g.rows8 - 1 - g.nxl),
-                         (g.bl, g.total - g.bl - g.l_real)))
+                         (g.bl_a, g.total - g.bl_a - g.l_real)))
 
 
 def from_layout(g: Geometry, a: jnp.ndarray) -> jnp.ndarray:
-    return a[1:1 + g.nxl, g.bl:g.bl + g.l_real].reshape(-1)
+    return a[1:1 + g.nxl, g.bl_a:g.bl_a + g.l_real].reshape(-1)
 
 
 # ---------------------------------------------------------------------------
@@ -141,29 +181,54 @@ def _kernel_a(*refs, g: Geometry, coeffs, variable: bool):
         p_hbm, q_ref, dots_ref, scratch, sem = refs
 
     j = pl.program_id(0)
-    start = (g.bl - g.sl) + j * g.bl          # statically 128-aligned
-    cp = pltpu.make_async_copy(
-        p_hbm.at[:, pl.ds(start, g.bl + 2 * g.sl)], scratch, sem)
-    cp.start()
-    cp.wait()
 
-    w = scratch[...]                           # (rows8, bl + 2·sl)
+    def dma(slot, blk):
+        start = (g.bl_a - g.sl) + blk * g.bl_a    # statically 128-aligned
+        return pltpu.make_async_copy(
+            p_hbm.at[:, pl.ds(start, g.bl_a + 2 * g.sl)],
+            scratch.at[slot], sem.at[slot])
+
+    if g.double_buffer:
+        # Streaming regime: prefetch block j+1's window while computing
+        # block j (a synchronous start/wait here measured ~590 GB/s
+        # effective vs the chip's ~990 GB/s streaming limit).
+        @pl.when(j == 0)
+        def _():
+            dma(0, 0).start()
+
+        @pl.when(j + 1 < g.nb_a)
+        def _():
+            dma((j + 1) % 2, j + 1).start()
+
+        dma(j % 2, j).wait()
+        w = scratch[j % 2]                     # (rows8, bl_a + 2·sl)
+    else:
+        # Resident regime: VMEM-to-VMEM copy needs no hiding; plain
+        # unsliced scratch, single semaphore.
+        start = (g.bl_a - g.sl) + j * g.bl_a
+        cp = pltpu.make_async_copy(
+            p_hbm.at[:, pl.ds(start, g.bl_a + 2 * g.sl)], scratch, sem)
+        cp.start()
+        cp.wait()
+        w = scratch[...]
     nxl = g.nxl
-    lane = j * g.bl + jax.lax.broadcasted_iota(jnp.int32, (1, g.bl), 1)
+    lane = j * g.bl_a + jax.lax.broadcasted_iota(jnp.int32, (1, g.bl_a), 1)
     k = lane % g.nz
     jy = (lane // g.nz) % g.ny
     valid = lane < g.l_real
 
     y = None
+    pi = 0                                     # next plane slot
     for t, (dx, dy, dk) in enumerate(g.taps):
         dl = dy * g.nz + dk
         # Row shift dx is an offset into the halo-extended rows (real rows
         # live at 1..nxl); lane shift dl indexes the halo window.
-        s = w[1 + dx:1 + dx + nxl, g.sl + dl:g.sl + dl + g.bl]
-        if variable:
+        s = w[1 + dx:1 + dx + nxl, g.sl + dl:g.sl + dl + g.bl_a]
+        if coeffs[t] is None:
             # Coefficient plane at the OUTPUT rows (row-aligned DIA
             # convention); boundary zeros are encoded in the data.
-            term = planes_ref[t, 1:1 + nxl, :] * s
+            term = planes_ref[pi, 1:1 + nxl, :] * s
+            pi += 1
         else:
             term = coeffs[t] * s
             # Boundary masks from index arithmetic (register work only).
@@ -177,9 +242,10 @@ def _kernel_a(*refs, g: Geometry, coeffs, variable: bool):
                 term = jnp.where(m, term, 0.0)
         y = term if y is None else y + term
 
-    if not variable:
-        # Lane-padding outputs must be zeroed: shifted reads can pull real
-        # values into padding lanes, which would corrupt qq and r.
+    if any(c is not None for c in coeffs):
+        # Lane-padding outputs must be zeroed: constant-coefficient
+        # shifted reads can pull real values into padding lanes, which
+        # would corrupt qq and r.  (Plane taps are zero there already.)
         y = jnp.where(valid, y, 0.0)
 
     q_ref[...] = jnp.pad(y, ((1, g.rows8 - 1 - nxl), (0, 0)))
@@ -189,7 +255,7 @@ def _kernel_a(*refs, g: Geometry, coeffs, variable: bool):
         dots_ref[0, 0] = 0.0
         dots_ref[0, 1] = 0.0
 
-    gc = w[1:1 + nxl, g.sl:g.sl + g.bl]
+    gc = w[1:1 + nxl, g.sl:g.sl + g.bl_a]
     # fp32 accumulation regardless of vector dtype.
     dots_ref[0, 0] += jnp.sum((y * gc).astype(jnp.float32))
     dots_ref[0, 1] += jnp.sum((y * y).astype(jnp.float32))
@@ -291,17 +357,35 @@ class FusedCG:
         self.geom = g
         self.axis_name = axis_name
         self.dtype = dtype
-        variable = planes is not None
+        # coeffs: one entry per tap — a float (constant coefficient) or
+        # None (streamed per-row plane; `planes` holds the None slots'
+        # planes in tap order).  Mixed taps let e.g. the Jacobi-scaled
+        # DIA path keep its unit diagonal as a constant instead of
+        # streaming a plane of ones.
+        if coeffs is None:
+            coeffs = (None,) * len(g.taps)
+        coeffs = tuple(coeffs)
+        n_planes = sum(1 for c in coeffs if c is None)
+        variable = n_planes > 0
         if variable:
+            if planes is None or planes.shape[0] != n_planes:
+                raise ValueError(f"need {n_planes} coefficient planes for "
+                                 f"the None tap slots, got "
+                                 f"{None if planes is None else planes.shape}")
             planes_l = jnp.stack(
                 [to_layout(g, planes[t].astype(dtype))
-                 for t in range(len(g.taps))])
+                 for t in range(n_planes)])
         self.weight_l = (to_layout(g, weight.astype(dtype))
                          if weight is not None else None)
         weighted = self.weight_l is not None
 
-        vec_blk = pl.BlockSpec((g.rows8, g.bl), lambda i: (0, i + 1),
+        # Kernel-B blocks: the real region starts at lane bl_a = m blocks.
+        m = g.bl_a // g.bl
+        vec_blk = pl.BlockSpec((g.rows8, g.bl), lambda i: (0, i + m),
                                memory_space=pltpu.VMEM)
+        # Kernel-A blocks (bl_a): one halo block on each side.
+        vec_blk_a = pl.BlockSpec((g.rows8, g.bl_a), lambda i: (0, i + 1),
+                                 memory_space=pltpu.VMEM)
         smem1_in = pl.BlockSpec((1, 1), lambda i: (0, 0),
                                 memory_space=pltpu.SMEM)
         smem2_in = pl.BlockSpec((1, 2), lambda i: (0, 0),
@@ -314,15 +398,14 @@ class FusedCG:
         vshape = jax.ShapeDtypeStruct((g.rows8, g.total), dtype, vma=vma)
         s2 = jax.ShapeDtypeStruct((1, 2), jnp.float32, vma=vma)
 
-        kernel_a = partial(_kernel_a, g=g,
-                           coeffs=None if variable else tuple(coeffs),
+        kernel_a = partial(_kernel_a, g=g, coeffs=coeffs,
                            variable=variable)
         kernel_b = partial(_kernel_b, weighted=weighted)
 
         a_in = [pl.BlockSpec(memory_space=pl.ANY)]
         a_args = ()
         if variable:
-            a_in.append(pl.BlockSpec((len(g.taps), g.rows8, g.bl),
+            a_in.append(pl.BlockSpec((n_planes, g.rows8, g.bl_a),
                                      lambda i: (0, 0, i + 1),
                                      memory_space=pltpu.VMEM))
             a_args = (planes_l,)
@@ -330,12 +413,15 @@ class FusedCG:
         def call_a(p_l):
             return pl.pallas_call(
                 kernel_a,
-                grid=(g.nb,),
+                grid=(g.nb_a,),
                 in_specs=a_in,
-                out_specs=(vec_blk, smem2_out),
+                out_specs=(vec_blk_a, smem2_out),
                 out_shape=(vshape, s2),
-                scratch_shapes=[pltpu.VMEM((g.rows8, g.bl + 2 * g.sl), dtype),
-                                pltpu.SemaphoreType.DMA(())],
+                scratch_shapes=(
+                    [pltpu.VMEM((2, g.rows8, g.bl_a + 2 * g.sl), dtype),
+                     pltpu.SemaphoreType.DMA((2,))] if g.double_buffer else
+                    [pltpu.VMEM((g.rows8, g.bl_a + 2 * g.sl), dtype),
+                     pltpu.SemaphoreType.DMA(())]),
                 interpret=interpret,
             )(p_l, *a_args)
 

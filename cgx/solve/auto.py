@@ -21,11 +21,13 @@ from cgx.solve.padded import cg_solve_padded, padded_length
 
 __all__ = ["auto_solve", "select_backend", "FUSED_MIN_ROWS"]
 
-# XLA's CG-body mega-fusion holds up to one vector per VMEM (measured
-# 40.6 us/iter at 2.1 M rows vs 600 us/iter at 4.1 M rows, fp32).
-FUSED_MIN_ROWS = 2_000_000  # fused measured faster from 128^3 up
-# (31.9 vs 40.6 us/iter at 128^3; 114.9 vs 600 at 160^3; 564 vs 1086 at
-# 216^3 — v2 numbers; v3 lowers all three)
+# XLA's CG-body mega-fusion holds while the working set stays
+# VMEM-resident (measured 40.6 us/iter at tile-exact 2.1 M rows vs
+# 600 us/iter at 4.1 M rows, fp32).  At 128^3 the v3 engine measures
+# ~48 us vs XLA's 40.6 (cross-process variance ±25% in the resident
+# regime), so routing flips to fused above ~3 M rows where the win is
+# unambiguous (80 vs 600 at 160^3; 345 vs 1086 at 216^3).
+FUSED_MIN_ROWS = 3_000_000
 
 
 def select_backend(a, b, preconditioner=None) -> str:
@@ -37,7 +39,8 @@ def select_backend(a, b, preconditioner=None) -> str:
     jitting the solve.
     """
     from cgx.kernels import fused_cg
-    from cgx.kernels.fused_dia_cg import supports_dia, wrap_entries_zero
+    from cgx.kernels.fused_dia_cg import (supports_dia,
+                                          wrap_entries_zero_or_none)
     from cgx.solve.precond import JacobiPrecond
 
     n = b.shape[0]
@@ -53,8 +56,7 @@ def select_backend(a, b, preconditioner=None) -> str:
     # who know their operator is wrap-free can pass backend="fused_dia".
     if (on_tpu and (preconditioner is None or jac)
             and supports_dia(a) and n >= FUSED_MIN_ROWS
-            and not isinstance(a.data, jax.core.Tracer)
-            and wrap_entries_zero(a)):
+            and wrap_entries_zero_or_none(a) is True):
         return "fused_dia"
     if padded_length(n) != n:
         return "padded"

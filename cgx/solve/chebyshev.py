@@ -46,6 +46,12 @@ def estimate_bounds(a, n: int, iters: int = 30, key=None,
     if key is None:
         key = jax.random.PRNGKey(0)
     v0 = jax.random.normal(key, (n,))
+    if axis_name is not None:
+        # Same key on every shard → v0 is "unvarying" to the vma checker,
+        # but the matvec output is varying; cast so the power-iteration
+        # carry types agree.  (The identical per-shard pattern is still a
+        # perfectly good random start vector.)
+        v0 = jax.lax.pcast(v0, axis_name, to="varying")
 
     def power(mv, v):
         def body(_, v):

@@ -108,9 +108,27 @@ def ic0_factor(a, use_native: bool = True
     return l_vals, l_cols, l_indptr
 
 
-def _level_schedule(cols: np.ndarray, indptr: np.ndarray,
-                    n: int) -> np.ndarray:
-    """Dependency level per row of a lower-triangular CSR factor."""
+def _level_schedule(cols: np.ndarray, indptr: np.ndarray, n: int,
+                    use_native: bool = True) -> np.ndarray:
+    """Dependency level per row of a lower-triangular CSR factor.
+
+    Dispatches to the C++ sweep (``cgx_level_schedule``) when built — the
+    Python loop below is O(n) interpreter time and dominates setup at
+    ~1 M rows otherwise.
+    """
+    if use_native and n:
+        from cgx.native import lib, _i32
+        l = lib()
+        if l is not None:
+            import ctypes
+            ip = _i32(indptr)
+            cc = _i32(cols)
+            levels = np.zeros(n, np.int32)
+            i32p = ctypes.POINTER(ctypes.c_int32)
+            l.cgx_level_schedule(n, ip.ctypes.data_as(i32p),
+                                 cc.ctypes.data_as(i32p),
+                                 levels.ctypes.data_as(i32p))
+            return levels.astype(np.int64)
     level = np.zeros(n, dtype=np.int64)
     for i in range(n):
         deps = cols[indptr[i]:indptr[i + 1] - 1]   # off-diagonal cols (< i)
@@ -124,28 +142,43 @@ def _pack_levels(vals, cols, indptr, diag, level, n):
 
     Row slot padding points at the dummy index ``n`` (an extra scratch slot
     in the solve vector); entry padding has value 0, so neither contributes.
+    Fully vectorized (the round-1 per-row Python loop dominated setup at
+    ~1 M rows — ROADMAP #11): three scatter assignments.
     """
-    n_levels = int(level.max()) + 1 if n else 0
+    if not n:
+        z = np.zeros((0, 0), np.int32)
+        return z, z.reshape(0, 0, 1), np.zeros((0, 0, 1), vals.dtype), \
+            np.zeros((0, 0), vals.dtype)
+    level = np.asarray(level, dtype=np.int64)
+    indptr = np.asarray(indptr, dtype=np.int64)
+    n_levels = int(level.max()) + 1
     counts = np.bincount(level, minlength=n_levels)
-    width = int(counts.max()) if n else 0
-    row_nnz = int((np.diff(indptr) - 1).max()) if n else 0
+    width = int(counts.max())
+    row_nnz_arr = np.diff(indptr) - 1
+    rn = max(int(row_nnz_arr.max()), 1)
+
+    # Slot of each row within its level (stable: ascending row id).
+    order = np.argsort(level, kind="stable")
+    starts_lvl = np.zeros(n_levels, dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts_lvl[1:])
+    slot = np.empty(n, dtype=np.int64)
+    slot[order] = np.arange(n, dtype=np.int64) - starts_lvl[level[order]]
 
     lvl_rows = np.full((n_levels, width), n, dtype=np.int32)
-    lvl_cols = np.full((n_levels, width, max(row_nnz, 1)), n, dtype=np.int32)
-    lvl_vals = np.zeros((n_levels, width, max(row_nnz, 1)), dtype=vals.dtype)
+    lvl_rows[level, slot] = np.arange(n, dtype=np.int32)
     lvl_inv_diag = np.zeros((n_levels, width), dtype=vals.dtype)
+    lvl_inv_diag[level, slot] = 1.0 / diag
 
-    slot = np.zeros(n_levels, dtype=np.int64)
-    for i in range(n):
-        l = level[i]
-        w = slot[l]
-        slot[l] += 1
-        lvl_rows[l, w] = i
-        s, e = indptr[i], indptr[i + 1] - 1
-        k = e - s
-        lvl_cols[l, w, :k] = cols[s:e]
-        lvl_vals[l, w, :k] = vals[s:e]
-        lvl_inv_diag[l, w] = 1.0 / diag[i]
+    # Entry scatter: every entry except each row's last (the diagonal).
+    t = np.arange(indptr[-1], dtype=np.int64)
+    row_of_t = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+    keep = t < indptr[row_of_t + 1] - 1
+    tk, rk = t[keep], row_of_t[keep]
+    pos = tk - indptr[rk]
+    lvl_cols = np.full((n_levels, width, rn), n, dtype=np.int32)
+    lvl_vals = np.zeros((n_levels, width, rn), dtype=vals.dtype)
+    lvl_cols[level[rk], slot[rk], pos] = cols[tk]
+    lvl_vals[level[rk], slot[rk], pos] = vals[tk]
     return lvl_rows, lvl_cols, lvl_vals, lvl_inv_diag
 
 

@@ -141,7 +141,7 @@ def _fused_checkpointed(a, b, x0=None, *, tol, atol, maxiter,
 
     from cgx.kernels import fused_cg as _fc
     from cgx.kernels.fused_dia_cg import (build_fused_dia, supports_dia,
-                                          wrap_entries_zero)
+                                          wrap_entries_zero_or_none)
     from cgx.solve.precond import JacobiPrecond
 
     interpret = jax.default_backend() != "tpu"
@@ -153,7 +153,7 @@ def _fused_checkpointed(a, b, x0=None, *, tol, atol, maxiter,
                              "be None (constant-diagonal operators: Jacobi "
                              "is an exact rescaling)")
         eng = _fc.build_fused(a, dtype, interpret=interpret)
-    elif supports_dia(a) and wrap_entries_zero(a):
+    elif supports_dia(a) and wrap_entries_zero_or_none(a) is True:
         jac = isinstance(preconditioner, JacobiPrecond)
         if preconditioner is not None and not jac:
             raise ValueError("fused DIA backend supports only Jacobi "

@@ -314,3 +314,101 @@ def test_dist_fused_emits_no_allgather(rng):
     assert "all-gather" not in hlo, "fused dist must not all-gather x"
     assert "collective-permute" in hlo
     assert "all-reduce" in hlo
+
+
+# ---------------------------------------------------------------------------
+# Distributed preconditioner breadth (VERDICT r1 #5)
+# ---------------------------------------------------------------------------
+
+def test_dist_block_jacobi_matches_single_device(rng):
+    """Sharded block-Jacobi PCG == single-device BlockJacobiPrecond PCG."""
+    from cgx.solve.precond import BlockJacobiPrecond
+    a = poisson2d_dia(16, 16)                 # n=256, rows_local=32
+    part = partition_dia(a, 8)
+    b = jnp.asarray(rng.standard_normal(256))
+    res = dist_cg_solve(part, b, MESH, tol=1e-10, maxiter=400,
+                        preconditioner="block_jacobi", blocksize=8)
+    assert bool(res.converged)
+    m = BlockJacobiPrecond.from_matrix(
+        csr_from_scipy(__import__("scipy.sparse", fromlist=["x"]).csr_matrix(
+            _dia_to_scipy(a))), 8)
+    ref = cg_solve(a, b, tol=1e-10, maxiter=400, preconditioner=m)
+    assert int(res.iterations) == int(ref.iterations)
+    np.testing.assert_allclose(np.asarray(res.x)[:256], np.asarray(ref.x),
+                               rtol=1e-9, atol=1e-11)
+
+
+def _dia_to_scipy(a):
+    import scipy.sparse as sp
+    import numpy as _np
+    n = a.shape[0]
+    m = sp.lil_matrix((n, n))
+    data = _np.asarray(a.data)
+    for k, off in enumerate(a.offsets):
+        for i in range(n):
+            j = i + off
+            if 0 <= j < n and data[k, i] != 0:
+                m[i, j] = data[k, i]
+    return m.tocsr()
+
+
+def test_dist_block_jacobi_ell_matches_single_device(rng):
+    """Same, through the ELL (CSR-partitioned) local layout."""
+    from cgx.solve.precond import BlockJacobiPrecond
+    a_sp = random_spd_csr(256, 0.03, rng)
+    a = csr_from_scipy(a_sp)
+    part = partition_csr(a, 8)
+    b = jnp.asarray(rng.standard_normal(256))
+    res = dist_cg_solve(part, b, MESH, tol=1e-10, maxiter=400,
+                        preconditioner="block_jacobi", blocksize=8)
+    assert bool(res.converged)
+    m = BlockJacobiPrecond.from_matrix(a, 8)
+    ref = cg_solve(a, b, tol=1e-10, maxiter=400, preconditioner=m)
+    assert int(res.iterations) == int(ref.iterations)
+    np.testing.assert_allclose(np.asarray(res.x)[:256], np.asarray(ref.x),
+                               rtol=1e-9, atol=1e-11)
+
+
+def test_dist_poly_precond_matches_single_device(rng):
+    from cgx.solve.precond import PolynomialPrecond
+    a = poisson2d_dia(16, 16)
+    part = partition_dia(a, 8)
+    b = jnp.asarray(rng.standard_normal(256))
+    res = dist_cg_solve(part, b, MESH, tol=1e-10, maxiter=400,
+                        preconditioner="poly", poly_steps=3)
+    assert bool(res.converged)
+    m = PolynomialPrecond.from_matrix(a, steps=3)
+    ref = cg_solve(a, b, tol=1e-10, maxiter=400, preconditioner=m)
+    assert int(res.iterations) == int(ref.iterations)
+    np.testing.assert_allclose(np.asarray(res.x)[:256], np.asarray(ref.x),
+                               rtol=1e-9, atol=1e-11)
+
+
+def test_dist_chebyshev_matches_single_device(rng):
+    """method='chebyshev' under shard_map (zero per-iteration reductions)
+    == single-device chebyshev_solve with the same bounds."""
+    from cgx.solve.chebyshev import chebyshev_solve
+    a = poisson2d_dia(16, 16)
+    part = partition_dia(a, 8)
+    b = jnp.asarray(rng.standard_normal(256))
+    lo, hi = 0.07, 8.0
+    res = dist_cg_solve(part, b, MESH, tol=1e-8, maxiter=3000,
+                        method="chebyshev", lam_min=lo, lam_max=hi)
+    assert bool(res.converged)
+    ref = chebyshev_solve(a, b, lo, hi, tol=1e-8, maxiter=3000)
+    assert int(res.iterations) == int(ref.iterations)
+    np.testing.assert_allclose(np.asarray(res.x)[:256], np.asarray(ref.x),
+                               rtol=1e-8, atol=1e-10)
+
+
+def test_dist_chebyshev_estimated_bounds(rng):
+    """Chebyshev with distributed power-iteration bound estimation."""
+    a = poisson2d_dia(16, 16)
+    part = partition_dia(a, 8)
+    b = jnp.asarray(rng.standard_normal(256))
+    res = dist_cg_solve(part, b, MESH, tol=1e-8, maxiter=5000,
+                        method="chebyshev", preconditioner="jacobi")
+    assert bool(res.converged)
+    x = np.asarray(res.x)[:256]
+    r = np.asarray(b) - np.asarray(_dia_to_scipy(a) @ x)
+    assert np.linalg.norm(r) <= 1e-7 * np.linalg.norm(np.asarray(b))
