@@ -144,16 +144,16 @@ def test_select_backend_routes_fused_on_tpu(monkeypatch, rng):
 
     monkeypatch.setattr(auto.jax, "default_backend", lambda: "tpu")
 
-    s = poisson3d_stencil(128, 128, 128)     # 2.1 M rows
+    s = poisson3d_stencil(160, 160, 160)     # 4.1 M rows (>= FUSED_MIN_ROWS)
     b = jnp.zeros((s.shape[0],), jnp.float32)
     assert auto.select_backend(s, b) == "fused_stencil"
 
     # DIA: fused when wrap-free... (tiny data stretched is fine: only the
     # shape/pattern and wrap slots matter for routing)
-    a = poisson3d_dia(128, 128, 128, dtype=np.float32)
+    a = poisson3d_dia(160, 160, 160, dtype=np.float32)
     assert auto.select_backend(a, b) == "fused_dia"
     data = np.asarray(a.data).copy()
-    data[4, 128 * 128 - 1] = 1.0             # x-plane-crossing slot
+    data[4, 160 * 160 - 1] = 1.0             # x-plane-crossing slot
     dirty = DIAMatrix(data=jnp.asarray(data), offsets=a.offsets,
                       shape=a.shape)
     assert auto.select_backend(dirty, b) == "xla"
