@@ -35,25 +35,27 @@ def _halo_parts(x_local: jnp.ndarray, halo_lo: int, halo_hi: int,
 
     left = right = None
     if halo_lo:
+        # The halo spans the (steps-1) nearest shards fully plus the tail
+        # `rem` entries of the farthest — each shard sends exactly what the
+        # receiver needs, O(halo) total traffic (round 1 shipped whole
+        # shards from every step and sliced afterwards).
         steps = -(-halo_lo // nl)
-        if steps == 1:
-            left = jax.lax.ppermute(x_local[nl - halo_lo:], axis_name,
-                                    _ring_perm(n_dev, 1))
-        else:
-            blocks = [jax.lax.ppermute(x_local, axis_name,
-                                       _ring_perm(n_dev, j))
-                      for j in range(steps, 0, -1)]  # farthest first
-            left = jnp.concatenate(blocks)[-halo_lo:]
+        rem = halo_lo - (steps - 1) * nl        # in (0, nl]
+        blocks = [jax.lax.ppermute(x_local[nl - rem:], axis_name,
+                                   _ring_perm(n_dev, steps))]
+        blocks += [jax.lax.ppermute(x_local, axis_name,
+                                    _ring_perm(n_dev, j))
+                   for j in range(steps - 1, 0, -1)]  # farthest first
+        left = jnp.concatenate(blocks) if len(blocks) > 1 else blocks[0]
     if halo_hi:
         steps = -(-halo_hi // nl)
-        if steps == 1:
-            right = jax.lax.ppermute(x_local[:halo_hi], axis_name,
-                                     _ring_perm(n_dev, -1))
-        else:
-            blocks = [jax.lax.ppermute(x_local, axis_name,
-                                       _ring_perm(n_dev, -j))
-                      for j in range(1, steps + 1)]
-            right = jnp.concatenate(blocks)[:halo_hi]
+        rem = halo_hi - (steps - 1) * nl
+        blocks = [jax.lax.ppermute(x_local, axis_name,
+                                   _ring_perm(n_dev, -j))
+                  for j in range(1, steps)]           # nearest first
+        blocks += [jax.lax.ppermute(x_local[:rem], axis_name,
+                                    _ring_perm(n_dev, -steps))]
+        right = jnp.concatenate(blocks) if len(blocks) > 1 else blocks[0]
     return left, right
 
 

@@ -41,3 +41,48 @@ def test_measure_scaling_runs_on_virtual_mesh(rng):
     assert [o["devices"] for o in out] == [1, 2, 4]
     assert out[0]["efficiency"] == 1.0
     assert all(o["seconds"] > 0 for o in out)
+
+
+def test_xplane_trace_report(tmp_path, rng):
+    """Capture a real jax.profiler trace (CPU), parse the xplane.pb with
+    the dependency-free reader, and get a per-op report (ROADMAP #13)."""
+    import jax
+    import jax.numpy as jnp
+    from cgx.io.poisson import poisson2d
+    from cgx.solve.cg import cg_solve
+    from cgx.utils.profiling import trace, trace_report
+
+    a = poisson2d(24, 24)
+    b = jnp.asarray(rng.standard_normal(576))
+    solve = jax.jit(lambda b: cg_solve(a, b, tol=1e-8, maxiter=300))
+    jax.block_until_ready(solve(b))          # compile outside the trace
+    d = str(tmp_path / "tb")
+    with trace(d):
+        jax.block_until_ready(solve(b * 1.001))
+    rows = trace_report(d, device_only=False, top=None)
+    assert rows, "no events parsed from the trace"
+    assert any(r["total_us"] > 0 for r in rows)
+    names = " ".join(r["op"] for r in rows)
+    assert "while" in names.lower() or "jit" in names.lower() or len(rows) > 3
+
+
+def test_xplane_overlap_report_machinery(tmp_path, rng):
+    """overlap_report runs end-to-end on a real trace (the numeric claim
+    is checked on hardware; here the machinery and interval math)."""
+    import jax
+    import jax.numpy as jnp
+    from cgx.io.poisson import poisson2d
+    from cgx.solve.cg import cg_solve
+    from cgx.utils.profiling import trace, overlap_report
+
+    a = poisson2d(16, 16)
+    b = jnp.asarray(rng.standard_normal(256))
+    solve = jax.jit(lambda b: cg_solve(a, b, tol=1e-8, maxiter=100))
+    jax.block_until_ready(solve(b))
+    d = str(tmp_path / "tb")
+    with trace(d):
+        jax.block_until_ready(solve(b * 1.001))
+    rep = overlap_report(d, a_keys=("copy",), b_keys=("while", "fusion"))
+    assert set(rep) >= {"a_total_us", "b_total_us", "overlap_us",
+                        "overlap_frac"}
+    assert 0.0 <= rep["overlap_frac"] <= 1.0
