@@ -4,6 +4,8 @@ from cgx.kernels.bsr import BlockELL, bell_from_bsr, bell_spmm, bell_spmv
 from cgx.kernels.stencil import stencil3d_spmv_pallas
 from cgx.kernels.fused_cg import fused_stencil_cg
 from cgx.kernels.fused_dia_cg import fused_dia_cg
+from cgx.kernels.fused_multi import fused_dia_cg_multi, fused_stencil_cg_multi
 
 __all__ = ["BlockELL", "bell_from_bsr", "bell_spmm", "bell_spmv",
-           "stencil3d_spmv_pallas", "fused_stencil_cg", "fused_dia_cg"]
+           "stencil3d_spmv_pallas", "fused_stencil_cg", "fused_dia_cg",
+           "fused_stencil_cg_multi", "fused_dia_cg_multi"]

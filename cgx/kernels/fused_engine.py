@@ -104,10 +104,13 @@ class Geometry:
 def make_geometry(nx: int, ny: int, nz: int,
                   taps: Sequence[Tuple[int, int, int]],
                   n_shards: int = 1,
-                  target_block_bytes: int = 1 << 19) -> Geometry:
+                  target_block_bytes: int = 1 << 19,
+                  row_multiplier: int = 1) -> Geometry:
     """``target_block_bytes`` sizes kernel B's blocks (7-8 double-buffered
     streams — keep modest); kernel A's block multiple ``m`` is chosen per
-    regime (see the inline comments)."""
+    regime (see the inline comments).  ``row_multiplier``: effective
+    sublane-row count per block for VMEM sizing (the multi-RHS path
+    band-stacks k layouts, so its blocks are k x taller)."""
     if nx % n_shards:
         raise ValueError(f"nx={nx} not divisible by n_shards={n_shards}")
     nxl = nx // n_shards
@@ -116,10 +119,11 @@ def make_geometry(nx: int, ny: int, nz: int,
             raise ValueError(f"tap {dx, dy, dk}: |dx| must be <= 1 "
                              "(one embedded halo row per side)")
     rows8 = _r8(nxl + 2)
+    rows_eff = rows8 * max(1, int(row_multiplier))
     l_real = ny * nz
     reach = max([abs(dy * nz + dk) for (_, dy, dk) in taps] + [1])
     sl = _r128(reach)
-    bl = max(sl, (target_block_bytes // (rows8 * 4) // 128) * 128)
+    bl = max(sl, (target_block_bytes // (rows_eff * 4) // 128) * 128)
     # Two regimes (measured, docs/PERF_NOTES.md): when the ~5-buffer
     # working set fits in VMEM (~128 MB on v5e) XLA keeps the carried
     # vectors VMEM-resident and the iteration runs at ~2.5 TB/s — small
@@ -127,7 +131,7 @@ def make_geometry(nx: int, ny: int, nz: int,
     # iteration is HBM-streaming-bound and kernel A wants the biggest
     # window its scoped-VMEM budget allows.
     l_pad1 = -(-l_real // bl) * bl
-    working_set = 5 * rows8 * (l_pad1 + 2 * bl) * 4
+    working_set = 5 * rows_eff * (l_pad1 + 2 * bl) * 4
     if working_set <= (96 << 20):
         # Resident regime: smallest layout, no window DMA double-buffering
         # (its per-block control overhead measured ~50% at 128^3, and
@@ -142,7 +146,7 @@ def make_geometry(nx: int, ny: int, nz: int,
         # × rows8 × 4 B ≤ 15 MB.  Grid-pipelined inputs (the coefficient
         # planes) do NOT count: their buffers live in regular VMEM
         # (~128 MB on v5e), not the 16 MB scoped stack.
-        cap = (15 << 20) // (4 * rows8) - 4 * sl
+        cap = (15 << 20) // (4 * rows_eff) - 4 * sl
         m = max(1, int(cap // (9 * bl)))
         double_buffer = True
     bl_a = bl * m
@@ -365,6 +369,7 @@ class FusedCG:
         if coeffs is None:
             coeffs = (None,) * len(g.taps)
         coeffs = tuple(coeffs)
+        self.coeffs = coeffs
         n_planes = sum(1 for c in coeffs if c is None)
         variable = n_planes > 0
         if variable:

@@ -295,3 +295,52 @@ def test_general_stencil_matvec_matches_scipy(rng):
         rtol=1e-12, atol=1e-12)
     # SPD sanity: all eigenvalues positive.
     assert np.linalg.eigvalsh(a).min() > 0
+
+
+def test_fused_multi_rhs_stencil(rng):
+    """Band-stacked multi-RHS fused CG == per-column cg_solve (VERDICT
+    r1 #4 / ROADMAP #2)."""
+    from cgx.kernels.fused_multi import fused_stencil_cg_multi
+    from cgx.sparse.stencil import poisson3d_stencil
+    from cgx.solve.block import cg_solve_multi
+    s = poisson3d_stencil(6, 7, 5)
+    n, k = 210, 4
+    b = jnp.asarray(rng.standard_normal((n, k)), jnp.float32)
+    ref = cg_solve_multi(s, b, tol=1e-5, maxiter=500)
+    res = fused_stencil_cg_multi(s, b, tol=1e-5, maxiter=500,
+                                 interpret=True)
+    assert bool(jnp.all(res.converged))
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                               rtol=5e-3, atol=5e-4)
+
+
+def test_fused_multi_rhs_dia_jacobi(rng):
+    import cgx
+    from cgx.kernels.fused_multi import fused_dia_cg_multi
+    from tests.test_kernels import _scaled_poisson3d_dia
+    a = _scaled_poisson3d_dia(6, 8, 7, rng).astype(jnp.float32)
+    n, k = a.shape[0], 3
+    b = jnp.asarray(rng.standard_normal((n, k)), jnp.float32)
+    m = cgx.JacobiPrecond.from_matrix(a)
+    res = fused_dia_cg_multi(a, b, tol=1e-5, maxiter=800, interpret=True)
+    assert bool(jnp.all(res.converged))
+    for i in range(k):
+        ref = cgx.cg_solve(a, b[:, i], tol=1e-5, maxiter=800,
+                           preconditioner=m)
+        np.testing.assert_allclose(np.asarray(res.x[:, i]),
+                                   np.asarray(ref.x), rtol=5e-3, atol=5e-4)
+
+
+def test_fused_multi_rhs_x0(rng):
+    from cgx.kernels.fused_multi import fused_stencil_cg_multi
+    from cgx.sparse.stencil import poisson3d_stencil
+    s = poisson3d_stencil(5, 6, 7)
+    n, k = 210, 3
+    b = jnp.asarray(rng.standard_normal((n, k)), jnp.float32)
+    x0 = jnp.asarray(rng.standard_normal((n, k)).astype(np.float32) * 0.1)
+    res = fused_stencil_cg_multi(s, b, x0, tol=1e-5, maxiter=500,
+                                 interpret=True)
+    assert bool(jnp.all(res.converged))
+    from cgx.ops.spmv import spmm
+    r = np.asarray(b) - np.asarray(spmm(s, res.x))
+    assert np.linalg.norm(r) <= 2e-4 * np.linalg.norm(np.asarray(b))
