@@ -200,6 +200,30 @@ def _level_solve(rows, cols_, vals_, inv_diag, r: jnp.ndarray) -> jnp.ndarray:
     return y[:n]
 
 
+def greedy_coloring(cols: np.ndarray, indptr: np.ndarray,
+                    n: int) -> np.ndarray:
+    """Greedy graph coloring of the matrix adjacency (symmetric pattern
+    assumed); returns a color id per row.
+
+    Used by the ``"multicolor"`` ordering: after permuting same-colored
+    rows together, no two adjacent rows share a color, so the IC(0)
+    factor of the permuted matrix has at most ``n_colors`` dependency
+    levels — each triangular sweep becomes a handful of wide, fully
+    parallel steps instead of O(grid-diameter) narrow ones.  (The factor
+    itself changes — multicolor IC(0) is a *different, slightly weaker*
+    preconditioner than natural-order IC(0); the trade is standard.)
+    """
+    color = np.full(n, -1, dtype=np.int64)
+    for i in range(n):
+        neigh = color[cols[indptr[i]:indptr[i + 1]]]
+        used = set(int(c) for c in neigh if c >= 0)
+        c = 0
+        while c in used:
+            c += 1
+        color[i] = c
+    return color
+
+
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class IC0Precond:
@@ -217,14 +241,42 @@ class IC0Precond:
     b_inv_diag: jnp.ndarray
     n: int = dataclasses.field(metadata=dict(static=True))
     n_levels: int = dataclasses.field(metadata=dict(static=True))
+    # Row permutation (multicolor ordering); None = natural order.
+    perm: object = dataclasses.field(default=None,
+                                     metadata=dict(static=False))
 
     @classmethod
-    def from_matrix(cls, a, dtype=None) -> "IC0Precond":
-        """Factor + level-schedule a :class:`~cgx.sparse.types.CSRMatrix`."""
+    def from_matrix(cls, a, dtype=None,
+                    ordering: str = "natural") -> "IC0Precond":
+        """Factor + level-schedule a :class:`~cgx.sparse.types.CSRMatrix`.
+
+        ``ordering``: ``"natural"`` (reference IC(0) trajectory; level
+        count grows with the grid diameter) or ``"multicolor"`` (greedy
+        coloring permutation first — level count ≈ chromatic number, e.g.
+        2 for red-black Poisson grids; a slightly weaker preconditioner
+        that trades a few extra CG iterations for far fewer sequential
+        sweep steps — the TPU-friendly regime when the sweep is
+        latency-bound, SURVEY.md §7 'hard parts').
+        """
         import scipy.sparse as sp
 
-        lv, lc, lp = ic0_factor(a)
         n = a.shape[0]
+        perm = None
+        if ordering == "multicolor":
+            cols_a = np.asarray(a.col_indices).astype(np.int64)
+            indptr_a = np.asarray(a.indptr).astype(np.int64)
+            color = greedy_coloring(cols_a, indptr_a, n)
+            perm = np.argsort(color, kind="stable").astype(np.int32)
+            vals_a = np.asarray(a.values)
+            m = sp.csr_matrix((vals_a, cols_a, indptr_a), shape=a.shape)
+            mp = m[perm][:, perm].tocsr()
+            mp.sort_indices()
+            from cgx.sparse.types import csr_from_scipy
+            a = csr_from_scipy(mp)
+        elif ordering != "natural":
+            raise ValueError(f"unknown ordering {ordering!r}")
+
+        lv, lc, lp = ic0_factor(a)
         dtype = dtype or np.asarray(a.values).dtype
         diag = lv[lp[1:] - 1]                   # row-sorted: diag is last
 
@@ -235,8 +287,8 @@ class IC0Precond:
         # Lᵀ is upper triangular; reverse the row order so it becomes lower
         # triangular in the permuted numbering and reuse the same machinery.
         lt = sp.csr_matrix((lv, lc, lp), shape=(n, n)).T.tocsr()
-        perm = np.arange(n - 1, -1, -1)
-        ltp = lt[perm][:, perm].tocsr()
+        rev = np.arange(n - 1, -1, -1)
+        ltp = lt[rev][:, rev].tocsr()
         ltp.sort_indices()
         diag_b = ltp.data[ltp.indptr[1:] - 1]
         lev_b = _level_schedule(ltp.indices, ltp.indptr, n)
@@ -248,16 +300,26 @@ class IC0Precond:
         unperm = np.where(br == n, n, (n - 1) - br).astype(np.int32)
         uncol = np.where(bc == n, n, (n - 1) - bc).astype(np.int32)
 
+        perm_pair = None
+        if perm is not None:
+            inv = np.empty(n, np.int32)
+            inv[perm] = np.arange(n, dtype=np.int32)
+            perm_pair = (jnp.asarray(perm), jnp.asarray(inv))
         return cls(
             f_rows=jnp.asarray(packed_f[0]), f_cols=jnp.asarray(packed_f[1]),
             f_vals=jnp.asarray(packed_f[2]),
             f_inv_diag=jnp.asarray(packed_f[3]),
             b_rows=jnp.asarray(unperm), b_cols=jnp.asarray(uncol),
             b_vals=jnp.asarray(bv), b_inv_diag=jnp.asarray(bd),
-            n=n, n_levels=int(packed_f[0].shape[0]))
+            n=n, n_levels=int(packed_f[0].shape[0]), perm=perm_pair)
 
     def apply(self, r: jnp.ndarray) -> jnp.ndarray:
+        if self.perm is not None:
+            r = r[self.perm[0]]                # into permuted numbering
         y = _level_solve(self.f_rows, self.f_cols, self.f_vals,
                          self.f_inv_diag, r)
-        return _level_solve(self.b_rows, self.b_cols, self.b_vals,
-                            self.b_inv_diag, y)
+        z = _level_solve(self.b_rows, self.b_cols, self.b_vals,
+                         self.b_inv_diag, y)
+        if self.perm is not None:
+            z = z[self.perm[1]]                # back to original numbering
+        return z

@@ -93,3 +93,31 @@ def test_ic0_breakdown_raises():
     a = csr_from_scipy(sp.csr_matrix(a_dense))
     with pytest.raises(np.linalg.LinAlgError):
         ic0_factor(a)
+
+
+def test_ic0_multicolor_ordering(rng):
+    """Multicolor IC(0): level count collapses to ~chromatic number while
+    staying an effective SPD preconditioner (VERDICT r1 #6)."""
+    import cgx
+    from cgx.io.poisson import poisson2d
+    from cgx.solve.cg import cg_solve
+
+    a = poisson2d(24, 24)
+    n = 576
+    b = jnp.asarray(rng.standard_normal(n))
+
+    nat = cgx.IC0Precond.from_matrix(a)
+    mc = cgx.IC0Precond.from_matrix(a, ordering="multicolor")
+    # 2D 5-point grid is 2-colorable: levels collapse from O(grid) to 2.
+    assert mc.n_levels <= 4 < nat.n_levels
+
+    plain = cg_solve(a, b, tol=1e-10, maxiter=2000)
+    res_n = cg_solve(a, b, tol=1e-10, maxiter=2000, preconditioner=nat)
+    res_m = cg_solve(a, b, tol=1e-10, maxiter=2000, preconditioner=mc)
+    assert bool(res_m.converged)
+    # Still a real preconditioner (beats plain CG), though weaker than
+    # natural-order IC(0) — the standard multicolor trade.
+    assert int(res_m.iterations) < int(plain.iterations)
+    assert int(res_m.iterations) <= 2 * int(res_n.iterations)
+    np.testing.assert_allclose(np.asarray(res_m.x), np.asarray(plain.x),
+                               rtol=1e-8, atol=1e-10)
