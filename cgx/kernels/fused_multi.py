@@ -289,7 +289,7 @@ def _solve_multi(geom: Geometry, coeffs, planes, weight, b2, x0_2, *,
 
 def fused_stencil_cg_multi(s, b: jnp.ndarray, x0=None, *, tol: float = 1e-6,
                            atol: float = 0.0, maxiter: int = 1000,
-                           interpret: bool = False) -> CGResult:
+                           interpret: Optional[bool] = None) -> CGResult:
     """Batched fused CG on a constant-coefficient stencil; ``b``: (n, k).
 
     Semantics match :func:`cgx.solve.block.cg_solve_multi` except the
@@ -300,6 +300,8 @@ def fused_stencil_cg_multi(s, b: jnp.ndarray, x0=None, *, tol: float = 1e-6,
 
     if b.ndim != 2:
         raise ValueError(f"expected b of shape (n, k), got {b.shape}")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     spec = stencil_taps(s)
     if spec is None or not supports(s):
         raise ValueError("unsupported operator for the fused multi path")
@@ -313,18 +315,21 @@ def fused_stencil_cg_multi(s, b: jnp.ndarray, x0=None, *, tol: float = 1e-6,
 
 def fused_dia_cg_multi(d, b: jnp.ndarray, x0=None, *, tol: float = 1e-6,
                        atol: float = 0.0, maxiter: int = 1000,
-                       jacobi: bool = True,
-                       interpret: bool = False) -> CGResult:
+                       jacobi: bool = True, inv_diag=None,
+                       interpret: Optional[bool] = None) -> CGResult:
     """Batched fused Jacobi-PCG on a 7-point DIA operator; ``b``: (n, k)."""
     from cgx.kernels.fused_dia_cg import (build_fused_dia,
                                           wrap_entries_zero_or_none)
 
     if b.ndim != 2:
         raise ValueError(f"expected b of shape (n, k), got {b.shape}")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     if wrap_entries_zero_or_none(d) is False:
         raise ValueError("DIA data has nonzero x-plane-crossing entries")
     dtype = b.dtype
-    eng, e, planes = build_fused_dia(d, dtype, jacobi=jacobi)
+    eng, e, planes = build_fused_dia(d, dtype, jacobi=jacobi,
+                                     inv_diag=inv_diag)
     # Reuse the engine's coefficient decisions (build_fused_dia may have
     # folded the unit diagonal into a constant tap), but re-make the
     # geometry with the k-band row multiplier for VMEM sizing.

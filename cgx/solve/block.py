@@ -22,6 +22,23 @@ from cgx.solve.cg import CGResult, as_matvec, cg_solve
 __all__ = ["cg_solve_multi"]
 
 
+def _fused_multi_backend(a, b, preconditioner):
+    """``("stencil"|"dia", jacobi)`` if the fused multi engine can run
+    this (operator pattern + preconditioner compatibility), else None."""
+    from cgx.kernels.fused_cg import supports
+    from cgx.kernels.fused_dia_cg import (supports_dia,
+                                          wrap_entries_zero_or_none)
+    from cgx.solve.precond import JacobiPrecond
+
+    if preconditioner is None and supports(a):
+        return ("stencil", False)
+    jac = isinstance(preconditioner, JacobiPrecond)
+    if ((preconditioner is None or jac) and supports_dia(a)
+            and wrap_entries_zero_or_none(a) is True):
+        return ("dia", jac)
+    return None
+
+
 def cg_solve_multi(
     a,
     b: jnp.ndarray,
@@ -31,16 +48,47 @@ def cg_solve_multi(
     atol: float = 0.0,
     maxiter: Optional[int] = None,
     preconditioner=None,
+    backend: str = "auto",
 ) -> CGResult:
     """Solve ``A X = B`` column-by-column with one batched CG loop.
 
     ``b``: (n, k) block of right-hand sides.  Returns a :class:`CGResult`
     whose fields carry a trailing/leading batch axis (``x``: (n, k);
     ``iterations``/``converged``/``residual_norm_sq``: (k,)).
+
+    ``backend``: ``"auto"`` routes large fused-capable problems on TPU to
+    the band-stacked Pallas engine (:mod:`cgx.kernels.fused_multi` — the
+    coefficient planes stream once for all k columns); ``"xla"`` forces
+    the vmapped while_loop; ``"fused"`` forces the engine.
     """
     if b.ndim != 2:
         raise ValueError(f"cg_solve_multi expects b of shape (n, k), "
                          f"got {b.shape}")
+    if backend not in ("auto", "xla", "fused"):
+        raise ValueError(f"unknown backend {backend!r}")
+    if backend != "xla":
+        routed = _fused_multi_backend(a, b, preconditioner)
+        if routed is not None or backend == "fused":
+            if routed is None:
+                raise ValueError("backend='fused': operator/preconditioner "
+                                 "not fused-capable")
+            kind, jac = routed
+            if backend == "auto":
+                import jax as _jax
+                from cgx.solve.auto import FUSED_MIN_ROWS
+                if (_jax.default_backend() != "tpu"
+                        or b.shape[0] < FUSED_MIN_ROWS):
+                    routed = None
+            if routed is not None:
+                mi = int(maxiter) if maxiter is not None else b.shape[0]
+                if kind == "stencil":
+                    from cgx.kernels.fused_multi import fused_stencil_cg_multi
+                    return fused_stencil_cg_multi(a, b, x0, tol=tol,
+                                                  atol=atol, maxiter=mi)
+                from cgx.kernels.fused_multi import fused_dia_cg_multi
+                return fused_dia_cg_multi(
+                    a, b, x0, tol=tol, atol=atol, maxiter=mi, jacobi=jac,
+                    inv_diag=preconditioner.inv_diag if jac else None)
     matvec = as_matvec(a)
     if maxiter is None:
         maxiter = b.shape[0]

@@ -344,3 +344,18 @@ def test_fused_multi_rhs_x0(rng):
     from cgx.ops.spmv import spmm
     r = np.asarray(b) - np.asarray(spmm(s, res.x))
     assert np.linalg.norm(r) <= 2e-4 * np.linalg.norm(np.asarray(b))
+
+
+def test_cg_solve_multi_fused_backend(rng):
+    """cg_solve_multi(backend='fused') routes the band-stacked engine and
+    matches the vmapped XLA path."""
+    import cgx
+    from cgx.solve.block import cg_solve_multi
+    from cgx.sparse.stencil import poisson3d_stencil
+    s = poisson3d_stencil(6, 7, 5)
+    b = jnp.asarray(rng.standard_normal((210, 3)), jnp.float32)
+    res = cg_solve_multi(s, b, tol=1e-5, maxiter=500, backend="fused")
+    ref = cg_solve_multi(s, b, tol=1e-5, maxiter=500, backend="xla")
+    assert bool(jnp.all(res.converged))
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                               rtol=5e-3, atol=5e-4)
