@@ -19,8 +19,9 @@ from cgx.solve.precond import (BlockJacobiPrecond, JacobiPrecond,
 from cgx.solve.ic0 import IC0Precond
 from cgx.solve.block import cg_solve_multi
 from cgx.solve.padded import cg_solve_padded
-from cgx.solve.auto import auto_solve
+from cgx.solve.auto import auto_solve, select_backend
 from cgx.solve.chebyshev import chebyshev_solve, estimate_bounds
+from cgx.utils.checkpoint import cg_solve_checkpointed
 
 __version__ = "0.1.0"
 
@@ -29,7 +30,8 @@ __all__ = [
     "bsr_from_csr", "coo_from_scipy", "csr_from_scipy", "dia_from_csr",
     "ell_from_csr", "spmv", "spmm", "blas", "CGResult", "cg_solve",
     "cg_solve_single_reduction", "cg_solve_multi", "cg_solve_padded",
-    "auto_solve", "chebyshev_solve", "estimate_bounds",
+    "auto_solve", "select_backend", "cg_solve_checkpointed",
+    "chebyshev_solve", "estimate_bounds",
     "JacobiPrecond", "BlockJacobiPrecond", "PolynomialPrecond",
     "IC0Precond",
 ]
