@@ -429,3 +429,36 @@ def test_halo_exchange_multi_step_wide_halo():
         right = [((p + 1) * n_local + i) % 32 for i in range(hr)]
         np.testing.assert_array_equal(out[p], np.array(left + mid + right,
                                                        dtype=float))
+
+
+def test_dist_fused_single_plane_per_shard(rng):
+    """Edge: nxl == 1 (one x-plane per device) — both halo rows are
+    neighbor data; and the 27-point pattern's corner taps cross shards."""
+    from cgx.dist.fused import dist_fused_cg
+    from cgx.kernels.fused_cg import fused_stencil_cg
+    from cgx.sparse.stencil import poisson3d_stencil, poisson3d_27point
+    for s in (poisson3d_stencil(8, 6, 7), poisson3d_27point(8, 6, 7)):
+        n = 8 * 6 * 7
+        b = jnp.asarray(rng.standard_normal(n), jnp.float32)
+        ref = fused_stencil_cg(s, b, tol=1e-5, maxiter=600, interpret=True)
+        res = dist_fused_cg(s, b, MESH, tol=1e-5, maxiter=600)
+        assert bool(res.converged)
+        assert abs(int(res.iterations) - int(ref.iterations)) <= 2
+        np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                                   rtol=5e-4, atol=5e-5)
+
+
+def test_dist_fused_2d_stencil(rng):
+    """2-D 5-point operator through the sharded fused engine."""
+    from cgx.dist.fused import dist_fused_cg, dist_fused_supported
+    from cgx.sparse.stencil import poisson2d_stencil
+    from cgx.solve.cg import cg_solve
+    s = poisson2d_stencil(16, 33)
+    assert dist_fused_supported(s, MESH)
+    n = 16 * 33
+    b = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    ref = cg_solve(s, b, tol=1e-5, maxiter=1200)
+    res = dist_fused_cg(s, b, MESH, tol=1e-5, maxiter=1200)
+    assert bool(res.converged)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                               rtol=5e-3, atol=5e-4)
