@@ -146,8 +146,10 @@ def build_fused_dia(d, dtype, *, jacobi: bool = True, inv_diag=None,
     else:
         invd = None
 
+    n_stream_planes = 6 if (jacobi or inv_diag is not None) else 7
     geom = make_geometry(nx, ny, nz, _DIA_TAPS, n_shards=n_shards,
-                         target_block_bytes=1 << 18)
+                         target_block_bytes=1 << 18,
+                         a_extra_streams=2 * n_stream_planes)
     coeffs = (None,) * 7
     if invd is None:
         planes = jnp.stack([d.data[t].astype(dtype)

@@ -105,12 +105,19 @@ def make_geometry(nx: int, ny: int, nz: int,
                   taps: Sequence[Tuple[int, int, int]],
                   n_shards: int = 1,
                   target_block_bytes: int = 1 << 19,
-                  row_multiplier: int = 1) -> Geometry:
+                  row_multiplier: int = 1,
+                  a_extra_streams: int = 0,
+                  a_window_streams: int = 1) -> Geometry:
     """``target_block_bytes`` sizes kernel B's blocks (7-8 double-buffered
     streams — keep modest); kernel A's block multiple ``m`` is chosen per
     regime (see the inline comments).  ``row_multiplier``: effective
     sublane-row count per block for VMEM sizing (the multi-RHS path
-    band-stacks k layouts, so its blocks are k x taller)."""
+    band-stacks k layouts, so its blocks are k x taller).
+    ``a_extra_streams``: extra grid-pipelined block buffers in kernel A
+    (2 per coefficient plane when planes ride BlockSpecs).
+    ``a_window_streams``: halo-window DMA streams in kernel A (1 for the
+    p window; +n_planes when planes stream as windows — the symmetric
+    path)."""
     if nx % n_shards:
         raise ValueError(f"nx={nx} not divisible by n_shards={n_shards}")
     nxl = nx // n_shards
@@ -141,13 +148,14 @@ def make_geometry(nx: int, ny: int, nz: int,
     else:
         # Streaming regime: widest A-window whose scoped-VMEM fits.
         # Model (calibrated on-chip; 288^3 OOMed at bl_a=1536/rows8=296,
-        # 216^3 compiled at bl_a=2048/rows8=224): double-buffered window
-        # scratch 2·(bl_a + 2·sl) plus ~7 block-sized temporaries,
-        # × rows8 × 4 B ≤ 15 MB.  Grid-pipelined inputs (the coefficient
-        # planes) do NOT count: their buffers live in regular VMEM
-        # (~128 MB on v5e), not the 16 MB scoped stack.
-        cap = (15 << 20) // (4 * rows_eff) - 4 * sl
-        m = max(1, int(cap // (9 * bl)))
+        # 216^3 compiled at bl_a=2048/rows8=224, DIA 192^3 OOMed at
+        # bl_a=1792 with 6 plane streams): per window stream a
+        # double-buffered scratch 2·(bl_a + 2·sl), plus ~7 block-sized
+        # temporaries, plus 2 per grid-pipelined plane block
+        # (a_extra_streams), × rows8 × 4 B ≤ 15 MB.
+        n_win = max(1, int(a_window_streams))
+        cap = (15 << 20) // (4 * rows_eff) - 4 * sl * n_win
+        m = max(1, int(cap // ((2 * n_win + 7 + a_extra_streams) * bl)))
         double_buffer = True
     bl_a = bl * m
     l_pad = -(-l_real // bl_a) * bl_a

@@ -337,7 +337,8 @@ def fused_dia_cg_multi(d, b: jnp.ndarray, x0=None, *, tol: float = 1e-6,
     from cgx.kernels.fused_dia_cg import dia_pattern_dims
     nx, ny, nz = dia_pattern_dims(d)
     geom = make_geometry(nx, ny, nz, _DIA_TAPS, target_block_bytes=1 << 18,
-                         row_multiplier=b.shape[1])
+                         row_multiplier=b.shape[1],
+                         a_extra_streams=2 * planes.shape[0])
     coeffs = eng.coeffs
     weight = None
     b2 = b.T

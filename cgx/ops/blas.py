@@ -20,7 +20,8 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-__all__ = ["dot", "norm_sq", "norm", "axpy", "safe_recip"]
+__all__ = ["dot", "dot_compensated", "norm_sq", "norm", "axpy",
+           "safe_recip"]
 
 
 def dot(a: jnp.ndarray, b: jnp.ndarray,
@@ -29,6 +30,46 @@ def dot(a: jnp.ndarray, b: jnp.ndarray,
     if a.shape != b.shape:
         raise ValueError(f"dot: shape mismatch {a.shape} vs {b.shape}")
     local = jnp.vdot(a, b)
+    if axis_name is not None:
+        local = jax.lax.psum(local, axis_name)
+    return local
+
+
+def dot_compensated(a: jnp.ndarray, b: jnp.ndarray,
+                    axis_name: Optional[str] = None) -> jnp.ndarray:
+    """Inner product with fp32 products + Kahan-compensated tree reduction.
+
+    For bf16/low-precision iterates (SURVEY.md §7 hard part 4: keep fp32
+    CPU validation, low precision on chip, "compensated dot products for
+    the reductions if trajectories drift").  Products are upcast to fp32,
+    then a 2Sum chunked accumulation recovers the rounding error of the
+    partial sums — ~1 ulp fp32 accuracy independent of n, at 2x the
+    reduction FLOPs (noise next to the memory traffic).  Returns fp32.
+    """
+    if a.shape != b.shape:
+        raise ValueError(f"dot: shape mismatch {a.shape} vs {b.shape}")
+    prod = a.astype(jnp.float32) * b.astype(jnp.float32)
+    # Chunked Kahan: accumulate C lanes of partial sums with a running
+    # compensation term, then sum the C survivors (C small).
+    c_lanes = 256
+    n = prod.shape[0]
+    pad = (-n) % c_lanes
+    g = jnp.pad(prod, (0, pad)).reshape(-1, c_lanes)
+
+    def body(carry, row):
+        s, comp = carry
+        y = row - comp
+        t = s + y
+        comp = (t - s) - y
+        return (t, comp), None
+
+    # Under shard_map the carry must match the scanned input's
+    # device-varying manner; a plain zeros literal is replicated.
+    zero = jnp.zeros((c_lanes,), jnp.float32)
+    if axis_name is not None:
+        zero = jax.lax.pcast(zero, axis_name, to="varying")
+    (s, comp), _ = jax.lax.scan(body, (zero, zero), g)
+    local = jnp.sum(s - comp)
     if axis_name is not None:
         local = jax.lax.psum(local, axis_name)
     return local

@@ -157,3 +157,34 @@ def test_astype_and_fp32_path(rng):
     got = np.asarray(spmv(a, jnp.asarray(x)))
     assert got.dtype == np.float32
     np.testing.assert_allclose(got, (s @ x).astype(np.float32), rtol=1e-5)
+
+
+def test_dot_compensated_accuracy(rng):
+    """Kahan-compensated fp32 dot: ~1 ulp of the fp64 truth on data where
+    the naive fp32 reduction loses several digits (SURVEY §7 mixed
+    precision)."""
+    import jax.numpy as jnp
+    from cgx.ops.blas import dot_compensated
+
+    n = 200_001
+    # bf16 inputs: fp32 products are EXACT (8+8 mantissa bits < 24), so
+    # the compensated sum recovers full fp32-level accuracy; a naive bf16
+    # or blockwise-fp32 reduction loses several digits at this n.
+    a16 = jnp.asarray(rng.standard_normal(n) * 1e2, jnp.bfloat16)
+    b16 = jnp.asarray(rng.standard_normal(n), jnp.bfloat16)
+    a64 = np.asarray(a16, np.float64)
+    b64 = np.asarray(b16, np.float64)
+    truth = float(a64 @ b64)
+    comp = float(dot_compensated(a16, b16))
+    assert abs(comp - truth) <= abs(truth) * 3e-7 + 1e-3
+    # sharded: one psum, same value
+    import jax
+    from jax.sharding import PartitionSpec as P
+    mesh = jax.make_mesh((8,), ("rows",))
+    f = jax.shard_map(
+        lambda x, y: dot_compensated(x, y, axis_name="rows"),
+        mesh=mesh, in_specs=(P("rows"), P("rows")), out_specs=P())
+    n8 = n - (n % 8)
+    comp_sh = float(f(a16[:n8], b16[:n8]))
+    truth8 = float(a64[:n8] @ b64[:n8])
+    assert abs(comp_sh - truth8) <= abs(truth8) * 3e-7 + 1e-3
