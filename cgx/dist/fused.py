@@ -113,11 +113,12 @@ def dist_fused_cg(
     if nx % nd:
         raise ValueError(f"nx={nx} not divisible by mesh size {nd}")
 
-    geom, e, planes, weight, coeffs = build_fused_dia(
+    geom, e, planes, weight, coeffs, sym = build_fused_dia(
         a, b.dtype, jacobi=jacobi, n_shards=nd)
     f = _cached_dia_solver(mesh, geom, coeffs, b.dtype.name, float(tol),
                            float(atol), int(maxiter), bool(track_history),
-                           x0 is not None, e is not None, bool(interpret))
+                           x0 is not None, e is not None, bool(interpret),
+                           sym)
     mat = NamedSharding(mesh, P(None, AXIS))
     args = [jax.device_put(planes, mat), jax.device_put(b, vec)]
     if e is not None:
@@ -159,7 +160,7 @@ def _cached_stencil_solver(mesh, s, dtype_name, tol, atol, maxiter, track,
 
 @lru_cache(maxsize=64)
 def _cached_dia_solver(mesh, geom, coeffs, dtype_name, tol, atol, maxiter,
-                       track, has_x0, scaled, interpret):
+                       track, has_x0, scaled, interpret, sym=False):
     import dataclasses as _dc
 
     dtype = jnp.dtype(dtype_name)
@@ -173,7 +174,8 @@ def _cached_dia_solver(mesh, geom, coeffs, dtype_name, tol, atol, maxiter,
             e_loc = w_loc = None
         x0_loc = rest.pop(0) if rest else None
         eng = FusedCG(geom, dtype=dtype, coeffs=coeffs, planes=planes_loc,
-                      weight=w_loc, axis_name=AXIS, interpret=interpret)
+                      weight=w_loc, axis_name=AXIS, interpret=interpret,
+                      sym=sym)
         if e_loc is not None:
             b_s = e_loc * b_loc
             if x0_loc is not None:

@@ -95,6 +95,7 @@ class Geometry:
     nb: int            # kernel-B grid size (l_pad / bl)
     nb_a: int          # kernel-A grid size (l_pad / bl_a)
     double_buffer: bool  # overlap kernel A's window DMA with compute
+    a_vmem_limit: int = 0  # kernel-A vmem_limit_bytes (0 = Mosaic default)
 
     @property
     def n_local(self) -> int:
@@ -107,7 +108,8 @@ def make_geometry(nx: int, ny: int, nz: int,
                   target_block_bytes: int = 1 << 19,
                   row_multiplier: int = 1,
                   a_extra_streams: int = 0,
-                  a_window_streams: int = 1) -> Geometry:
+                  a_window_streams: int = 1,
+                  stream_budget_bytes: Optional[int] = None) -> Geometry:
     """``target_block_bytes`` sizes kernel B's blocks (7-8 double-buffered
     streams — keep modest); kernel A's block multiple ``m`` is chosen per
     regime (see the inline comments).  ``row_multiplier``: effective
@@ -139,6 +141,7 @@ def make_geometry(nx: int, ny: int, nz: int,
     # window its scoped-VMEM budget allows.
     l_pad1 = -(-l_real // bl) * bl
     working_set = 5 * rows_eff * (l_pad1 + 2 * bl) * 4
+    a_vmem_limit = 0
     if working_set <= (96 << 20):
         # Resident regime: smallest layout, no window DMA double-buffering
         # (its per-block control overhead measured ~50% at 128^3, and
@@ -152,17 +155,28 @@ def make_geometry(nx: int, ny: int, nz: int,
         # bl_a=1792 with 6 plane streams): per window stream a
         # double-buffered scratch 2·(bl_a + 2·sl), plus ~7 block-sized
         # temporaries, plus 2 per grid-pipelined plane block
-        # (a_extra_streams), × rows8 × 4 B ≤ 15 MB.
+        # (a_extra_streams), × rows_eff × 4 B ≤ the ~15 MB default scoped
+        # budget.  NB: raising vmem_limit_bytes to get wider windows was
+        # MEASURED SLOWER (64 MB budget: 667.6 vs 452.0 µs/iter at DIA
+        # 192³, 621.4 vs 354 at 216³ stencil) — giant windows starve
+        # Mosaic's own pipelining; keep the default budget.
         n_win = max(1, int(a_window_streams))
-        cap = (15 << 20) // (4 * rows_eff) - 4 * sl * n_win
-        m = max(1, int(cap // ((2 * n_win + 7 + a_extra_streams) * bl)))
+        budget = (15 << 20) if stream_budget_bytes is None \
+            else int(stream_budget_bytes)
+        cap = budget // (4 * rows_eff) - 4 * sl * n_win
+        denom = 2 * n_win + 7 + a_extra_streams
+        m = max(1, int(cap // (denom * bl)))
+        if stream_budget_bytes is not None:
+            usage = 4 * rows_eff * (denom * bl * m + 4 * sl * n_win)
+            a_vmem_limit = min(int(usage * 1.5) + (8 << 20), 120 << 20)
         double_buffer = True
     bl_a = bl * m
     l_pad = -(-l_real // bl_a) * bl_a
     return Geometry(nx=nx, ny=ny, nz=nz, nxl=nxl, taps=tuple(map(tuple, taps)),
                     rows8=rows8, sl=sl, bl=bl, bl_a=bl_a, l_real=l_real,
                     l_pad=l_pad, total=l_pad + 2 * bl_a, nb=l_pad // bl,
-                    nb_a=l_pad // bl_a, double_buffer=double_buffer)
+                    nb_a=l_pad // bl_a, double_buffer=double_buffer,
+                    a_vmem_limit=a_vmem_limit)
 
 
 # ---------------------------------------------------------------------------
@@ -183,22 +197,33 @@ def from_layout(g: Geometry, a: jnp.ndarray) -> jnp.ndarray:
 # Kernel A: q = A p (+ pq, qq)
 # ---------------------------------------------------------------------------
 
-def _kernel_a(*refs, g: Geometry, coeffs, variable: bool):
+def _kernel_a(*refs, g: Geometry, coeffs, variable: bool, sym: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    if variable:
+    if variable and sym:
+        (p_hbm, planes_hbm, q_ref, dots_ref,
+         scratch, sem, pscratch, psem) = refs
+    elif variable:
         p_hbm, planes_ref, q_ref, dots_ref, scratch, sem = refs
     else:
         p_hbm, q_ref, dots_ref, scratch, sem = refs
 
     j = pl.program_id(0)
+    win = g.bl_a + 2 * g.sl
 
     def dma(slot, blk):
         start = (g.bl_a - g.sl) + blk * g.bl_a    # statically 128-aligned
-        return pltpu.make_async_copy(
-            p_hbm.at[:, pl.ds(start, g.bl_a + 2 * g.sl)],
-            scratch.at[slot], sem.at[slot])
+        cps = [pltpu.make_async_copy(
+            p_hbm.at[:, pl.ds(start, win)], scratch.at[slot], sem.at[slot])]
+        if variable and sym:
+            # The symmetric path streams the coefficient planes as halo
+            # windows too (one stacked DMA): each plane serves BOTH its
+            # tap and the mirror tap via a shifted read (see the tap loop).
+            cps.append(pltpu.make_async_copy(
+                planes_hbm.at[:, :, pl.ds(start, win)],
+                pscratch.at[slot], psem.at[slot]))
+        return cps
 
     if g.double_buffer:
         # Streaming regime: prefetch block j+1's window while computing
@@ -206,23 +231,33 @@ def _kernel_a(*refs, g: Geometry, coeffs, variable: bool):
         # effective vs the chip's ~990 GB/s streaming limit).
         @pl.when(j == 0)
         def _():
-            dma(0, 0).start()
+            for cp in dma(0, 0):
+                cp.start()
 
         @pl.when(j + 1 < g.nb_a)
         def _():
-            dma((j + 1) % 2, j + 1).start()
+            for cp in dma((j + 1) % 2, j + 1):
+                cp.start()
 
-        dma(j % 2, j).wait()
+        for cp in dma(j % 2, j):
+            cp.wait()
         w = scratch[j % 2]                     # (rows8, bl_a + 2·sl)
+        pw = pscratch[j % 2] if (variable and sym) else None
     else:
         # Resident regime: VMEM-to-VMEM copy needs no hiding; plain
         # unsliced scratch, single semaphore.
         start = (g.bl_a - g.sl) + j * g.bl_a
-        cp = pltpu.make_async_copy(
-            p_hbm.at[:, pl.ds(start, g.bl_a + 2 * g.sl)], scratch, sem)
-        cp.start()
-        cp.wait()
+        cps = [pltpu.make_async_copy(
+            p_hbm.at[:, pl.ds(start, win)], scratch, sem)]
+        if variable and sym:
+            cps.append(pltpu.make_async_copy(
+                planes_hbm.at[:, :, pl.ds(start, win)], pscratch, psem))
+        for cp in cps:
+            cp.start()
+        for cp in cps:
+            cp.wait()
         w = scratch[...]
+        pw = pscratch[...] if (variable and sym) else None
     nxl = g.nxl
     lane = j * g.bl_a + jax.lax.broadcasted_iota(jnp.int32, (1, g.bl_a), 1)
     k = lane % g.nz
@@ -236,7 +271,21 @@ def _kernel_a(*refs, g: Geometry, coeffs, variable: bool):
         # Row shift dx is an offset into the halo-extended rows (real rows
         # live at 1..nxl); lane shift dl indexes the halo window.
         s = w[1 + dx:1 + dx + nxl, g.sl + dl:g.sl + dl + g.bl_a]
-        if coeffs[t] is None:
+        if coeffs[t] is None and sym:
+            # Symmetric operator: plane'_{-off}[i] = plane'_{+off}[i-off],
+            # so ONE windowed plane yields both taps — the +off term reads
+            # the plane at the output position, the -off (mirror) term
+            # reads plane AND p at the (-dx, -dl)-shifted position.
+            wp = pw[pi]
+            pi += 1
+            term = wp[1:1 + nxl, g.sl:g.sl + g.bl_a] * s
+            if (dx, dy, dk) != (0, 0, 0):
+                term = term + (
+                    wp[1 - dx:1 - dx + nxl,
+                       g.sl - dl:g.sl - dl + g.bl_a]
+                    * w[1 - dx:1 - dx + nxl,
+                        g.sl - dl:g.sl - dl + g.bl_a])
+        elif coeffs[t] is None:
             # Coefficient plane at the OUTPUT rows (row-aligned DIA
             # convention); boundary zeros are encoded in the data.
             term = planes_ref[pi, 1:1 + nxl, :] * s
@@ -254,10 +303,11 @@ def _kernel_a(*refs, g: Geometry, coeffs, variable: bool):
                 term = jnp.where(m, term, 0.0)
         y = term if y is None else y + term
 
-    if any(c is not None for c in coeffs):
-        # Lane-padding outputs must be zeroed: constant-coefficient
-        # shifted reads can pull real values into padding lanes, which
-        # would corrupt qq and r.  (Plane taps are zero there already.)
+    if sym or any(c is not None for c in coeffs):
+        # Lane-padding outputs must be zeroed: constant-coefficient (and
+        # symmetric mirror) shifted reads can pull real values into
+        # padding lanes, which would corrupt qq and r.  (Output-aligned
+        # plane taps are zero there already.)
         y = jnp.where(valid, y, 0.0)
 
     q_ref[...] = jnp.pad(y, ((1, g.rows8 - 1 - nxl), (0, 0)))
@@ -268,9 +318,11 @@ def _kernel_a(*refs, g: Geometry, coeffs, variable: bool):
         dots_ref[0, 1] = 0.0
 
     gc = w[1:1 + nxl, g.sl:g.sl + g.bl_a]
-    # fp32 accumulation regardless of vector dtype.
-    dots_ref[0, 0] += jnp.sum((y * gc).astype(jnp.float32))
-    dots_ref[0, 1] += jnp.sum((y * y).astype(jnp.float32))
+    # fp32 products AND accumulation regardless of vector dtype (bf16
+    # products would lose half the mantissa before the upcast).
+    y32 = y.astype(jnp.float32)
+    dots_ref[0, 0] += jnp.sum(y32 * gc.astype(jnp.float32))
+    dots_ref[0, 1] += jnp.sum(y32 * y32)
 
 
 # ---------------------------------------------------------------------------
@@ -308,7 +360,8 @@ def _kernel_b(*refs, weighted: bool):
         dots_ref[0, 0] = 0.0
         dots_ref[0, 1] = 0.0
 
-    rsq = (r_new * r_new).astype(jnp.float32)
+    r32 = r_new.astype(jnp.float32)
+    rsq = r32 * r32
     s = jnp.sum(rsq)
     dots_ref[0, 0] += s                       # solve-space ‖r̃‖² (exact)
     if weighted:
@@ -354,6 +407,14 @@ class FusedCG:
         diagonal-scaling PCG transform: ``w = diag(A)``).
       axis_name: mesh axis for ``psum``/halo exchange under ``shard_map``.
       interpret: run Pallas kernels in interpreter mode (CPU tests).
+      sym: symmetric-operator mode — ``taps`` lists only one tap per
+        ``±off`` pair (plus the diagonal) and each streamed plane is
+        applied twice: at the output position (its own tap) and at the
+        ``-off``-shifted position (the mirror tap, using
+        ``plane_{-off}[i] = plane_{+off}[i-off]``).  Planes then stream
+        as halo windows (build the geometry with
+        ``a_window_streams = 1 + n_planes``).  Caller must verify the
+        operator data really is symmetric.
     """
 
     def __init__(self, geom: Geometry, *, dtype,
@@ -361,7 +422,8 @@ class FusedCG:
                  planes: Optional[jnp.ndarray] = None,
                  weight: Optional[jnp.ndarray] = None,
                  axis_name: Optional[str] = None,
-                 interpret: bool = False):
+                 interpret: bool = False,
+                 sym: bool = False):
         from jax.experimental import pallas as pl
         from jax.experimental.pallas import tpu as pltpu
 
@@ -380,6 +442,7 @@ class FusedCG:
         self.coeffs = coeffs
         n_planes = sum(1 for c in coeffs if c is None)
         variable = n_planes > 0
+        self.sym = sym = bool(sym and variable)
         if variable:
             if planes is None or planes.shape[0] != n_planes:
                 raise ValueError(f"need {n_planes} coefficient planes for "
@@ -388,6 +451,20 @@ class FusedCG:
             planes_l = jnp.stack(
                 [to_layout(g, planes[t].astype(dtype))
                  for t in range(n_planes)])
+            if sym and axis_name is not None:
+                # Mirror taps read the plane one row shifted: fill the
+                # plane layout's halo rows from the neighbour shards ONCE
+                # (planes are static — unlike p's per-iteration exchange).
+                nd = jax.lax.psum(1, axis_name)
+                if nd > 1:
+                    fwd = jax.lax.ppermute(
+                        planes_l[:, g.nxl, :], axis_name,
+                        [(i, i + 1) for i in range(nd - 1)])
+                    bwd = jax.lax.ppermute(
+                        planes_l[:, 1, :], axis_name,
+                        [(i, i - 1) for i in range(1, nd)])
+                    planes_l = (planes_l.at[:, 0, :].set(fwd)
+                                .at[:, g.nxl + 1, :].set(bwd))
         self.weight_l = (to_layout(g, weight.astype(dtype))
                          if weight is not None else None)
         weighted = self.weight_l is not None
@@ -412,16 +489,38 @@ class FusedCG:
         s2 = jax.ShapeDtypeStruct((1, 2), jnp.float32, vma=vma)
 
         kernel_a = partial(_kernel_a, g=g, coeffs=coeffs,
-                           variable=variable)
+                           variable=variable, sym=sym)
         kernel_b = partial(_kernel_b, weighted=weighted)
 
         a_in = [pl.BlockSpec(memory_space=pl.ANY)]
         a_args = ()
         if variable:
-            a_in.append(pl.BlockSpec((n_planes, g.rows8, g.bl_a),
-                                     lambda i: (0, 0, i + 1),
-                                     memory_space=pltpu.VMEM))
+            if sym:
+                a_in.append(pl.BlockSpec(memory_space=pl.ANY))
+            else:
+                a_in.append(pl.BlockSpec((n_planes, g.rows8, g.bl_a),
+                                         lambda i: (0, 0, i + 1),
+                                         memory_space=pltpu.VMEM))
             a_args = (planes_l,)
+
+        win = g.bl_a + 2 * g.sl
+        if g.double_buffer:
+            a_scratch = [pltpu.VMEM((2, g.rows8, win), dtype),
+                         pltpu.SemaphoreType.DMA((2,))]
+            if sym:
+                a_scratch += [pltpu.VMEM((2, n_planes, g.rows8, win), dtype),
+                              pltpu.SemaphoreType.DMA((2,))]
+        else:
+            a_scratch = [pltpu.VMEM((g.rows8, win), dtype),
+                         pltpu.SemaphoreType.DMA(())]
+            if sym:
+                a_scratch += [pltpu.VMEM((n_planes, g.rows8, win), dtype),
+                              pltpu.SemaphoreType.DMA(())]
+
+        a_params = {}
+        if g.a_vmem_limit and not interpret:
+            a_params["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=g.a_vmem_limit)
 
         def call_a(p_l):
             return pl.pallas_call(
@@ -430,12 +529,9 @@ class FusedCG:
                 in_specs=a_in,
                 out_specs=(vec_blk_a, smem2_out),
                 out_shape=(vshape, s2),
-                scratch_shapes=(
-                    [pltpu.VMEM((2, g.rows8, g.bl_a + 2 * g.sl), dtype),
-                     pltpu.SemaphoreType.DMA((2,))] if g.double_buffer else
-                    [pltpu.VMEM((g.rows8, g.bl_a + 2 * g.sl), dtype),
-                     pltpu.SemaphoreType.DMA(())]),
+                scratch_shapes=a_scratch,
                 interpret=interpret,
+                **a_params,
             )(p_l, *a_args)
 
         b_in = [smem1_in, smem2_in, vec_blk, vec_blk, vec_blk, vec_blk]

@@ -117,8 +117,9 @@ def _kernel_a_multi(*refs, g: Geometry, coeffs, variable: bool, k: int):
         dots_ref[...] = jnp.zeros_like(dots_ref)
 
     gc = w[:, 1:1 + nxl, g.sl:g.sl + g.bl_a]
-    dots_ref[0, :] += jnp.sum((y * gc).astype(jnp.float32), axis=(1, 2))
-    dots_ref[1, :] += jnp.sum((y * y).astype(jnp.float32), axis=(1, 2))
+    y32 = y.astype(jnp.float32)
+    dots_ref[0, :] += jnp.sum(y32 * gc.astype(jnp.float32), axis=(1, 2))
+    dots_ref[1, :] += jnp.sum(y32 * y32, axis=(1, 2))
 
 
 def _kernel_b_multi(*refs, g: Geometry, weighted: bool, k: int):
@@ -156,7 +157,8 @@ def _kernel_b_multi(*refs, g: Geometry, weighted: bool, k: int):
     def _():
         dots_ref[...] = jnp.zeros_like(dots_ref)
 
-    rsq = (r_new * r_new).astype(jnp.float32)
+    r32 = r_new.astype(jnp.float32)
+    rsq = r32 * r32
     s = jnp.sum(rsq, axis=(1, 2))
     dots_ref[0, :] += s
     if weighted:
@@ -207,6 +209,10 @@ def _solve_multi(geom: Geometry, coeffs, planes, weight, b2, x0_2, *,
                                  memory_space=pltpu.VMEM))
         a_args = (planes_l,)
     n_slots = 2 if g.double_buffer else 1
+    a_params = {}
+    if g.a_vmem_limit and not interpret:
+        a_params["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=g.a_vmem_limit)
 
     def call_a(p_l):
         return pl.pallas_call(
@@ -219,6 +225,7 @@ def _solve_multi(geom: Geometry, coeffs, planes, weight, b2, x0_2, *,
                 pltpu.VMEM((n_slots, rows, g.bl_a + 2 * g.sl), dtype),
                 pltpu.SemaphoreType.DMA((n_slots,))],
             interpret=interpret,
+            **a_params,
         )(p_l, *a_args)
 
     b_in = [smem_k, smem_2k, vec_blk, vec_blk, vec_blk, vec_blk]
@@ -329,7 +336,7 @@ def fused_dia_cg_multi(d, b: jnp.ndarray, x0=None, *, tol: float = 1e-6,
         raise ValueError("DIA data has nonzero x-plane-crossing entries")
     dtype = b.dtype
     eng, e, planes = build_fused_dia(d, dtype, jacobi=jacobi,
-                                     inv_diag=inv_diag)
+                                     inv_diag=inv_diag, allow_sym=False)
     # Reuse the engine's coefficient decisions (build_fused_dia may have
     # folded the unit diagonal into a constant tap), but re-make the
     # geometry with the k-band row multiplier for VMEM sizing.

@@ -29,10 +29,19 @@ __all__ = ["auto_solve", "select_backend", "FUSED_MIN_ROWS"]
 # unambiguous (80 vs 600 at 160^3; 345 vs 1086 at 216^3).
 FUSED_MIN_ROWS = 3_000_000
 
+# The whole-solve resident kernel (one pallas_call, x/r/p pinned in VMEM
+# for the entire solve — cgx/kernels/fused_resident.py) beats the XLA
+# loop ~1.9x where it fits (23.0 vs 42.8 us/iter at 128^3, measured) and
+# has none of the resident-regime placement variance.  Below ~64^3 the
+# ~30 ms dispatch dominates any per-iter difference; keep XLA there for
+# its cheaper compile.
+RESIDENT_MIN_ROWS = 200_000
+
 
 def select_backend(a, b, preconditioner=None) -> str:
     """The backend :func:`auto_solve` would route this problem to:
-    ``"fused_stencil"`` | ``"fused_dia"`` | ``"padded"`` | ``"xla"``.
+    ``"resident_stencil"`` | ``"resident_dia"`` | ``"fused_stencil"`` |
+    ``"fused_dia"`` | ``"padded"`` | ``"xla"``.
 
     Call OUTSIDE jit with concrete data (the DIA wrap-entry check is
     data-dependent); pass the result to ``auto_solve(backend=...)`` when
@@ -41,22 +50,28 @@ def select_backend(a, b, preconditioner=None) -> str:
     from cgx.kernels import fused_cg
     from cgx.kernels.fused_dia_cg import (supports_dia,
                                           wrap_entries_zero_or_none)
+    from cgx.kernels.fused_resident import resident_supported
     from cgx.solve.precond import JacobiPrecond
 
     n = b.shape[0]
     on_tpu = jax.default_backend() == "tpu"
     jac = isinstance(preconditioner, JacobiPrecond)
-    if (on_tpu and preconditioner is None
-            and fused_cg.supports(a) and n >= FUSED_MIN_ROWS):
-        return "fused_stencil"
-    # The fused DIA route additionally requires zero entries at every
+    stencil_ok = (on_tpu and preconditioner is None
+                  and fused_cg.supports(a))
+    # The fused DIA routes additionally require zero entries at every
     # x-plane-crossing slot (the lane layout drops those — see
     # fused_dia_cg.wrap_entries_zero).  The check is data-dependent, so
     # for traced data we conservatively fall back to the XLA path; callers
     # who know their operator is wrap-free can pass backend="fused_dia".
-    if (on_tpu and (preconditioner is None or jac)
-            and supports_dia(a) and n >= FUSED_MIN_ROWS
-            and wrap_entries_zero_or_none(a) is True):
+    dia_ok = (on_tpu and (preconditioner is None or jac)
+              and supports_dia(a)
+              and wrap_entries_zero_or_none(a) is True)
+    if (stencil_ok or dia_ok) and n >= RESIDENT_MIN_ROWS \
+            and resident_supported(a, b.dtype):
+        return "resident_stencil" if stencil_ok else "resident_dia"
+    if stencil_ok and n >= FUSED_MIN_ROWS:
+        return "fused_stencil"
+    if dia_ok and n >= FUSED_MIN_ROWS:
         return "fused_dia"
     if padded_length(n) != n:
         return "padded"
@@ -83,12 +98,29 @@ def auto_solve(
     """
     from cgx.kernels.fused_cg import fused_stencil_cg
     from cgx.kernels.fused_dia_cg import fused_dia_cg
+    from cgx.kernels.fused_resident import (resident_dia_cg,
+                                            resident_stencil_cg)
     from cgx.solve.precond import JacobiPrecond
 
     if backend is None:
         backend = select_backend(a, b, preconditioner)
     n = b.shape[0]
     mi = int(maxiter) if maxiter is not None else n
+    if backend.startswith("resident") and track_history:
+        # The whole-solve kernel doesn't track per-iteration history;
+        # fall back to the two-pass engine (big n) or the XLA loop.
+        backend = ("fused" + backend[len("resident"):]
+                   if n >= FUSED_MIN_ROWS else
+                   ("padded" if padded_length(n) != n else "xla"))
+    if backend == "resident_stencil":
+        return resident_stencil_cg(a, b, x0, tol=tol, atol=atol,
+                                   maxiter=mi)
+    if backend == "resident_dia":
+        jac = isinstance(preconditioner, JacobiPrecond)
+        return resident_dia_cg(
+            a, b, x0, tol=tol, atol=atol, jacobi=jac,
+            inv_diag=preconditioner.inv_diag if jac else None,
+            maxiter=mi)
     if backend == "fused_stencil":
         return fused_stencil_cg(a, b, x0, tol=tol, atol=atol, maxiter=mi,
                                 track_history=track_history)

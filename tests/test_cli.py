@@ -163,6 +163,17 @@ def test_select_backend_routes_fused_on_tpu(monkeypatch, rng):
     b2 = jnp.zeros((s_small.shape[0],), jnp.float32)
     assert auto.select_backend(s_small, b2) in ("xla", "padded")
 
+    # VMEM-resident sizes route to the whole-solve kernel (the headline
+    # 128^3 config: 23.0 vs XLA's 42.8 us/iter measured on-chip).
+    s_mid = poisson3d_stencil(128, 128, 128)
+    b3 = jnp.zeros((s_mid.shape[0],), jnp.float32)
+    assert auto.select_backend(s_mid, b3) == "resident_stencil"
+    a_mid = poisson3d_dia(128, 128, 128, dtype=np.float32)
+    assert auto.select_backend(a_mid, b3) == "resident_dia"
+    # ... but not when the working set exceeds VMEM (160^3 stencil needs
+    # ~105 MB) — those stay on the streaming two-pass engine.
+    assert auto.select_backend(s, b) == "fused_stencil"
+
 
 def test_solve_distributed_method_flag(capsys):
     """--method single_reduction reaches the Chronopoulos-Gear path."""

@@ -240,6 +240,44 @@ def test_fused_dia_wrap_entries_offset_nz(rng):
     assert not wrap_entries_zero(dirty)
 
 
+def test_fused_dia_sym_engine_selected(rng):
+    """Symmetric DIA data routes to the symmetric engine (3 streamed
+    plane windows instead of 6 pipelined blocks — ROADMAP r2 #1); the
+    unscaled path streams the diagonal as a 4th window."""
+    from cgx.kernels.fused_dia_cg import (build_fused_dia,
+                                          data_symmetric_or_none)
+    a = _scaled_poisson3d_dia(6, 8, 7, rng).astype(jnp.float32)
+    assert data_symmetric_or_none(a) is True
+    eng, e, planes = build_fused_dia(a, jnp.float32, jacobi=True,
+                                     interpret=True)
+    assert eng.sym and planes.shape[0] == 3
+    assert eng.coeffs == (1.0, None, None, None)    # unit diag folded
+    eng2, _, planes2 = build_fused_dia(a, jnp.float32, jacobi=False,
+                                       interpret=True)
+    assert eng2.sym and planes2.shape[0] == 4
+
+
+def test_fused_dia_asymmetric_falls_back(rng):
+    """Non-symmetric data (an invalid CG operator, but a legal DIA
+    pattern) must NOT silently enable the mirror-tap kernel: the builder
+    falls back to the 6/7-plane engine, whose output matches the generic
+    SpMV exactly."""
+    from cgx.io.poisson import poisson3d_dia
+    from cgx.kernels.fused_dia_cg import (build_fused_dia,
+                                          data_symmetric_or_none)
+    from cgx.sparse.types import DIAMatrix
+
+    clean = poisson3d_dia(6, 8, 7)
+    data = np.asarray(clean.data).copy()
+    data[4, 100] *= 1.5          # break symmetry at one interior entry
+    a = DIAMatrix(data=jnp.asarray(data, jnp.float32),
+                  offsets=clean.offsets, shape=clean.shape)
+    assert data_symmetric_or_none(a) is False
+    eng, e, planes = build_fused_dia(a, jnp.float32, jacobi=True,
+                                     interpret=True)
+    assert not eng.sym and planes.shape[0] >= 6
+
+
 def test_fused_2d_stencil_matches_cg_solve(rng):
     """2-D 5-point fused path (engine dims (nx, 1, ny))."""
     from cgx.kernels.fused_cg import fused_stencil_cg, supports
@@ -273,6 +311,97 @@ def test_fused_27point_matches_cg_solve(rng):
     assert abs(int(res.iterations) - int(ref.iterations)) <= 2
     np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
                                rtol=5e-3, atol=5e-4)
+
+
+def test_resident_cg_matches_cg_solve(rng):
+    """Whole-solve resident kernel (one pallas_call, textbook beta):
+    trajectory-identical to the XLA loop."""
+    from cgx.kernels.fused_cg import stencil_taps
+    from cgx.kernels.fused_resident import (make_resident_geometry,
+                                            resident_cg)
+    from cgx.sparse.stencil import poisson3d_stencil
+    from cgx.solve.cg import cg_solve
+
+    s = poisson3d_stencil(10, 8, 9)
+    n = s.shape[0]
+    b = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    nx, ny, nz, taps, coeffs = stencil_taps(s)
+    g = make_resident_geometry(nx, ny, nz, taps)
+    res = resident_cg(g, b, coeffs=coeffs, tol=1e-6, maxiter=500,
+                      interpret=True)
+    ref = cg_solve(s, b, tol=1e-6, maxiter=500)
+    assert bool(res.converged)
+    assert int(res.iterations) == int(ref.iterations)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                               rtol=5e-3, atol=5e-4)
+    # warm start
+    x0 = jnp.asarray(rng.standard_normal(n).astype(np.float32) * 0.1)
+    res2 = resident_cg(g, b, x0, coeffs=coeffs, tol=1e-6, maxiter=500,
+                       interpret=True)
+    ref2 = cg_solve(s, b, x0, tol=1e-6, maxiter=500)
+    assert abs(int(res2.iterations) - int(ref2.iterations)) <= 1
+
+
+def test_resident_cg_dia_sym(rng):
+    """Resident kernel on a variable-coefficient symmetric DIA operator
+    (scaled planes + weighted true-residual test) == Jacobi-PCG."""
+    import cgx
+    from cgx.kernels.fused_dia_cg import _DIA_TAPS_SYM, build_fused_dia
+    from cgx.kernels.fused_resident import (make_resident_geometry,
+                                            resident_cg)
+    from cgx.ops.blas import safe_recip
+
+    a = _scaled_poisson3d_dia(10, 8, 9, rng).astype(jnp.float32)
+    n = a.shape[0]
+    b = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    eng, e, planes = build_fused_dia(a, jnp.float32, jacobi=True,
+                                     interpret=True)
+    assert eng.sym
+    g = make_resident_geometry(10, 8, 9, _DIA_TAPS_SYM)
+    res = resident_cg(g, e * b, coeffs=eng.coeffs, planes=planes,
+                      weight=safe_recip(e * e), tol=1e-6, maxiter=500,
+                      sym=True, interpret=True)
+    ref = cgx.cg_solve(a, b, tol=1e-6, maxiter=500,
+                       preconditioner=cgx.JacobiPrecond.from_matrix(a))
+    assert bool(res.converged)
+    assert abs(int(res.iterations) - int(ref.iterations)) <= 1
+    np.testing.assert_allclose(np.asarray(e * res.x), np.asarray(ref.x),
+                               rtol=5e-3, atol=5e-4)
+
+
+def test_fused_bf16_iterate_converges(rng):
+    """bf16 iterate + fp32 dot accumulation (ROADMAP r2 #2): the fused
+    engine and the resident kernel both reach a bf16-appropriate
+    tolerance, with residuals tracking the fp32 run's trajectory at low
+    iteration counts (loss of orthogonality stays bounded)."""
+    from cgx.kernels.fused_cg import fused_stencil_cg, stencil_taps
+    from cgx.kernels.fused_resident import (make_resident_geometry,
+                                            resident_cg)
+    from cgx.sparse.stencil import poisson3d_stencil
+    from cgx.solve.cg import cg_solve
+
+    s = poisson3d_stencil(10, 8, 9)
+    n = s.shape[0]
+    b32 = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    b16 = b32.astype(jnp.bfloat16)
+
+    # bf16 can't hit 1e-6 relative residual; 2e-2 is well within reach.
+    res = fused_stencil_cg(s, b16, tol=2e-2, maxiter=200, interpret=True)
+    assert bool(res.converged)
+    ref = cg_solve(s, b32, tol=2e-2, maxiter=200)
+    # Iterations may differ by a few in bf16 — but not blow up.
+    assert int(res.iterations) <= int(ref.iterations) + 10
+    np.testing.assert_allclose(np.asarray(res.x, np.float32),
+                               np.asarray(ref.x), rtol=0.1, atol=0.05)
+
+    nx, ny, nz, taps, coeffs = stencil_taps(s)
+    g = make_resident_geometry(nx, ny, nz, taps)
+    res2 = resident_cg(g, b16, coeffs=coeffs, tol=2e-2, maxiter=200,
+                       interpret=True)
+    assert bool(res2.converged)
+    assert int(res2.iterations) <= int(ref.iterations) + 10
+    np.testing.assert_allclose(np.asarray(res2.x, np.float32),
+                               np.asarray(ref.x), rtol=0.1, atol=0.05)
 
 
 def test_general_stencil_matvec_matches_scipy(rng):
