@@ -17,7 +17,7 @@ from cgx.solve.cg import (CGResult, cg_solve,
 from cgx.solve.precond import (BlockJacobiPrecond, JacobiPrecond,
                                PolynomialPrecond)
 from cgx.solve.ic0 import IC0Precond
-from cgx.solve.block import cg_solve_multi
+from cgx.solve.block import block_cg_solve, cg_solve_multi
 from cgx.solve.padded import cg_solve_padded
 from cgx.solve.auto import auto_solve, select_backend
 from cgx.solve.chebyshev import chebyshev_solve, estimate_bounds
@@ -29,7 +29,8 @@ __all__ = [
     "BSRMatrix", "COOMatrix", "CSRMatrix", "DIAMatrix", "ELLMatrix",
     "bsr_from_csr", "coo_from_scipy", "csr_from_scipy", "dia_from_csr",
     "ell_from_csr", "spmv", "spmm", "blas", "CGResult", "cg_solve",
-    "cg_solve_single_reduction", "cg_solve_multi", "cg_solve_padded",
+    "cg_solve_single_reduction", "cg_solve_multi", "block_cg_solve",
+    "cg_solve_padded",
     "auto_solve", "select_backend", "cg_solve_checkpointed",
     "chebyshev_solve", "estimate_bounds",
     "JacobiPrecond", "BlockJacobiPrecond", "PolynomialPrecond",

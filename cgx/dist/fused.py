@@ -29,7 +29,7 @@ from cgx.dist.solve import AXIS
 from cgx.kernels import fused_cg as _fc
 # Name imports (not the module): the kernels package __init__ re-exports a
 # FUNCTION named fused_dia_cg that shadows the submodule attribute.
-from cgx.kernels.fused_dia_cg import (build_fused_dia, dia_pattern_dims,
+from cgx.kernels.fused_dia_cg import (build_fused_dia, dia_engine_spec,
                                       supports_dia,
                                       wrap_entries_zero_or_none)
 from cgx.kernels.fused_engine import FusedCG, make_geometry
@@ -53,7 +53,7 @@ def dist_fused_supported(a, mesh: Mesh) -> bool:
     if spec is not None and _fc.supports(a):
         return spec[0] % nd == 0
     if supports_dia(a):
-        nx = dia_pattern_dims(a)[0]
+        nx = dia_engine_spec(a)[0]
         return nx % nd == 0 and wrap_entries_zero_or_none(a) is True
     return False
 
@@ -109,7 +109,7 @@ def dist_fused_cg(
     if wrap_entries_zero_or_none(a) is False:
         raise ValueError("dist_fused_cg: DIA data has nonzero x-plane-"
                          "crossing entries — use dist_cg_solve instead")
-    nx = dia_pattern_dims(a)[0]
+    nx = dia_engine_spec(a)[0]
     if nx % nd:
         raise ValueError(f"nx={nx} not divisible by mesh size {nd}")
 

@@ -147,4 +147,5 @@ def poisson3d_dia(nx: int, ny: int, nz: int, dtype=np.float64):
     data[4] = np.where(k < nz - 1, -1.0, 0.0)
     data[5] = np.where(j < ny - 1, -1.0, 0.0)
     data[6] = np.where(i < nx - 1, -1.0, 0.0)
-    return DIAMatrix(data=jnp.asarray(data), offsets=offsets, shape=(n, n))
+    return DIAMatrix(data=jnp.asarray(data), offsets=offsets, shape=(n, n),
+                     grid=(nx, ny, nz))

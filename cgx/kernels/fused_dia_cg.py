@@ -25,8 +25,9 @@ from cgx.kernels.fused_engine import FusedCG, make_geometry
 from cgx.solve.cg import CGResult
 
 __all__ = ["fused_dia_cg", "supports_dia", "dia_pattern_dims",
-           "wrap_entries_zero", "wrap_entries_zero_or_none",
-           "data_symmetric_or_none", "dia_prep", "build_fused_dia"]
+           "dia_engine_spec", "wrap_entries_zero",
+           "wrap_entries_zero_or_none", "data_symmetric_or_none",
+           "dia_prep", "build_fused_dia"]
 
 
 def dia_pattern_dims(d) -> Optional[Tuple[int, int, int]]:
@@ -48,9 +49,57 @@ def dia_pattern_dims(d) -> Optional[Tuple[int, int, int]]:
     return (n // o3, o3 // o2, o2)
 
 
-def supports_dia(d) -> bool:
+def dia_engine_spec(d):
+    """``(nx, ny, nz, taps)`` decomposing ``d.offsets`` into engine taps
+    ``(dx, dy, dk)`` with ``|dx| ≤ 1``, or ``None``.
+
+    Works for the exact 7-point pattern without metadata; ANY other
+    banded set needs ``d.grid`` (generators set it).  Each offset takes
+    its minimal-magnitude decomposition ``off = dx·ny·nz + dy·nz + dk``
+    (``|dk| ≤ nz/2``, ``|dy| ≤ ny/2``) — the canonical reading for grid
+    stencils; :func:`wrap_entries_zero` then pins down the boundary
+    semantics the lane layout imposes.
+    """
+    from cgx.sparse.types import DIAMatrix
+
+    if not isinstance(d, DIAMatrix):
+        return None
     dims = dia_pattern_dims(d)
-    return dims is not None and 1 <= dims[0] <= 4096
+    if dims is not None:
+        return (*dims, list(_DIA_TAPS))
+    g = getattr(d, "grid", None)
+    if g is None:
+        return None
+    nx, ny, nz = map(int, g)
+    if nx * ny * nz != d.shape[0] or min(nx, ny, nz) < 1:
+        return None
+    taps = []
+    for off in map(int, d.offsets):
+        dk = off % nz
+        if dk > nz // 2:
+            dk -= nz
+        rem = (off - dk) // nz
+        dy = rem % ny
+        if dy > ny // 2:
+            dy -= ny
+        dx = (rem - dy) // ny
+        if abs(dx) > 1 or dx * ny * nz + dy * nz + dk != off:
+            return None
+        taps.append((dx, dy, dk))
+    if len(set(taps)) != len(taps):
+        return None
+    return nx, ny, nz, taps
+
+
+def supports_dia(d) -> bool:
+    spec = dia_engine_spec(d)
+    if spec is None:
+        return False
+    nx, ny, nz, taps = spec
+    # One embedded halo row per side bounds nx; the lane halo must stay
+    # a small fraction of the lane axis for the window streams to pay.
+    reach = max(abs(dy * nz + dk) for (_, dy, dk) in taps)
+    return 1 <= nx <= 4096 and reach <= max(128, ny * nz // 2)
 
 
 def wrap_entries_zero(d) -> bool:
@@ -83,27 +132,35 @@ def wrap_entries_zero(d) -> bool:
 def wrap_entries_zero_or_none(d):
     """Like :func:`wrap_entries_zero` but returns ``None`` when the check
     cannot run (traced data / called inside jit)."""
-    dims = dia_pattern_dims(d)
-    if dims is None:
+    import numpy as np
+
+    spec = dia_engine_spec(d)
+    if spec is None:
         return False
     if isinstance(d.data, jax.core.Tracer):
         return None
-    nx, ny, nz = dims
-
-    def grid(k):
-        return d.data[k].reshape(nx, ny, nz)
-
-    # Slots where the flat offset crosses an x-plane (in-range only; slots
-    # whose flat target falls outside the matrix are ignored either way).
-    s = (jnp.sum(jnp.abs(grid(4)[:nx - 1, ny - 1, nz - 1]))   # +1
-         + jnp.sum(jnp.abs(grid(2)[1:, 0, 0]))                # -1
-         + jnp.sum(jnp.abs(grid(5)[:nx - 1, ny - 1, :]))      # +nz
-         + jnp.sum(jnp.abs(grid(1)[1:, 0, :])))               # -nz
+    nx, ny, nz, taps = spec
     try:
-        return bool(s == 0)
-    except jax.errors.TracerBoolConversionError:
-        # Inside a trace even concrete operands produce tracers.
+        data = np.asarray(d.data)
+    except jax.errors.TracerArrayConversionError:
         return None
+    n = d.shape[0]
+    i = np.arange(n)
+    kz = i % nz
+    jy = (i // nz) % ny
+    for t, ((dx, dy, dk), off) in enumerate(zip(taps, map(int,
+                                                          d.offsets))):
+        if dy == 0 and dk == 0:
+            continue                    # pure row shift: no lane wrap
+        # Grid-boundary-crossing slots whose flat target is still inside
+        # the matrix: the generic shifted SpMV includes them, the fused
+        # lane layout reads zero padding there — data must be zero.
+        cross = (jy + dy < 0) | (jy + dy >= ny) \
+            | (kz + dk < 0) | (kz + dk >= nz)
+        in_range = (i + off >= 0) & (i + off < n)
+        if np.any(np.abs(data[t])[cross & in_range] > 0):
+            return False
+    return True
 
 
 # Offset order (-o3, -o2, -1, 0, 1, o2, o3) in engine tap convention.
@@ -115,18 +172,24 @@ _DIA_TAPS_SYM = ((0, 0, 0), (0, 0, 1), (0, 1, 0), (1, 0, 0))
 
 def data_symmetric_or_none(d):
     """True iff the (concrete) DIA data describes a symmetric matrix:
-    ``data[-off][i] == data[+off][i-off]`` for each offset pair.  ``None``
-    when the data is traced (cannot check under jit)."""
+    the offset set is sign-symmetric and ``data[-off][i] ==
+    data[+off][i-off]`` for each pair.  ``None`` when the data is traced
+    (cannot check under jit)."""
     import numpy as np
 
-    dims = dia_pattern_dims(d)
-    if dims is None:
+    offs = tuple(map(int, d.offsets))
+    if any(-off not in offs for off in offs):
         return False
     if isinstance(d.data, jax.core.Tracer):
         return None
-    data = np.asarray(d.data)
-    for t_neg, t_pos in ((0, 6), (1, 5), (2, 4)):
-        off = int(d.offsets[t_pos])
+    try:
+        data = np.asarray(d.data)
+    except jax.errors.TracerArrayConversionError:
+        return None
+    for t_pos, off in enumerate(offs):
+        if off <= 0:
+            continue
+        t_neg = offs.index(-off)
         if not np.allclose(data[t_neg][off:], data[t_pos][:-off],
                            rtol=1e-6, atol=0.0):
             return False
@@ -153,21 +216,31 @@ def dia_prep(d, dtype, *, jacobi: bool = True, inv_diag=None,
     ``e = √(inv_diag)`` is the Jacobi scaling vector (``None`` when not
     preconditioning); the caller solves ``Ã y = e·b`` and recovers
     ``x = e·y``.  When the concrete data is symmetric (it must be, for
-    CG) ``sym=True``: ``taps`` is :data:`_DIA_TAPS_SYM` and only the
-    non-negative-offset planes are kept (the kernels mirror them).
+    CG) ``sym=True``: ``taps`` keeps the diagonal plus one tap per
+    ``±off`` pair (the kernels mirror them).
+
+    Any banded operator whose offsets decompose into ``|dx| ≤ 1`` grid
+    taps is accepted (:func:`dia_engine_spec` — 7-point auto-detected,
+    everything else via ``d.grid`` metadata).
     """
     import numpy as np
 
-    dims = dia_pattern_dims(d)
-    if dims is None or not supports_dia(d):
-        raise ValueError("fused_dia_cg: operator lacks the 3-D 7-point "
-                         "DIA pattern (or nx > 4096)")
-    nx, ny, nz = dims
+    spec = dia_engine_spec(d)
+    if spec is None or not supports_dia(d):
+        raise ValueError(
+            "fused_dia_cg: offsets do not decompose into |dx| <= 1 grid "
+            "taps (set DIAMatrix.grid for non-7-point patterns) or the "
+            "grid is out of range")
+    nx, ny, nz, all_taps = spec
+    offs = tuple(map(int, d.offsets))
+    diag_idx = offs.index(0) if 0 in offs else None
     if inv_diag is not None:
         invd = jnp.asarray(inv_diag, dtype)
     elif jacobi:
+        if diag_idx is None:
+            raise ValueError("jacobi=True needs a stored main diagonal")
         from cgx.ops.blas import safe_recip
-        invd = safe_recip(d.data[3].astype(dtype))
+        invd = safe_recip(d.data[diag_idx].astype(dtype))
     else:
         invd = None
 
@@ -175,16 +248,14 @@ def dia_prep(d, dtype, *, jacobi: bool = True, inv_diag=None,
     # data (concrete even when b is traced) covers the scaled planes too.
     sym = bool(allow_sym and data_symmetric_or_none(d) is True)
 
-    coeffs = (None,) * 7
     unit_diag = False
     if invd is None:
-        planes = jnp.stack([d.data[t].astype(dtype)
-                            for t in range(len(d.offsets))])
+        planes_full = [d.data[t].astype(dtype) for t in range(len(offs))]
         e = None
         weight = None
     else:
         e = jnp.sqrt(invd)
-        planes = _scaled_planes(d, e, dtype)
+        planes_full = list(_scaled_planes(d, e, dtype))
         from cgx.ops.blas import safe_recip
         weight = safe_recip(invd)              # = diag(A) for true ‖r‖²
         # After the symmetric scaling the diagonal plane is 1 (exactly, in
@@ -192,33 +263,36 @@ def dia_prep(d, dtype, *, jacobi: bool = True, inv_diag=None,
         # keep it as a constant tap instead of streaming a plane of ones —
         # one fewer full-vector pass per iteration.  Check on the concrete
         # host data (d.data is concrete even when b is traced).
-        if not (isinstance(d.data, jax.core.Tracer)
+        if diag_idx is not None and not (
+                isinstance(d.data, jax.core.Tracer)
                 or isinstance(inv_diag, jax.core.Tracer)):
             # NB: np.asarray on the WHOLE concrete array, then index —
-            # d.data[3] would be a traced op inside jit.
-            diag_np = np.asarray(d.data, np.float64)[3]
+            # d.data[diag_idx] would be a traced op inside jit.
+            diag_np = np.asarray(d.data, np.float64)[diag_idx]
             inv_np = (np.asarray(inv_diag, np.float64)
                       if inv_diag is not None
                       else np.where(diag_np != 0, 1.0 / np.where(
                           diag_np != 0, diag_np, 1.0), 0.0))
             if np.allclose(diag_np * inv_np, 1.0, rtol=1e-6, atol=1e-6):
                 unit_diag = True
-                coeffs = (None, None, None, 1.0, None, None, None)
-                planes = jnp.concatenate([planes[:3], planes[4:]])
 
+    # Select the kept taps: all of them, or (sym) diagonal + positives.
     if sym:
-        # Keep only the non-negative-offset planes, in _DIA_TAPS_SYM
-        # order: [diag unless folded to 1.0], +1, +o2, +o3.
-        if unit_diag:
-            coeffs = (1.0, None, None, None)
-            planes = planes[3:]                 # (+1, +o2, +o3)
-        else:
-            coeffs = (None, None, None, None)
-            planes = planes[3:]                 # (diag, +1, +o2, +o3)
-        taps = _DIA_TAPS_SYM
+        order = ([diag_idx] if diag_idx is not None else []) + \
+            [t for t, off in enumerate(offs) if off > 0]
     else:
-        taps = _DIA_TAPS
-    return nx, ny, nz, taps, coeffs, planes, e, weight, sym
+        order = list(range(len(offs)))
+    taps, coeffs, planes_sel = [], [], []
+    for t in order:
+        taps.append(all_taps[t])
+        if t == diag_idx and unit_diag:
+            coeffs.append(1.0)
+        else:
+            coeffs.append(None)
+            planes_sel.append(planes_full[t])
+    planes = jnp.stack(planes_sel)
+    return (nx, ny, nz, tuple(taps), tuple(coeffs), planes, e, weight,
+            sym)
 
 
 def build_fused_dia(d, dtype, *, jacobi: bool = True, inv_diag=None,

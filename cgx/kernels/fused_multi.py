@@ -324,8 +324,8 @@ def fused_dia_cg_multi(d, b: jnp.ndarray, x0=None, *, tol: float = 1e-6,
                        atol: float = 0.0, maxiter: int = 1000,
                        jacobi: bool = True, inv_diag=None,
                        interpret: Optional[bool] = None) -> CGResult:
-    """Batched fused Jacobi-PCG on a 7-point DIA operator; ``b``: (n, k)."""
-    from cgx.kernels.fused_dia_cg import (build_fused_dia,
+    """Batched fused Jacobi-PCG on a banded DIA operator; ``b``: (n, k)."""
+    from cgx.kernels.fused_dia_cg import (dia_prep,
                                           wrap_entries_zero_or_none)
 
     if b.ndim != 2:
@@ -335,24 +335,14 @@ def fused_dia_cg_multi(d, b: jnp.ndarray, x0=None, *, tol: float = 1e-6,
     if wrap_entries_zero_or_none(d) is False:
         raise ValueError("DIA data has nonzero x-plane-crossing entries")
     dtype = b.dtype
-    eng, e, planes = build_fused_dia(d, dtype, jacobi=jacobi,
-                                     inv_diag=inv_diag, allow_sym=False)
-    # Reuse the engine's coefficient decisions (build_fused_dia may have
-    # folded the unit diagonal into a constant tap), but re-make the
-    # geometry with the k-band row multiplier for VMEM sizing.
-    from cgx.kernels.fused_dia_cg import _DIA_TAPS
-    from cgx.kernels.fused_dia_cg import dia_pattern_dims
-    nx, ny, nz = dia_pattern_dims(d)
-    geom = make_geometry(nx, ny, nz, _DIA_TAPS, target_block_bytes=1 << 18,
+    nx, ny, nz, taps, coeffs, planes, e, weight, sym = dia_prep(
+        d, dtype, jacobi=jacobi, inv_diag=inv_diag, allow_sym=False)
+    geom = make_geometry(nx, ny, nz, taps, target_block_bytes=1 << 18,
                          row_multiplier=b.shape[1],
                          a_extra_streams=2 * planes.shape[0])
-    coeffs = eng.coeffs
-    weight = None
     b2 = b.T
     x0_2 = None if x0 is None else x0.T
     if e is not None:
-        from cgx.ops.blas import safe_recip
-        weight = safe_recip(e * e)
         b2 = b2 * e[None]
         if x0_2 is not None:
             inv_e = jnp.where(e > 0, 1.0 / jnp.where(e > 0, e, 1.0), 0.0)

@@ -291,7 +291,7 @@ def resident_supported(a, dtype=jnp.float32) -> bool:
     """Whether :func:`resident_stencil_cg` / :func:`resident_dia_cg` can
     run this operator with the whole working set VMEM-resident."""
     from cgx.kernels import fused_cg as _fc
-    from cgx.kernels.fused_dia_cg import (dia_pattern_dims, supports_dia,
+    from cgx.kernels.fused_dia_cg import (dia_engine_spec, supports_dia,
                                           wrap_entries_zero_or_none,
                                           data_symmetric_or_none)
 
@@ -302,12 +302,14 @@ def resident_supported(a, dtype=jnp.float32) -> bool:
         g = make_resident_geometry(nx, ny, nz, taps)
         return supports_resident(g, 0, False, itemsize)
     if supports_dia(a) and wrap_entries_zero_or_none(a) is True:
-        nx, ny, nz = dia_pattern_dims(a)
+        nx, ny, nz, taps = dia_engine_spec(a)
         sym = data_symmetric_or_none(a) is True
-        n_planes = 3 if sym else 6   # typical (unit-diag folded)
-        from cgx.kernels.fused_dia_cg import _DIA_TAPS, _DIA_TAPS_SYM
-        g = make_resident_geometry(nx, ny, nz,
-                                   _DIA_TAPS_SYM if sym else _DIA_TAPS)
+        if sym:
+            taps = [t for t, off in zip(taps, map(int, a.offsets))
+                    if off >= 0]
+        # Typical plane count: unit diagonal folds into a constant tap.
+        n_planes = max(1, len(taps) - 1)
+        g = make_resident_geometry(nx, ny, nz, taps)
         return supports_resident(g, n_planes, True, itemsize)
     return False
 

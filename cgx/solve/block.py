@@ -17,9 +17,9 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from cgx.solve.cg import CGResult, as_matvec, cg_solve
+from cgx.solve.cg import CGResult, _as_apply, as_matvec, cg_solve
 
-__all__ = ["cg_solve_multi"]
+__all__ = ["cg_solve_multi", "block_cg_solve"]
 
 
 def _fused_multi_backend(a, b, preconditioner):
@@ -103,3 +103,110 @@ def cg_solve_multi(
         x=1, iterations=0, residual_norm_sq=0, converged=0, history=0))(
             b, x0)
     return res
+
+
+def block_cg_solve(
+    a,
+    b: jnp.ndarray,
+    x0: Optional[jnp.ndarray] = None,
+    *,
+    tol: float = 1e-6,
+    atol: float = 0.0,
+    maxiter: Optional[int] = None,
+    preconditioner=None,
+) -> CGResult:
+    """TRUE block CG: all ``k`` columns share one Krylov space, so
+    spectrally clustered RHS families converge in substantially fewer
+    iterations than independent per-column recurrences
+    (:func:`cg_solve_multi`) — each extra RHS effectively deflates the
+    spectrum for the others.
+
+    Breakdown-free form (BFBCG, Ji & Li 2017): the direction block ``P``
+    is re-orthonormalized by thin QR every iteration, which keeps the
+    k×k system ``PᵀAP`` SPD with conditioning bounded by the OPERATOR's
+    spectrum — independent of how converged individual columns are.
+    The naive O'Leary Gram recurrence collapses in fp32 on TPU exactly
+    when columns start converging; this form does not.  Per iteration:
+    one SpMM, one (n, k) thin QR, and a handful of k×k Cholesky solves
+    and (k, n)·(n, k) Gram matmuls with fp32 accumulation — MXU work,
+    amortized over the SpMM.
+
+    Stops when EVERY column satisfies ``‖r_j‖ ≤ max(tol·‖b_j‖, atol)``
+    or at ``maxiter``.
+    """
+    if b.ndim != 2:
+        raise ValueError(f"block_cg_solve expects b of shape (n, k), "
+                         f"got {b.shape}")
+    n, k = b.shape
+    if maxiter is None:
+        maxiter = n
+    matvec = as_matvec(a)
+    mv = jax.vmap(matvec, in_axes=1, out_axes=1)    # (n, k) SpMM
+    if preconditioner is None:
+        def apply_m(r):
+            return r
+    else:
+        apply_m = jax.vmap(_as_apply(preconditioner), in_axes=1, out_axes=1)
+
+    f32 = jnp.float32 if b.dtype in (jnp.dtype(jnp.bfloat16),
+                                     jnp.dtype(jnp.float16),
+                                     jnp.dtype(jnp.float32)) else b.dtype
+
+    def gram(u, v):
+        # (k, k) = uᵀ v with accumulation in f32 (or f64 on CPU inputs).
+        return jnp.matmul(u.astype(f32).T, v.astype(f32),
+                          preferred_element_type=f32)
+
+    def solve_spd(g, rhs):
+        # g = PᵀAP with orthonormal P: SPD, cond(g) ≤ cond(A).  A tiny
+        # relative jitter guards the Cholesky against fp32 roundoff on
+        # the last bits; it does not change the math at convergence.
+        eps = (jnp.trace(g) / k) * jnp.asarray(1e-6 if f32 == jnp.float32
+                                               else 1e-14, f32) \
+            + jnp.asarray(1e-30, f32)
+        c, low = jax.scipy.linalg.cho_factor(
+            g + eps * jnp.eye(k, dtype=f32), lower=True)
+        return jax.scipy.linalg.cho_solve((c, low), rhs)
+
+    def orth(u):
+        # Thin QR in f32; near-zero columns yield arbitrary-but-
+        # orthonormal replacements (harmless extra search directions).
+        q, _ = jnp.linalg.qr(u.astype(f32))
+        return q
+
+    if x0 is None:
+        x = jnp.zeros_like(b)
+        r = b
+    else:
+        x = x0.astype(b.dtype)
+        r = b - mv(x)
+    p = orth(apply_m(r))
+    bb = jnp.sum(b.astype(f32) ** 2, axis=0)         # (k,)
+    tol_sq = jnp.maximum(jnp.asarray(tol, f32) ** 2 * bb,
+                         jnp.asarray(atol, f32) ** 2)
+    rr0 = jnp.sum(r.astype(f32) ** 2, axis=0)
+
+    def cond(c):
+        x, r, p, rr, it = c
+        return jnp.logical_and(it < maxiter, jnp.any(rr > tol_sq))
+
+    def body(c):
+        x, r, p, rr, it = c
+        q = mv(p.astype(b.dtype))
+        g = gram(p, q)                               # (k, k) SPD
+        alpha = solve_spd(g, gram(p, r))             # (k, k)
+        x = x + (p @ alpha).astype(b.dtype)
+        r = r - (q.astype(f32) @ alpha).astype(b.dtype)
+        z = apply_m(r)
+        beta = -solve_spd(g, gram(q, z))             # (k, k)
+        p = orth(z.astype(f32) + p @ beta)
+        rr = jnp.sum(r.astype(f32) ** 2, axis=0)
+        return (x, r, p, rr, it + 1)
+
+    x, r, p, rr, it = jax.lax.while_loop(
+        cond, body, (x, r, p, rr0, jnp.zeros((), jnp.int32)))
+    return CGResult(x=x,
+                    iterations=jnp.broadcast_to(it, (k,)),
+                    residual_norm_sq=rr.astype(b.dtype),
+                    converged=rr <= tol_sq,
+                    history=jnp.zeros((0,), b.dtype))

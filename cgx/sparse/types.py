@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -203,18 +203,27 @@ class DIAMatrix:
     the target column falls outside the matrix).  With offsets static, SpMV
     unrolls into ``len(offsets)`` shifted multiply-adds that XLA fuses into a
     single pass over HBM — the speed-of-light format for Poisson stencils.
+
+    ``grid``: optional static ``(nx, ny, nz)`` metadata for operators
+    discretized on a 3-D grid (2-D: ``nz = 1``-style collapse is up to
+    the caller).  Generators set it; the fused Pallas paths use it to
+    decompose *arbitrary* banded offset sets into ``(dx, dy, dk)`` taps
+    (without it only the exact 7-point pattern is auto-detected).
     """
 
     data: jnp.ndarray          # (n_diags, n_rows) float
     offsets: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
     shape: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))
+    grid: Optional[Tuple[int, int, int]] = dataclasses.field(
+        default=None, metadata=dict(static=True))
 
     @property
     def dtype(self):
         return self.data.dtype
 
     def astype(self, dtype) -> "DIAMatrix":
-        return DIAMatrix(self.data.astype(dtype), self.offsets, self.shape)
+        return DIAMatrix(self.data.astype(dtype), self.offsets, self.shape,
+                         self.grid)
 
     def diagonal(self) -> jnp.ndarray:
         k = self.offsets.index(0)

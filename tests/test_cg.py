@@ -305,6 +305,69 @@ def test_cg_solve_multi(rng):
                                    np.asarray(ref.x), rtol=1e-9, atol=1e-11)
 
 
+def test_block_cg_matches_per_column_cg(rng):
+    """True block CG (shared Krylov space) reaches the same solutions as
+    independent per-column CG on an SPD operator."""
+    from cgx.solve.block import block_cg_solve
+    from cgx.io.poisson import poisson2d
+    import cgx
+    a = poisson2d(12, 12)
+    n, k = 144, 4
+    b = jnp.asarray(rng.standard_normal((n, k)))
+    res = block_cg_solve(a, b, tol=1e-9, maxiter=500)
+    assert res.x.shape == (n, k)
+    assert bool(res.converged.all())
+    for j in range(k):
+        ref = cgx.cg_solve(a, b[:, j], tol=1e-12, maxiter=1000)
+        np.testing.assert_allclose(np.asarray(res.x[:, j]),
+                                   np.asarray(ref.x), rtol=1e-6, atol=1e-8)
+
+
+def test_block_cg_fewer_iterations_than_single(rng):
+    """The k-dimensional search space must pay off: block CG on k
+    clustered RHS converges in strictly fewer iterations than
+    single-RHS CG on any one of them (spectral deflation effect)."""
+    from cgx.solve.block import block_cg_solve
+    from cgx.io.poisson import poisson2d
+    import cgx
+    a = poisson2d(24, 24)
+    n, k = 576, 8
+    base = rng.standard_normal(n)
+    b = np.stack([base + 0.05 * rng.standard_normal(n)
+                  for _ in range(k)], axis=1)
+    b = jnp.asarray(b)
+    res = block_cg_solve(a, b, tol=1e-8, maxiter=2000)
+    assert bool(res.converged.all())
+    single = cgx.cg_solve(a, b[:, 0], tol=1e-8, maxiter=2000)
+    assert int(res.iterations[0]) < int(single.iterations)
+
+
+def test_block_cg_preconditioned(rng):
+    from cgx.solve.block import block_cg_solve
+    from cgx.io.poisson import poisson2d
+    import cgx
+    a = poisson2d(16, 16)
+    n, k = 256, 3
+    b = jnp.asarray(rng.standard_normal((n, k)))
+    m = cgx.JacobiPrecond.from_matrix(a)
+    plain = block_cg_solve(a, b, tol=1e-9, maxiter=500)
+    pre = block_cg_solve(a, b, tol=1e-9, maxiter=500, preconditioner=m)
+    assert bool(pre.converged.all())
+    assert int(pre.iterations[0]) <= int(plain.iterations[0])
+    np.testing.assert_allclose(np.asarray(pre.x), np.asarray(plain.x),
+                               rtol=1e-6, atol=1e-8)
+
+
+def test_block_cg_under_jit(rng):
+    from cgx.solve.block import block_cg_solve
+    from cgx.io.poisson import poisson2d
+    a = poisson2d(10, 10)
+    b = jnp.asarray(rng.standard_normal((100, 2)))
+    res = jax.jit(lambda bb: block_cg_solve(a, bb, tol=1e-8,
+                                            maxiter=300))(b)
+    assert bool(res.converged.all())
+
+
 def test_solve_clean_under_debug_nans(rng):
     """Sanitizer gate (SURVEY.md §5.b): the whole solve path is NaN-free
     under jax_debug_nans (which would raise on any NaN intermediate)."""

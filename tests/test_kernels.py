@@ -369,6 +369,85 @@ def test_resident_cg_dia_sym(rng):
                                rtol=5e-3, atol=5e-4)
 
 
+def _poisson11_dia(nx, ny, nz, rng):
+    """SPD 11-point banded operator: 7-point Laplacian + symmetric
+    ±(nz+1) edge coupling (grid-metadata-driven decomposition test)."""
+    from cgx.io.poisson import poisson3d_dia
+    from cgx.sparse.types import DIAMatrix
+    a = poisson3d_dia(nx, ny, nz)
+    n = a.shape[0]
+    flat = np.arange(n)
+    k = flat % nz
+    j = (flat // nz) % ny
+    c = -0.25 * (1.0 + 0.5 * rng.random(n))     # small: keep SPD
+    up = np.where((k < nz - 1) & (j < ny - 1), c, 0.0)      # offset +nz+1
+    dn = np.zeros(n)
+    dn[nz + 1:] = up[:-(nz + 1)]                 # symmetric mirror
+    data = np.concatenate([dn[None], np.asarray(a.data), up[None]])
+    # strengthen the diagonal to preserve SPD
+    data[1 + 3] = 6.0 + 2 * 0.5
+    offsets = (-(nz + 1),) + tuple(a.offsets) + (nz + 1,)
+    return DIAMatrix(data=jnp.asarray(data), offsets=offsets,
+                     shape=(n, n), grid=(nx, ny, nz))
+
+
+def test_fused_dia_generic_banded_11point(rng):
+    """Arbitrary banded offset sets decompose via grid metadata
+    (ROADMAP r2 #8): an 11-point operator (7-point + ±(nz+1) coupling)
+    runs the fused engine and the resident kernel, matching cg_solve."""
+    import cgx
+    from cgx.kernels.fused_dia_cg import (dia_engine_spec, fused_dia_cg,
+                                          supports_dia,
+                                          wrap_entries_zero,
+                                          data_symmetric_or_none)
+    from cgx.kernels.fused_resident import resident_dia_cg
+
+    a = _poisson11_dia(8, 7, 6, rng).astype(jnp.float32)
+    spec = dia_engine_spec(a)
+    assert spec is not None and supports_dia(a)
+    assert spec[3][0] == (0, -1, -1) and spec[3][-1] == (0, 1, 1)
+    assert wrap_entries_zero(a)
+    assert data_symmetric_or_none(a) is True
+    n = a.shape[0]
+    b = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    m = cgx.JacobiPrecond.from_matrix(a)
+    ref = cgx.cg_solve(a, b, tol=1e-5, maxiter=800, preconditioner=m)
+    res = fused_dia_cg(a, b, tol=1e-5, maxiter=800, interpret=True)
+    assert bool(res.converged)
+    assert abs(int(res.iterations) - int(ref.iterations)) <= 2
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                               rtol=5e-3, atol=5e-4)
+    res2 = resident_dia_cg(a, b, tol=1e-5, maxiter=800, interpret=True)
+    assert bool(res2.converged)
+    assert abs(int(res2.iterations) - int(ref.iterations)) <= 2
+    np.testing.assert_allclose(np.asarray(res2.x), np.asarray(ref.x),
+                               rtol=5e-3, atol=5e-4)
+
+
+def test_fused_dia_2d_via_grid_metadata(rng):
+    """A 2-D 5-point DIA with grid=(nx, 1, ny) reaches the fused engine
+    (offsets ±1 → lane taps, ±ny → row taps)."""
+    import cgx
+    from cgx.io.poisson import poisson2d_dia
+    from cgx.kernels.fused_dia_cg import fused_dia_cg, supports_dia
+    from cgx.sparse.types import DIAMatrix
+    import dataclasses
+
+    a0 = poisson2d_dia(12, 9)
+    assert not supports_dia(a0)              # no metadata: undecodable
+    a = dataclasses.replace(a0.astype(jnp.float32), grid=(12, 1, 9))
+    assert supports_dia(a)
+    n = a.shape[0]
+    b = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    ref = cgx.cg_solve(a, b, tol=1e-5, maxiter=500,
+                       preconditioner=cgx.JacobiPrecond.from_matrix(a))
+    res = fused_dia_cg(a, b, tol=1e-5, maxiter=500, interpret=True)
+    assert bool(res.converged)
+    assert abs(int(res.iterations) - int(ref.iterations)) <= 2
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                               rtol=5e-3, atol=5e-4)
+
+
 def test_fused_bf16_iterate_converges(rng):
     """bf16 iterate + fp32 dot accumulation (ROADMAP r2 #2): the fused
     engine and the resident kernel both reach a bf16-appropriate
