@@ -109,7 +109,8 @@ def make_geometry(nx: int, ny: int, nz: int,
                   row_multiplier: int = 1,
                   a_extra_streams: int = 0,
                   a_window_streams: int = 1,
-                  stream_budget_bytes: Optional[int] = None) -> Geometry:
+                  stream_budget_bytes: Optional[int] = None,
+                  residency_multiplier: int = 1) -> Geometry:
     """``target_block_bytes`` sizes kernel B's blocks (7-8 double-buffered
     streams — keep modest); kernel A's block multiple ``m`` is chosen per
     regime (see the inline comments).  ``row_multiplier``: effective
@@ -119,7 +120,10 @@ def make_geometry(nx: int, ny: int, nz: int,
     (2 per coefficient plane when planes ride BlockSpecs).
     ``a_window_streams``: halo-window DMA streams in kernel A (1 for the
     p window; +n_planes when planes stream as windows — the symmetric
-    path)."""
+    path).  ``residency_multiplier``: factor on the CARRIED working set
+    only (the 2-D-grid multi-RHS path holds k bands of x/r/p/q in HBM
+    but streams one band per grid step, so blocks size like single-RHS
+    while the resident-regime test must see k x the vectors)."""
     if nx % n_shards:
         raise ValueError(f"nx={nx} not divisible by n_shards={n_shards}")
     nxl = nx // n_shards
@@ -140,7 +144,8 @@ def make_geometry(nx: int, ny: int, nz: int,
     # iteration is HBM-streaming-bound and kernel A wants the biggest
     # window its scoped-VMEM budget allows.
     l_pad1 = -(-l_real // bl) * bl
-    working_set = 5 * rows_eff * (l_pad1 + 2 * bl) * 4
+    working_set = (5 * rows_eff * (l_pad1 + 2 * bl) * 4
+                   * max(1, int(residency_multiplier)))
     a_vmem_limit = 0
     if working_set <= (96 << 20):
         # Resident regime: smallest layout, no window DMA double-buffering
@@ -166,9 +171,17 @@ def make_geometry(nx: int, ny: int, nz: int,
         cap = budget // (4 * rows_eff) - 4 * sl * n_win
         denom = 2 * n_win + 7 + a_extra_streams
         m = max(1, int(cap // (denom * bl)))
+        usage = 4 * rows_eff * (denom * bl * m + 4 * sl * n_win)
         if stream_budget_bytes is not None:
-            usage = 4 * rows_eff * (denom * bl * m + 4 * sl * n_win)
             a_vmem_limit = min(int(usage * 1.5) + (8 << 20), 120 << 20)
+        elif usage > (14 << 20):
+            # Wide-tap operators (many plane windows, m clamped to 1)
+            # legitimately need more scoped VMEM than Mosaic's ~16 MB
+            # default — raise the LIMIT to fit the scratch while keeping
+            # the window width from the 15 MB sizing model (wider
+            # windows via a bigger budget were measured slower; a bigger
+            # limit for the same windows just prevents a spill OOM).
+            a_vmem_limit = min(int(usage * 1.25) + (4 << 20), 120 << 20)
         double_buffer = True
     bl_a = bl * m
     l_pad = -(-l_real // bl_a) * bl_a

@@ -1,16 +1,34 @@
 """Fused multi-RHS (SpMM) CG — the two-pass engine batched over a block
 of right-hand sides.
 
-Band-stacked layout: each RHS gets its own halo-extended ``(rows8,
-total)`` band, stacked down the sublane axis into one ``(k·rows8,
-total)`` buffer.  The embedded per-band halo rows keep the row-shift taps
-from leaking between bands, so kernel A applies the operator to ALL
-right-hand sides while reading the coefficient planes ONCE — the SpMM
-amortization the north star asks for (k solves cost one operator stream
-plus k vector streams).  Per-band α/β scalars are computed on-core from
-per-band dot accumulators; each column converges on its own schedule
-(finished columns coast, standard batched-CG behavior matching
-:func:`cgx.solve.block.cg_solve_multi`).
+Band-stacked layout, 2-D grid: each RHS gets its own halo-extended
+``(rows8, total)`` band, stacked down the sublane axis into one
+``(k·rows8, total)`` buffer, and the kernels run a ``(column_block,
+band_group)`` grid that processes ``bps`` bands per step (4/2/1, the
+largest dividing k).  Blocks and halo windows stay single-RHS-sized
+(wide ``bl_a``, low window amplification) while the coefficient planes
+— BlockSpec'd by column block for the pipelined path, manually
+double-buffered halo windows started a full column early for the
+symmetric path — are fetched ONCE per column and reused across all k
+bands.  That is where the SpMM amortization materializes: k solves cost
+one operator stream plus k vector streams.
+
+Measured (v5e single chip, k=8, fp32, vs k sequential single-RHS fused
+solves): 27-point variable-coefficient DIA 192³ **1.8x** (bit-identical
+trajectories); 7-point DIA 192³ 0.93x — with only 3 shared plane
+streams against 8 per-band vector streams there is nothing left to
+amortize, so ``cg_solve_multi`` prefers sequential solves for
+narrow-band operators and the batched engine for wide ones.  (Two
+designs that measured SLOWER: stacking all k bands into one halo
+window — per-band halos collapse block width to the 128-lane minimum
+with 3x amplification, 0.5x; and one-band-per-step without tiling —
+per-grid-step overhead capped streaming at ~60%, 0.85x.)
+
+Per-band α/β scalars are computed on-core from per-band SMEM dot
+accumulators (scalar loads/stores only — Mosaic has no vector SMEM
+access, and rank-1 vectors crash its layout inference); each column
+converges on its own schedule (finished columns coast, standard
+batched-CG behavior matching :func:`cgx.solve.block.cg_solve_multi`).
 
 API matches ``cg_solve_multi``: ``b`` is ``(n, k)``, the result carries
 ``x: (n, k)`` and per-column scalars ``(k,)``.
@@ -43,41 +61,82 @@ def _from_layout_multi(g: Geometry, a: jnp.ndarray, k: int) -> jnp.ndarray:
     return jnp.stack([from_layout(g, bands[i]) for i in range(k)])
 
 
-def _kernel_a_multi(*refs, g: Geometry, coeffs, variable: bool, k: int):
+def _kernel_a_multi(*refs, g: Geometry, coeffs, variable: bool, k: int,
+                    sym: bool = False, bps: int = 1):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    if variable:
+    if variable and sym:
+        (p_hbm, planes_hbm, q_ref, dots_ref,
+         scratch, sem, pscratch, psem) = refs
+    elif variable:
         p_hbm, planes_ref, q_ref, dots_ref, scratch, sem = refs
     else:
         p_hbm, q_ref, dots_ref, scratch, sem = refs
 
-    j = pl.program_id(0)
+    ng = k // bps                              # band groups
+    rows_g = bps * g.rows8
+    j = pl.program_id(0)                       # column block (major)
+    grp = pl.program_id(1)                     # band group (minor, fast)
+    t = j * ng + grp                           # flattened step index
     win = g.bl_a + 2 * g.sl
 
-    def dma(slot, blk):
-        start = (g.bl_a - g.sl) + blk * g.bl_a
+    def dma(slot, tt):
+        jj = tt // ng
+        gg = tt % ng
+        start = (g.bl_a - g.sl) + jj * g.bl_a  # statically 128-aligned
         return pltpu.make_async_copy(
-            p_hbm.at[:, pl.ds(start, win)], scratch.at[slot], sem.at[slot])
+            p_hbm.at[pl.ds(gg * rows_g, rows_g), pl.ds(start, win)],
+            scratch.at[slot], sem.at[slot])
 
+    def pdma(slot, jj):
+        start = (g.bl_a - g.sl) + jj * g.bl_a
+        return pltpu.make_async_copy(
+            planes_hbm.at[:, :, pl.ds(start, win)],
+            pscratch.at[slot], psem.at[slot])
+
+    pw = None
     if g.double_buffer:
-        @pl.when(j == 0)
+        @pl.when(t == 0)
         def _():
             dma(0, 0).start()
+            if variable and sym:
+                pdma(0, 0).start()
 
-        @pl.when(j + 1 < g.nb_a)
+        @pl.when(t + 1 < g.nb_a * ng)
         def _():
-            dma((j + 1) % 2, j + 1).start()
+            dma((t + 1) % 2, t + 1).start()
 
-        dma(j % 2, j).wait()
-        w = scratch[j % 2].reshape(k, g.rows8, win)
+        if variable and sym:
+            # Plane windows are SHARED across the band steps of a
+            # column: start column j+1's fetch at group 0 of column j —
+            # ng-1 band steps of overlap (a one-step-ahead BlockSpec
+            # prefetch measured a per-column stall instead).
+            @pl.when((grp == 0) & (j + 1 < g.nb_a))
+            def _():
+                pdma((j + 1) % 2, j + 1).start()
+
+            @pl.when(grp == 0)
+            def _():
+                pdma(j % 2, j).wait()
+            pw = pscratch[j % 2]
+
+        dma(t % 2, t).wait()
+        w_all = scratch[t % 2]                 # (rows_g, win)
     else:
-        start = (g.bl_a - g.sl) + j * g.bl_a
-        cp = pltpu.make_async_copy(
-            p_hbm.at[:, pl.ds(start, win)], scratch.at[0], sem.at[0])
-        cp.start()
-        cp.wait()
-        w = scratch[0].reshape(k, g.rows8, win)
+        cps = [dma(0, t)]
+        if variable and sym:
+            @pl.when(grp == 0)
+            def _():
+                cp = pdma(0, j)
+                cp.start()
+                cp.wait()
+            pw = pscratch[0]
+        for cp in cps:
+            cp.start()
+        for cp in cps:
+            cp.wait()
+        w_all = scratch[0]
 
     nxl = g.nxl
     lane = j * g.bl_a + jax.lax.broadcasted_iota(jnp.int32, (1, g.bl_a), 1)
@@ -85,44 +144,62 @@ def _kernel_a_multi(*refs, g: Geometry, coeffs, variable: bool, k: int):
     jy = (lane // g.nz) % g.ny
     valid = lane < g.l_real
 
-    y = None
-    pi = 0
-    for t, (dx, dy, dk) in enumerate(g.taps):
-        dl = dy * g.nz + dk
-        s = w[:, 1 + dx:1 + dx + nxl, g.sl + dl:g.sl + dl + g.bl_a]
-        if coeffs[t] is None:
-            term = planes_ref[pi, 1:1 + nxl, :][None] * s
-            pi += 1
-        else:
-            term = coeffs[t] * s
-            m = None
-            if dk:
-                m = (kk + dk >= 0) & (kk + dk < g.nz)
-            if dy:
-                my = (jy + dy >= 0) & (jy + dy < g.ny)
-                m = my if m is None else m & my
-            if m is not None:
-                term = jnp.where(m[None], term, 0.0)
-        y = term if y is None else y + term
+    for u in range(bps):                       # unrolled sub-bands
+        w = w_all[u * g.rows8:(u + 1) * g.rows8]
+        y = None
+        pi = 0
+        for tt, (dx, dy, dk) in enumerate(g.taps):
+            dl = dy * g.nz + dk
+            s = w[1 + dx:1 + dx + nxl, g.sl + dl:g.sl + dl + g.bl_a]
+            if coeffs[tt] is None and sym:
+                # One windowed plane yields both taps of the ±off pair
+                # (see the single-RHS kernel): +off at the output
+                # position, the mirror at the (-dx, -dl)-shifted one.
+                wp = pw[pi]
+                pi += 1
+                term = wp[1:1 + nxl, g.sl:g.sl + g.bl_a] * s
+                if (dx, dy, dk) != (0, 0, 0):
+                    term = term + (
+                        wp[1 - dx:1 - dx + nxl,
+                           g.sl - dl:g.sl - dl + g.bl_a]
+                        * w[1 - dx:1 - dx + nxl,
+                            g.sl - dl:g.sl - dl + g.bl_a])
+            elif coeffs[tt] is None:
+                term = planes_ref[pi, 1:1 + nxl, :] * s
+                pi += 1
+            else:
+                term = coeffs[tt] * s
+                m = None
+                if dk:
+                    m = (kk + dk >= 0) & (kk + dk < g.nz)
+                if dy:
+                    my = (jy + dy >= 0) & (jy + dy < g.ny)
+                    m = my if m is None else m & my
+                if m is not None:
+                    term = jnp.where(m, term, 0.0)
+            y = term if y is None else y + term
 
-    if any(c is not None for c in coeffs):
-        y = jnp.where(valid[None], y, 0.0)
+        if sym or any(c is not None for c in coeffs):
+            y = jnp.where(valid, y, 0.0)
 
-    q_ref[...] = jnp.pad(
-        y, ((0, 0), (1, g.rows8 - 1 - nxl), (0, 0))).reshape(
-            k * g.rows8, g.bl_a)
+        q_ref[u * g.rows8:(u + 1) * g.rows8, :] = jnp.pad(
+            y, ((1, g.rows8 - 1 - nxl), (0, 0)))
 
-    @pl.when(j == 0)
-    def _():
-        dots_ref[...] = jnp.zeros_like(dots_ref)
+        bidx = grp * bps + u
 
-    gc = w[:, 1:1 + nxl, g.sl:g.sl + g.bl_a]
-    y32 = y.astype(jnp.float32)
-    dots_ref[0, :] += jnp.sum(y32 * gc.astype(jnp.float32), axis=(1, 2))
-    dots_ref[1, :] += jnp.sum(y32 * y32, axis=(1, 2))
+        @pl.when(j == 0)
+        def _(bidx=bidx):
+            dots_ref[0, bidx] = 0.0
+            dots_ref[1, bidx] = 0.0
+
+        gc = w[1:1 + nxl, g.sl:g.sl + g.bl_a]
+        y32 = y.astype(jnp.float32)
+        dots_ref[0, bidx] += jnp.sum(y32 * gc.astype(jnp.float32))
+        dots_ref[1, bidx] += jnp.sum(y32 * y32)
 
 
-def _kernel_b_multi(*refs, g: Geometry, weighted: bool, k: int):
+def _kernel_b_multi(*refs, g: Geometry, weighted: bool, k: int,
+                    bps: int = 1):
     from jax.experimental import pallas as pl
 
     if weighted:
@@ -133,43 +210,43 @@ def _kernel_b_multi(*refs, g: Geometry, weighted: bool, k: int):
          x_out, r_out, p_out, dots_ref) = refs
 
     i = pl.program_id(0)
-    rz = rz_ref[0, :]                           # (k,) solve-space ‖r̃‖²
-    pq = pqqq_ref[0, :]
-    qq = pqqq_ref[1, :]
-    alpha32 = rz / pq
-    beta = ((alpha32 * alpha32 * qq - rz) / rz).astype(p_ref.dtype)
-    alpha = alpha32.astype(x_ref.dtype)
+    grp = pl.program_id(1)
 
-    def bands(ref):
-        return ref[...].reshape(k, g.rows8, -1)
+    for u in range(bps):                       # unrolled sub-bands
+        band = grp * bps + u
+        sl = slice(u * g.rows8, (u + 1) * g.rows8)
+        rz = rz_ref[0, band]                   # solve-space ‖r̃_band‖²
+        pq = pqqq_ref[0, band]
+        qq = pqqq_ref[1, band]
+        alpha32 = rz / pq
+        beta = ((alpha32 * alpha32 * qq - rz) / rz).astype(p_ref.dtype)
+        alpha = alpha32.astype(x_ref.dtype)
 
-    a3 = alpha[:, None, None]
-    b3 = beta[:, None, None]
-    pv = bands(p_ref)
-    xv = bands(x_ref) + a3 * pv
-    r_new = bands(r_ref) - a3 * bands(q_ref)
-    p_new = r_new + b3 * pv
-    x_out[...] = xv.reshape(k * g.rows8, -1)
-    r_out[...] = r_new.reshape(k * g.rows8, -1)
-    p_out[...] = p_new.reshape(k * g.rows8, -1)
+        pv = p_ref[sl, :]
+        x_out[sl, :] = x_ref[sl, :] + alpha * pv
+        r_new = r_ref[sl, :] - alpha * q_ref[sl, :]
+        r_out[sl, :] = r_new
+        p_out[sl, :] = r_new + beta * pv
 
-    @pl.when(i == 0)
-    def _():
-        dots_ref[...] = jnp.zeros_like(dots_ref)
+        @pl.when(i == 0)
+        def _(band=band):
+            dots_ref[0, band] = 0.0
+            dots_ref[1, band] = 0.0
 
-    r32 = r_new.astype(jnp.float32)
-    rsq = r32 * r32
-    s = jnp.sum(rsq, axis=(1, 2))
-    dots_ref[0, :] += s
-    if weighted:
-        wv = bands(w_ref).astype(jnp.float32)
-        dots_ref[1, :] += jnp.sum(rsq * wv, axis=(1, 2))
-    else:
-        dots_ref[1, :] += s
+        r32 = r_new.astype(jnp.float32)
+        rsq = r32 * r32
+        s = jnp.sum(rsq)
+        dots_ref[0, band] += s
+        if weighted:
+            dots_ref[1, band] += jnp.sum(
+                rsq * w_ref[sl, :].astype(jnp.float32))
+        else:
+            dots_ref[1, band] += s
 
 
 def _solve_multi(geom: Geometry, coeffs, planes, weight, b2, x0_2, *,
-                 tol, atol, maxiter, interpret, dtype) -> CGResult:
+                 tol, atol, maxiter, interpret, dtype,
+                 sym: bool = False) -> CGResult:
     """Core batched driver; ``b2``/``x0_2`` are (k, n_local)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -178,6 +255,7 @@ def _solve_multi(geom: Geometry, coeffs, planes, weight, b2, x0_2, *,
     k = b2.shape[0]
     n_planes = sum(1 for c in coeffs if c is None)
     variable = n_planes > 0
+    sym = bool(sym and variable)
     if variable:
         planes_l = jnp.stack([to_layout(g, planes[t].astype(dtype))
                               for t in range(n_planes)])
@@ -187,43 +265,80 @@ def _solve_multi(geom: Geometry, coeffs, planes, weight, b2, x0_2, *,
     weighted = weight_l is not None
 
     rows = k * g.rows8
-    vec_blk_a = pl.BlockSpec((rows, g.bl_a), lambda i: (0, i + 1),
+    # Band tiling: bps bands per grid step (largest of 4/2/1 dividing
+    # k).  Fewer, taller steps — per-grid-step overhead was measured to
+    # cap one-band steps at ~50-60% of streaming bandwidth.
+    bps = 4 if k % 4 == 0 else (2 if k % 2 == 0 else 1)
+    ng = k // bps
+    rows_g = bps * g.rows8
+    vec_blk_a = pl.BlockSpec((rows_g, g.bl_a),
+                             lambda j, grp: (grp, j + 1),
                              memory_space=pltpu.VMEM)
-    m = g.bl_a // g.bl
-    vec_blk = pl.BlockSpec((rows, g.bl), lambda i: (0, i + m),
-                           memory_space=pltpu.VMEM)
-    smem_k = pl.BlockSpec((1, k), lambda i: (0, 0), memory_space=pltpu.SMEM)
-    smem_2k = pl.BlockSpec((2, k), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    # Kernel B uses the same wide blocks as A: its grid is already ng x
+    # the single-RHS step count, so bl-sized blocks would multiply the
+    # per-step overhead into the dominant cost.
+    vec_blk = vec_blk_a
+    smem_k = pl.BlockSpec((1, k), lambda i, grp: (0, 0),
+                          memory_space=pltpu.SMEM)
+    smem_2k = pl.BlockSpec((2, k), lambda i, grp: (0, 0),
+                           memory_space=pltpu.SMEM)
     vshape = jax.ShapeDtypeStruct((rows, g.total), dtype)
     s2k = jax.ShapeDtypeStruct((2, k), jnp.float32)
 
     kernel_a = partial(_kernel_a_multi, g=g, coeffs=tuple(coeffs),
-                       variable=variable, k=k)
-    kernel_b = partial(_kernel_b_multi, g=g, weighted=weighted, k=k)
+                       variable=variable, k=k, sym=sym, bps=bps)
+    kernel_b = partial(_kernel_b_multi, g=g, weighted=weighted, k=k,
+                       bps=bps)
 
     a_in = [pl.BlockSpec(memory_space=pl.ANY)]
     a_args = ()
     if variable:
-        a_in.append(pl.BlockSpec((n_planes, g.rows8, g.bl_a),
-                                 lambda i: (0, 0, i + 1),
-                                 memory_space=pltpu.VMEM))
+        if sym:
+            a_in.append(pl.BlockSpec(memory_space=pl.ANY))
+        else:
+            # Indexed by the column block ONLY: unchanged across the k
+            # band steps, so Pallas fetches each plane block once per
+            # column.
+            a_in.append(pl.BlockSpec((n_planes, g.rows8, g.bl_a),
+                                     lambda j, band: (0, 0, j + 1),
+                                     memory_space=pltpu.VMEM))
         a_args = (planes_l,)
     n_slots = 2 if g.double_buffer else 1
+    win = g.bl_a + 2 * g.sl
+    a_scratch = [pltpu.VMEM((n_slots, rows_g, win), dtype),
+                 pltpu.SemaphoreType.DMA((n_slots,))]
+    if sym:
+        a_scratch += [pltpu.VMEM((n_slots, n_planes, g.rows8, win), dtype),
+                      pltpu.SemaphoreType.DMA((n_slots,))]
+    # Scoped-VMEM limits from the ACTUAL scratch/block shapes (the
+    # geometry's model doesn't know about band tiling): manual window
+    # scratch + pipelined in/out blocks + compute temporaries.
+    itm = jnp.dtype(dtype).itemsize
+    a_usage = itm * n_slots * rows_g * win
+    if sym:
+        a_usage += itm * n_slots * n_planes * g.rows8 * win
+    else:
+        a_usage += itm * 2 * n_planes * g.rows8 * g.bl_a
+    a_usage += itm * 6 * rows_g * g.bl_a       # q out + temporaries
     a_params = {}
-    if g.a_vmem_limit and not interpret:
+    if not interpret and (a_usage > (14 << 20) or g.a_vmem_limit):
         a_params["compiler_params"] = pltpu.CompilerParams(
-            vmem_limit_bytes=g.a_vmem_limit)
+            vmem_limit_bytes=min(max(int(a_usage * 1.3) + (4 << 20),
+                                     g.a_vmem_limit or 0), 120 << 20))
+    b_usage = itm * (8 + 2 * (1 if weighted else 0)) * 2 * rows_g * g.bl_a
+    b_params = {}
+    if not interpret and b_usage > (14 << 20):
+        b_params["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=min(int(b_usage * 1.3) + (4 << 20), 120 << 20))
 
     def call_a(p_l):
         return pl.pallas_call(
             kernel_a,
-            grid=(g.nb_a,),
+            grid=(g.nb_a, ng),
             in_specs=a_in,
             out_specs=(vec_blk_a, smem_2k),
             out_shape=(vshape, s2k),
-            scratch_shapes=[
-                pltpu.VMEM((n_slots, rows, g.bl_a + 2 * g.sl), dtype),
-                pltpu.SemaphoreType.DMA((n_slots,))],
+            scratch_shapes=a_scratch,
             interpret=interpret,
             **a_params,
         )(p_l, *a_args)
@@ -237,12 +352,13 @@ def _solve_multi(geom: Geometry, coeffs, planes, weight, b2, x0_2, *,
     def call_b(rz, pqqq, x, r, p, q):
         return pl.pallas_call(
             kernel_b,
-            grid=(g.nb,),
+            grid=(g.nb_a, ng),
             in_specs=b_in,
             out_specs=(vec_blk, vec_blk, vec_blk, smem_2k),
             out_shape=(vshape, vshape, vshape, s2k),
             input_output_aliases={2: 0, 3: 1, 4: 2},
             interpret=interpret,
+            **b_params,
         )(rz, pqqq, x, r, p, q, *b_args)
 
     b_l = _to_layout_multi(g, b2.astype(dtype))
@@ -313,7 +429,8 @@ def fused_stencil_cg_multi(s, b: jnp.ndarray, x0=None, *, tol: float = 1e-6,
     if spec is None or not supports(s):
         raise ValueError("unsupported operator for the fused multi path")
     nx, ny, nz, taps, coeffs = spec
-    geom = make_geometry(nx, ny, nz, taps, row_multiplier=b.shape[1])
+    geom = make_geometry(nx, ny, nz, taps,
+                         residency_multiplier=b.shape[1])
     return _solve_multi(geom, coeffs, None, None, b.T,
                         None if x0 is None else x0.T,
                         tol=tol, atol=atol, maxiter=int(maxiter),
@@ -336,10 +453,15 @@ def fused_dia_cg_multi(d, b: jnp.ndarray, x0=None, *, tol: float = 1e-6,
         raise ValueError("DIA data has nonzero x-plane-crossing entries")
     dtype = b.dtype
     nx, ny, nz, taps, coeffs, planes, e, weight, sym = dia_prep(
-        d, dtype, jacobi=jacobi, inv_diag=inv_diag, allow_sym=False)
-    geom = make_geometry(nx, ny, nz, taps, target_block_bytes=1 << 18,
-                         row_multiplier=b.shape[1],
-                         a_extra_streams=2 * planes.shape[0])
+        d, dtype, jacobi=jacobi, inv_diag=inv_diag)
+    if sym:
+        geom = make_geometry(nx, ny, nz, taps, target_block_bytes=1 << 18,
+                             a_window_streams=1 + planes.shape[0],
+                             residency_multiplier=b.shape[1])
+    else:
+        geom = make_geometry(nx, ny, nz, taps, target_block_bytes=1 << 18,
+                             a_extra_streams=2 * planes.shape[0],
+                             residency_multiplier=b.shape[1])
     b2 = b.T
     x0_2 = None if x0 is None else x0.T
     if e is not None:
@@ -349,7 +471,7 @@ def fused_dia_cg_multi(d, b: jnp.ndarray, x0=None, *, tol: float = 1e-6,
             x0_2 = x0_2 * inv_e[None]
     res = _solve_multi(geom, coeffs, planes, weight, b2, x0_2,
                        tol=tol, atol=atol, maxiter=int(maxiter),
-                       interpret=interpret, dtype=dtype)
+                       interpret=interpret, dtype=dtype, sym=sym)
     if e is not None:
         res = dataclasses.replace(res, x=res.x * e[:, None])
     return res

@@ -539,6 +539,25 @@ def test_fused_multi_rhs_dia_jacobi(rng):
                                    np.asarray(ref.x), rtol=5e-3, atol=5e-4)
 
 
+def test_fused_multi_rhs_dia_k8_band_tiled(rng):
+    """k=8 exercises the bps=4 band-tiled grid together with the
+    symmetric plane-window sharing and the weighted residual."""
+    import cgx
+    from cgx.kernels.fused_multi import fused_dia_cg_multi
+    from tests.test_kernels import _scaled_poisson3d_dia
+    a = _scaled_poisson3d_dia(5, 6, 7, rng).astype(jnp.float32)
+    n, k = a.shape[0], 8
+    b = jnp.asarray(rng.standard_normal((n, k)), jnp.float32)
+    m = cgx.JacobiPrecond.from_matrix(a)
+    res = fused_dia_cg_multi(a, b, tol=1e-5, maxiter=800, interpret=True)
+    assert bool(jnp.all(res.converged))
+    for i in range(k):
+        ref = cgx.cg_solve(a, b[:, i], tol=1e-5, maxiter=800,
+                           preconditioner=m)
+        np.testing.assert_allclose(np.asarray(res.x[:, i]),
+                                   np.asarray(ref.x), rtol=5e-3, atol=5e-4)
+
+
 def test_fused_multi_rhs_x0(rng):
     from cgx.kernels.fused_multi import fused_stencil_cg_multi
     from cgx.sparse.stencil import poisson3d_stencil
