@@ -102,6 +102,13 @@ def auto_solve(
                                             resident_stencil_cg)
     from cgx.solve.precond import JacobiPrecond
 
+    if b.ndim == 2:
+        # Multi-RHS block: route the batched solver (its own backend
+        # auto-selection picks the fused SpMM engine where it pays).
+        from cgx.solve.block import cg_solve_multi
+        return cg_solve_multi(a, b, x0, tol=tol, atol=atol,
+                              maxiter=maxiter,
+                              preconditioner=preconditioner)
     if backend is None:
         backend = select_backend(a, b, preconditioner)
     n = b.shape[0]

@@ -558,6 +558,70 @@ def test_fused_multi_rhs_dia_k8_band_tiled(rng):
                                    np.asarray(ref.x), rtol=5e-3, atol=5e-4)
 
 
+def test_fused_multi_rhs_wide_band_27pt(rng):
+    """Generic banded 27-point variable-coefficient DIA through the
+    multi engine (the wide-band case where plane sharing pays 1.79x on
+    chip) — interpret-mode parity vs per-column cg_solve."""
+    import cgx
+    from cgx.sparse.types import DIAMatrix
+    from cgx.kernels.fused_multi import fused_dia_cg_multi
+    from cgx.kernels.fused_dia_cg import supports_dia
+    nx, ny, nz = 5, 6, 7
+    n = nx * ny * nz
+    i = np.arange(n)
+    kz = i % nz
+    jy = (i // nz) % ny
+    ix = i // (ny * nz)
+    pos = [(dx, dy, dk) for dx in (0, 1) for dy in (-1, 0, 1)
+           for dk in (-1, 0, 1) if (dx, dy, dk) > (0, 0, 0)]
+    planes = {}
+    diag = np.full(n, 0.05)
+    for (dx, dy, dk) in pos:
+        off = dx * ny * nz + dy * nz + dk
+        ok = ((kz + dk >= 0) & (kz + dk < nz) & (jy + dy >= 0)
+              & (jy + dy < ny) & (ix + dx < nx))
+        v = np.where(ok, -rng.uniform(0.2, 1.0, n), 0.0)
+        neg = np.zeros(n)
+        neg[off:] = v[:-off]
+        planes[off] = v
+        planes[-off] = neg
+        diag += np.abs(v)
+        np.add.at(diag, np.arange(off, n), np.abs(v[:-off]))
+    offs = sorted(list(planes) + [0])
+    planes[0] = diag
+    data = np.stack([planes[o] for o in offs]).astype(np.float32)
+    d = DIAMatrix(data=jnp.asarray(data), offsets=tuple(offs),
+                  shape=(n, n), grid=(nx, ny, nz))
+    assert supports_dia(d)
+    k = 4
+    b = jnp.asarray(rng.standard_normal((n, k)), jnp.float32)
+    res = fused_dia_cg_multi(d, b, tol=1e-6, maxiter=500, interpret=True)
+    assert bool(jnp.all(res.converged))
+    m = cgx.JacobiPrecond.from_matrix(d)
+    for j in range(k):
+        ref = cgx.cg_solve(d, b[:, j], tol=1e-8, maxiter=500,
+                           preconditioner=m)
+        np.testing.assert_allclose(np.asarray(res.x[:, j]),
+                                   np.asarray(ref.x), rtol=5e-3,
+                                   atol=5e-4)
+
+
+def test_auto_solve_multi_rhs(rng):
+    """auto_solve accepts (n, k) blocks and routes the batched solver."""
+    import cgx
+    from cgx.io.poisson import poisson2d
+    a = poisson2d(10, 10)
+    b = jnp.asarray(rng.standard_normal((100, 3)))
+    res = cgx.auto_solve(a, b, tol=1e-8, maxiter=400)
+    assert res.x.shape == (100, 3)
+    assert bool(res.converged.all())
+    for j in range(3):
+        ref = cgx.cg_solve(a, b[:, j], tol=1e-8, maxiter=400)
+        np.testing.assert_allclose(np.asarray(res.x[:, j]),
+                                   np.asarray(ref.x), rtol=1e-5,
+                                   atol=1e-7)
+
+
 def test_fused_multi_rhs_x0(rng):
     from cgx.kernels.fused_multi import fused_stencil_cg_multi
     from cgx.sparse.stencil import poisson3d_stencil
