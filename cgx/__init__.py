@@ -21,6 +21,7 @@ from cgx.solve.block import block_cg_solve, cg_solve_multi
 from cgx.solve.padded import cg_solve_padded
 from cgx.solve.auto import auto_solve, select_backend
 from cgx.solve.chebyshev import chebyshev_solve, estimate_bounds
+from cgx.solve.ir import ir_cg_solve, ir_supported
 from cgx.utils.checkpoint import cg_solve_checkpointed
 
 __version__ = "0.1.0"
@@ -32,7 +33,7 @@ __all__ = [
     "cg_solve_single_reduction", "cg_solve_multi", "block_cg_solve",
     "cg_solve_padded",
     "auto_solve", "select_backend", "cg_solve_checkpointed",
-    "chebyshev_solve", "estimate_bounds",
+    "chebyshev_solve", "estimate_bounds", "ir_cg_solve", "ir_supported",
     "JacobiPrecond", "BlockJacobiPrecond", "PolynomialPrecond",
     "IC0Precond",
 ]

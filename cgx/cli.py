@@ -115,7 +115,7 @@ def cmd_solve(args):
         backend = select_backend(a, b, m)
         solve = jax.jit(lambda a, b: cgx.auto_solve(
             a, b, tol=tol, maxiter=maxiter, preconditioner=m,
-            backend=backend))
+            backend=backend, mixed_precision=args.mixed_precision))
         t0 = time.perf_counter()
         res = jax.block_until_ready(solve(a, b))
         dt = time.perf_counter() - t0
@@ -332,6 +332,9 @@ def main(argv=None) -> int:
                     help="distributed solver method (with --devices>1)")
     ps.add_argument("--legacy-compat", action="store_true",
                     help="reference semantics: fixed iters, \\t%%f dump")
+    ps.add_argument("--mixed-precision", action="store_true",
+                    help="bf16-inner iterative refinement at streaming "
+                         "scale (fp32-accurate result)")
     ps.set_defaults(fn=cmd_solve)
 
     pg = sub.add_parser("gen", help="generate a problem file")

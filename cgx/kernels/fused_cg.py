@@ -73,7 +73,8 @@ def build_fused(s, dtype, *, n_shards: int = 1,
                          "Stencil2D/Stencil3D/GeneralStencil3D with "
                          "|dx| <= 1 taps and nx <= 4096)")
     nx, ny, nz, taps, coeffs = spec
-    geom = make_geometry(nx, ny, nz, taps, n_shards=n_shards)
+    geom = make_geometry(nx, ny, nz, taps, n_shards=n_shards,
+                         itemsize=jnp.dtype(dtype).itemsize)
     return FusedCG(geom, dtype=dtype, coeffs=coeffs, axis_name=axis_name,
                    interpret=interpret)
 

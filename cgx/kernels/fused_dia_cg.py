@@ -311,16 +311,18 @@ def build_fused_dia(d, dtype, *, jacobi: bool = True, inv_diag=None,
     nx, ny, nz, taps, coeffs, planes, e, weight, sym = dia_prep(
         d, dtype, jacobi=jacobi, inv_diag=inv_diag, allow_sym=allow_sym)
 
+    isz = jnp.dtype(dtype).itemsize
     if sym:
         n_win = 1 + sum(1 for c in coeffs if c is None)
         geom = make_geometry(nx, ny, nz, taps, n_shards=n_shards,
                              target_block_bytes=1 << 18,
-                             a_window_streams=n_win)
+                             a_window_streams=n_win, itemsize=isz)
     else:
         n_stream_planes = sum(1 for c in coeffs if c is None)
         geom = make_geometry(nx, ny, nz, taps, n_shards=n_shards,
                              target_block_bytes=1 << 18,
-                             a_extra_streams=2 * n_stream_planes)
+                             a_extra_streams=2 * n_stream_planes,
+                             itemsize=isz)
 
     if n_shards == 1:
         eng = FusedCG(geom, dtype=dtype, coeffs=coeffs, planes=planes,

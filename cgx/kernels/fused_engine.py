@@ -110,7 +110,8 @@ def make_geometry(nx: int, ny: int, nz: int,
                   a_extra_streams: int = 0,
                   a_window_streams: int = 1,
                   stream_budget_bytes: Optional[int] = None,
-                  residency_multiplier: int = 1) -> Geometry:
+                  residency_multiplier: int = 1,
+                  itemsize: int = 4) -> Geometry:
     """``target_block_bytes`` sizes kernel B's blocks (7-8 double-buffered
     streams — keep modest); kernel A's block multiple ``m`` is chosen per
     regime (see the inline comments).  ``row_multiplier``: effective
@@ -123,7 +124,10 @@ def make_geometry(nx: int, ny: int, nz: int,
     path).  ``residency_multiplier``: factor on the CARRIED working set
     only (the 2-D-grid multi-RHS path holds k bands of x/r/p/q in HBM
     but streams one band per grid step, so blocks size like single-RHS
-    while the resident-regime test must see k x the vectors)."""
+    while the resident-regime test must see k x the vectors).
+    ``itemsize``: vector element size in bytes (2 for bf16) — sets the
+    sublane tile (fp32 (8,128) / bf16 (16,128)) and the VMEM byte
+    models, so bf16 gets proportionally wider blocks and windows."""
     if nx % n_shards:
         raise ValueError(f"nx={nx} not divisible by n_shards={n_shards}")
     nxl = nx // n_shards
@@ -131,12 +135,18 @@ def make_geometry(nx: int, ny: int, nz: int,
         if abs(dx) > 1:
             raise ValueError(f"tap {dx, dy, dk}: |dx| must be <= 1 "
                              "(one embedded halo row per side)")
-    rows8 = _r8(nxl + 2)
+    itemsize = int(itemsize)
+    if itemsize not in (2, 4, 8):
+        raise ValueError(f"itemsize must be 2, 4 or 8, got {itemsize}")
+    # Sublane tile: (8,128) fp32 / (16,128) bf16.  8-byte dtypes only ever
+    # run in interpret mode (fp64 is CPU-validation-only), keep 8 rows.
+    row_tile = 16 if itemsize == 2 else 8
+    rows8 = -(-(nxl + 2) // row_tile) * row_tile
     rows_eff = rows8 * max(1, int(row_multiplier))
     l_real = ny * nz
     reach = max([abs(dy * nz + dk) for (_, dy, dk) in taps] + [1])
     sl = _r128(reach)
-    bl = max(sl, (target_block_bytes // (rows_eff * 4) // 128) * 128)
+    bl = max(sl, (target_block_bytes // (rows_eff * itemsize) // 128) * 128)
     # Two regimes (measured, docs/PERF_NOTES.md): when the ~5-buffer
     # working set fits in VMEM (~128 MB on v5e) XLA keeps the carried
     # vectors VMEM-resident and the iteration runs at ~2.5 TB/s — small
@@ -144,7 +154,7 @@ def make_geometry(nx: int, ny: int, nz: int,
     # iteration is HBM-streaming-bound and kernel A wants the biggest
     # window its scoped-VMEM budget allows.
     l_pad1 = -(-l_real // bl) * bl
-    working_set = (5 * rows_eff * (l_pad1 + 2 * bl) * 4
+    working_set = (5 * rows_eff * (l_pad1 + 2 * bl) * itemsize
                    * max(1, int(residency_multiplier)))
     a_vmem_limit = 0
     if working_set <= (96 << 20):
@@ -168,10 +178,10 @@ def make_geometry(nx: int, ny: int, nz: int,
         n_win = max(1, int(a_window_streams))
         budget = (15 << 20) if stream_budget_bytes is None \
             else int(stream_budget_bytes)
-        cap = budget // (4 * rows_eff) - 4 * sl * n_win
+        cap = budget // (itemsize * rows_eff) - 4 * sl * n_win
         denom = 2 * n_win + 7 + a_extra_streams
         m = max(1, int(cap // (denom * bl)))
-        usage = 4 * rows_eff * (denom * bl * m + 4 * sl * n_win)
+        usage = itemsize * rows_eff * (denom * bl * m + 4 * sl * n_win)
         if stream_budget_bytes is not None:
             a_vmem_limit = min(int(usage * 1.5) + (8 << 20), 120 << 20)
         elif usage > (14 << 20):

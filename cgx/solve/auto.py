@@ -89,12 +89,20 @@ def auto_solve(
     preconditioner=None,
     track_history: bool = False,
     backend: Optional[str] = None,
+    mixed_precision: bool = False,
 ) -> CGResult:
     """:func:`cg_solve` semantics with backend auto-selection.
 
     ``backend``: override the routing (one of :func:`select_backend`'s
     values) — required to reach the fused DIA path under ``jit``, where the
     data-dependent wrap check cannot run.
+
+    ``mixed_precision``: opt in to bf16-inner iterative refinement
+    (:func:`cgx.solve.ir.ir_cg_solve`) for fused-capable operators at
+    streaming scale — halves the hot loop's HBM bytes; the returned
+    residual is the true fp32 ``‖b − A·x‖²``.  Falls back to the normal
+    routing when the operator has no fused route or is below
+    ``FUSED_MIN_ROWS`` (the resident regime is not bandwidth-bound).
     """
     from cgx.kernels.fused_cg import fused_stencil_cg
     from cgx.kernels.fused_dia_cg import fused_dia_cg
@@ -113,6 +121,12 @@ def auto_solve(
         backend = select_backend(a, b, preconditioner)
     n = b.shape[0]
     mi = int(maxiter) if maxiter is not None else n
+    if mixed_precision and not track_history and n >= FUSED_MIN_ROWS \
+            and backend in ("fused_stencil", "fused_dia",
+                            "resident_stencil", "resident_dia"):
+        from cgx.solve.ir import ir_cg_solve
+        return ir_cg_solve(a, b, x0, tol=tol, atol=atol, maxiter=mi,
+                           preconditioner=preconditioner)
     if backend.startswith("resident") and track_history:
         # The whole-solve kernel doesn't track per-iteration history;
         # fall back to the two-pass engine (big n) or the XLA loop.
