@@ -17,6 +17,11 @@ test:
 test-fast:
 	$(PY) -m pytest tests/ -q -x -k "not reference_binary"
 
+# Kernel tests through the TPU interpreter (TPU-shaped semantics without
+# hardware; catches what plain interpret=True hides).
+test-tpu-interpret:
+	CGX_TPU_INTERPRET=1 $(PY) -m pytest tests/test_kernels.py tests/test_ir.py -q
+
 bench:
 	$(PY) bench.py
 

@@ -113,8 +113,8 @@ def _kernel(*refs, g: ResidentGeometry, coeffs, sym: bool,
     refs = list(refs)
     _tol = refs.pop(0)
     _maxit = refs.pop(0)
-    _x0 = refs.pop(0)           # aliased to x_out — unused directly
-    _b = refs.pop(0)            # aliased to r_out — unused directly
+    x0_in = refs.pop(0)         # aliased to x_ref on hardware
+    b_in = refs.pop(0)          # aliased to r_ref on hardware
     planes_ref = refs.pop(0) if variable else None
     w_ref = refs.pop(0) if weighted else None
     x_ref, r_ref, k_out, rz_out, p_ref = refs
@@ -172,7 +172,14 @@ def _kernel(*refs, g: ResidentGeometry, coeffs, sym: bool,
             sw = s
         return s, sw
 
-    # r0 = b − A·x0 (the aliased output refs hold b and x0 on entry).
+    # Seed the carried arrays from the inputs.  On hardware the outputs
+    # alias the inputs, so these are in-place identity copies (one-time,
+    # negligible); reading the INPUT refs — rather than relying on the
+    # aliased outputs' pre-image — is required for the TPU interpreter,
+    # which does not seed aliased outputs (NaN-fills them instead).
+    x_ref[...] = x0_in[...]
+    r_ref[...] = b_in[...]
+    # r0 = b − A·x0.
     r0 = region(r_ref) - matvec(x_ref[...])
     r_ref[1:1 + nxl, sl:sl + lp] = r0
     p_ref[...] = jnp.zeros(p_ref.shape, p_ref.dtype)

@@ -18,6 +18,16 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", True)
 
+# Optional TPU-interpret leg (ROADMAP CI matrix): CGX_TPU_INTERPRET=1 runs
+# every pallas_call through the TPU interpreter (TPU-shaped semantics —
+# grid sequencing, DMA/semaphore modelling — without hardware), catching
+# divergences plain interpret=True hides.  `make test-tpu-interpret`.
+if os.environ.get("CGX_TPU_INTERPRET"):
+    from jax.experimental.pallas import tpu as _pltpu  # noqa: E402
+
+    _force_interpret = _pltpu.force_tpu_interpret_mode()
+    _force_interpret.__enter__()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

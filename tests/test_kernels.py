@@ -40,6 +40,29 @@ def test_bell_spmv_random_spd(rng):
                                atol=1e-4)
 
 
+def test_bell_engines_agree_beyond_prefetch_chunk(rng):
+    """The single-call DMA engine covers sizes the scalar-prefetch engine
+    had to chunk (>256 block rows) — identical results from both."""
+    import scipy.sparse as sp
+    nbr, bs, k = 300, 8, 16          # 300 block rows > _MAX_PREFETCH_ROWS
+    n = nbr * bs
+    d = sp.random(nbr, nbr, density=0.01, random_state=0)
+    d = d + sp.identity(nbr)
+    mask = sp.kron((d != 0).astype(np.float64), np.ones((bs, bs)))
+    m = sp.csr_matrix(mask.multiply(
+        sp.random(n, n, density=1.0, random_state=1)))
+    a = csr_from_scipy(m)
+    bell = _bell(a, bs).astype(jnp.float32)
+    x = rng.standard_normal((n, k)).astype(np.float32)
+    y_dma = bell_spmm(bell, jnp.asarray(x), interpret=True, engine="dma")
+    y_pre = bell_spmm(bell, jnp.asarray(x), interpret=True,
+                      engine="prefetch")
+    np.testing.assert_allclose(np.asarray(y_dma), np.asarray(y_pre),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(y_dma)[:n], m @ x, rtol=1e-3,
+                               atol=1e-3)
+
+
 def test_bell_padding_blocks_are_inert(rng):
     """Rows with fewer blocks than wb must not pick up contributions."""
     import scipy.sparse as sp
