@@ -35,7 +35,7 @@ from cgx.kernels.fused_dia_cg import (build_fused_dia, dia_engine_spec,
 from cgx.kernels.fused_engine import FusedCG, make_geometry
 from cgx.solve.cg import CGResult
 
-__all__ = ["dist_fused_cg", "dist_fused_supported"]
+__all__ = ["dist_fused_cg", "dist_fused_cg_multi", "dist_fused_supported"]
 
 
 def _mesh_size(mesh: Mesh) -> int:
@@ -129,6 +129,153 @@ def dist_fused_cg(
     return f(*args)
 
 
+def dist_fused_cg_multi(
+    a,
+    b: jnp.ndarray,
+    mesh: Mesh,
+    *,
+    x0: Optional[jnp.ndarray] = None,
+    tol: float = 1e-6,
+    atol: float = 0.0,
+    maxiter: Optional[int] = None,
+    jacobi: bool = False,
+    interpret: Optional[bool] = None,
+) -> CGResult:
+    """Row-sharded fused multi-RHS CG: the band-stacked SpMM engine
+    (:mod:`cgx.kernels.fused_multi`) under ``shard_map``.  ``b``: global
+    ``(n, k)``; per-band halo rows ride one forward + one backward
+    ``ppermute`` of a ``(k, total)`` row gather per iteration, and the
+    ``(2, k)`` dot blocks become ``psum`` s — the single-RHS distributed
+    engine's sync structure, batched."""
+    if b.ndim != 2:
+        raise ValueError(f"expected b of shape (n, k), got {b.shape}")
+    n, k = b.shape
+    if maxiter is None:
+        maxiter = n
+    if interpret is None:
+        interpret = _interpret_default(mesh)
+    nd = _mesh_size(mesh)
+    vec = NamedSharding(mesh, P(AXIS))
+    vec2 = NamedSharding(mesh, P(AXIS, None))
+
+    spec = _fc.stencil_taps(a)
+    if spec is not None:
+        if jacobi:
+            raise ValueError("jacobi=True needs a DIA operator")
+        if spec[0] % nd:
+            raise ValueError(f"nx={spec[0]} not divisible by mesh size {nd}")
+        f = _cached_multi_stencil(mesh, a, int(k), b.dtype.name, float(tol),
+                                  float(atol), int(maxiter), x0 is not None,
+                                  bool(interpret))
+        args = [jax.device_put(b, vec2)]
+        if x0 is not None:
+            args.append(jax.device_put(x0, vec2))
+        return f(*args)
+
+    if not supports_dia(a):
+        raise ValueError("dist_fused_cg_multi: unsupported operator")
+    if wrap_entries_zero_or_none(a) is False:
+        raise ValueError("dist_fused_cg_multi: DIA data has nonzero "
+                         "x-plane-crossing entries")
+    from cgx.kernels.fused_dia_cg import dia_prep
+    nx, ny, nz, taps, coeffs, planes, e, weight, sym = dia_prep(
+        a, b.dtype, jacobi=jacobi)
+    if nx % nd:
+        raise ValueError(f"nx={nx} not divisible by mesh size {nd}")
+    n_stream = sum(1 for c in coeffs if c is None)
+    geom = make_geometry(
+        nx, ny, nz, taps, n_shards=nd, target_block_bytes=1 << 18,
+        residency_multiplier=k,
+        itemsize=jnp.dtype(b.dtype).itemsize,
+        **(dict(a_window_streams=1 + n_stream) if sym
+           else dict(a_extra_streams=2 * n_stream)))
+    f = _cached_multi_dia(mesh, geom, coeffs, int(k), b.dtype.name,
+                          float(tol), float(atol), int(maxiter),
+                          x0 is not None, e is not None, bool(interpret),
+                          sym)
+    mat = NamedSharding(mesh, P(None, AXIS))
+    args = [jax.device_put(planes, mat), jax.device_put(b, vec2)]
+    if e is not None:
+        args.append(jax.device_put(e, vec))
+        args.append(jax.device_put(weight, vec))
+    if x0 is not None:
+        args.append(jax.device_put(x0, vec2))
+    return f(*args)
+
+
+def _multi_result_specs():
+    return CGResult(x=P(AXIS, None), iterations=P(), residual_norm_sq=P(),
+                    converged=P(), history=P())
+
+
+@lru_cache(maxsize=64)
+def _cached_multi_stencil(mesh, s, k, dtype_name, tol, atol, maxiter,
+                          has_x0, interpret):
+    from cgx.kernels.fused_multi import _solve_multi
+
+    nx, ny, nz, taps, coeffs = _fc.stencil_taps(s)
+    nd = _mesh_size(mesh)
+    dtype = jnp.dtype(dtype_name)
+    geom = make_geometry(nx, ny, nz, taps, n_shards=nd,
+                         residency_multiplier=k, itemsize=dtype.itemsize)
+
+    def local(b_loc, *x0_loc):
+        return _solve_multi(
+            geom, coeffs, None, None, b_loc.T,
+            x0_loc[0].T if x0_loc else None, tol=tol, atol=atol,
+            maxiter=maxiter, interpret=interpret, dtype=dtype,
+            axis_name=AXIS)
+
+    in_specs = (P(AXIS, None),) + ((P(AXIS, None),) if has_x0 else ())
+    return jax.jit(jax.shard_map(local, mesh=mesh, in_specs=in_specs,
+                                 out_specs=_multi_result_specs(),
+                                 check_vma=False))
+
+
+@lru_cache(maxsize=64)
+def _cached_multi_dia(mesh, geom, coeffs, k, dtype_name, tol, atol,
+                      maxiter, has_x0, scaled, interpret, sym):
+    import dataclasses as _dc
+
+    from cgx.kernels.fused_multi import _solve_multi
+
+    dtype = jnp.dtype(dtype_name)
+
+    def local(planes_loc, b_loc, *rest):
+        rest = list(rest)
+        if scaled:
+            e_loc = rest.pop(0)
+            w_loc = rest.pop(0)
+        else:
+            e_loc = w_loc = None
+        x0_loc = rest.pop(0) if rest else None
+        b2 = b_loc.T
+        x0_2 = None if x0_loc is None else x0_loc.T
+        if e_loc is not None:
+            b2 = b2 * e_loc[None]
+            if x0_2 is not None:
+                inv_e = jnp.where(e_loc > 0,
+                                  1.0 / jnp.where(e_loc > 0, e_loc, 1.0),
+                                  0.0)
+                x0_2 = x0_2 * inv_e[None]
+        res = _solve_multi(geom, coeffs, planes_loc, w_loc, b2, x0_2,
+                           tol=tol, atol=atol, maxiter=maxiter,
+                           interpret=interpret, dtype=dtype, sym=sym,
+                           axis_name=AXIS)
+        if e_loc is not None:
+            res = _dc.replace(res, x=res.x * e_loc[:, None])
+        return res
+
+    in_specs = (P(None, AXIS), P(AXIS, None))
+    if scaled:
+        in_specs = in_specs + (P(AXIS), P(AXIS))
+    if has_x0:
+        in_specs = in_specs + (P(AXIS, None),)
+    return jax.jit(jax.shard_map(local, mesh=mesh, in_specs=in_specs,
+                                 out_specs=_multi_result_specs(),
+                                 check_vma=False))
+
+
 def _result_specs():
     return CGResult(x=P(AXIS), iterations=P(), residual_norm_sq=P(),
                     converged=P(), history=P())
@@ -139,8 +286,9 @@ def _cached_stencil_solver(mesh, s, dtype_name, tol, atol, maxiter, track,
                            has_x0, interpret):
     nx, ny, nz, taps, coeffs = _fc.stencil_taps(s)
     nd = _mesh_size(mesh)
-    geom = make_geometry(nx, ny, nz, taps, n_shards=nd)
     dtype = jnp.dtype(dtype_name)
+    geom = make_geometry(nx, ny, nz, taps, n_shards=nd,
+                         itemsize=dtype.itemsize)
 
     def local(b_loc, *x0_loc):
         eng = FusedCG(geom, dtype=dtype, coeffs=coeffs, axis_name=AXIS,

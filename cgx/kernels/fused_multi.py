@@ -244,21 +244,63 @@ def _kernel_b_multi(*refs, g: Geometry, weighted: bool, k: int,
             dots_ref[1, band] += s
 
 
+def _exchange_multi(g: Geometry, k: int, axis_name, a):
+    """Fill the embedded halo rows of every band of the band-stacked
+    layout from the neighbour shards (no-op single-device).  Band ``u``
+    occupies rows ``[u·rows8, (u+1)·rows8)``; its real x-planes are rows
+    ``1..nxl`` within the band, halos at 0 and ``nxl + 1``.  One forward
+    and one backward ``ppermute`` of a (k, total) row gather — the same
+    traffic ratio as the single-RHS engine's two-row exchange."""
+    import numpy as np
+
+    if axis_name is None:
+        return a
+    nd = jax.lax.psum(1, axis_name)          # static under shard_map
+    if nd == 1:
+        return a
+    base = np.arange(k) * g.rows8
+    fwd = jax.lax.ppermute(a[base + g.nxl], axis_name,
+                           [(i, i + 1) for i in range(nd - 1)])
+    bwd = jax.lax.ppermute(a[base + 1], axis_name,
+                           [(i, i - 1) for i in range(1, nd)])
+    return a.at[base, :].set(fwd).at[base + g.nxl + 1, :].set(bwd)
+
+
 def _solve_multi(geom: Geometry, coeffs, planes, weight, b2, x0_2, *,
                  tol, atol, maxiter, interpret, dtype,
-                 sym: bool = False) -> CGResult:
-    """Core batched driver; ``b2``/``x0_2`` are (k, n_local)."""
+                 sym: bool = False, axis_name=None) -> CGResult:
+    """Core batched driver; ``b2``/``x0_2`` are (k, n_local).  Under
+    ``shard_map`` pass ``axis_name`` and per-shard arrays (the geometry
+    built with ``n_shards``): halos ride :func:`_exchange_multi` and the
+    (2, k) dot blocks become ``psum`` s."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     g = geom
     k = b2.shape[0]
+
+    def allsum(v):
+        return v if axis_name is None else jax.lax.psum(v, axis_name)
     n_planes = sum(1 for c in coeffs if c is None)
     variable = n_planes > 0
     sym = bool(sym and variable)
     if variable:
         planes_l = jnp.stack([to_layout(g, planes[t].astype(dtype))
                               for t in range(n_planes)])
+        if sym and axis_name is not None:
+            # Mirror taps read the planes one row shifted: fill the plane
+            # halo rows from the neighbour shards ONCE (planes are
+            # static, unlike p's per-iteration exchange).
+            nd = jax.lax.psum(1, axis_name)
+            if nd > 1:
+                fwd = jax.lax.ppermute(
+                    planes_l[:, g.nxl, :], axis_name,
+                    [(i, i + 1) for i in range(nd - 1)])
+                bwd = jax.lax.ppermute(
+                    planes_l[:, 1, :], axis_name,
+                    [(i, i - 1) for i in range(1, nd)])
+                planes_l = (planes_l.at[:, 0, :].set(fwd)
+                            .at[:, g.nxl + 1, :].set(bwd))
     weight_l = (_to_layout_multi(g, jnp.broadcast_to(
         weight.astype(dtype)[None], b2.shape))
         if weight is not None else None)
@@ -365,7 +407,7 @@ def _solve_multi(geom: Geometry, coeffs, planes, weight, b2, x0_2, *,
     bsq = b2.astype(jnp.float32) ** 2
     if weight is not None:
         bsq = bsq * weight.astype(jnp.float32)[None]
-    bb = jnp.sum(bsq, axis=1)                           # (k,)
+    bb = allsum(jnp.sum(bsq, axis=1))                   # (k,) global
     tol_sq = jnp.maximum(jnp.asarray(tol, jnp.float32) ** 2 * bb,
                          jnp.asarray(atol, jnp.float32) ** 2)
 
@@ -374,7 +416,7 @@ def _solve_multi(geom: Geometry, coeffs, planes, weight, b2, x0_2, *,
         r_l = b_l
     else:
         x_l = _to_layout_multi(g, x0_2.astype(dtype))
-        q0, _ = call_a(x_l)
+        q0, _ = call_a(_exchange_multi(g, k, axis_name, x_l))
         r_l = _to_layout_multi(
             g, b2.astype(dtype) - _from_layout_multi(g, q0, k))
 
@@ -386,7 +428,7 @@ def _solve_multi(geom: Geometry, coeffs, planes, weight, b2, x0_2, *,
             sw = jnp.sum(rb * rb * wv, axis=(1, 2))
         else:
             sw = s
-        return jnp.stack([s, sw])                       # (2, k)
+        return allsum(jnp.stack([s, sw]))               # (2, k) global
 
     rz0 = rz_of(r_l)
 
@@ -396,8 +438,11 @@ def _solve_multi(geom: Geometry, coeffs, planes, weight, b2, x0_2, *,
 
     def body(c):
         x, r, p, rz, it = c
+        p = _exchange_multi(g, k, axis_name, p)
         q, pqqq = call_a(p)
+        pqqq = allsum(pqqq)
         x, r, p, dots = call_b(rz[:1], pqqq, x, r, p, q)
+        dots = allsum(dots)
         return (x, r, p, dots, it + 1)
 
     x, r, p, rz, it = jax.lax.while_loop(

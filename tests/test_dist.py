@@ -462,3 +462,45 @@ def test_dist_fused_2d_stencil(rng):
     assert bool(res.converged)
     np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
                                rtol=5e-3, atol=5e-4)
+
+
+def test_dist_fused_multi_stencil_matches_single_device(rng):
+    """8-way sharded fused multi-RHS CG == single-device batched engine."""
+    from cgx.dist.fused import dist_fused_cg_multi
+    from cgx.kernels.fused_multi import fused_stencil_cg_multi
+    from cgx.sparse.stencil import poisson3d_stencil
+
+    s = poisson3d_stencil(16, 6, 7)
+    n = 16 * 6 * 7
+    k = 4
+    b = jnp.asarray(rng.standard_normal((n, k)), jnp.float32)
+    ref = fused_stencil_cg_multi(s, b, tol=1e-5, maxiter=600,
+                                 interpret=True)
+    res = dist_fused_cg_multi(s, b, MESH, tol=1e-5, maxiter=600)
+    assert np.asarray(res.converged).all()
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                               rtol=5e-4, atol=5e-5)
+    # Independent ground truth per column.
+    for c in range(k):
+        xla = cg_solve(s, b[:, c], tol=1e-5, maxiter=600)
+        np.testing.assert_allclose(np.asarray(res.x[:, c]),
+                                   np.asarray(xla.x), rtol=5e-3, atol=5e-4)
+
+
+def test_dist_fused_multi_dia_jacobi(rng):
+    """Sharded fused multi-RHS DIA Jacobi-PCG (sym planes exchanged once)
+    vs single-device batched engine."""
+    from cgx.dist.fused import dist_fused_cg_multi
+    from cgx.kernels.fused_multi import fused_dia_cg_multi
+    from tests.test_kernels import _scaled_poisson3d_dia
+
+    a = _scaled_poisson3d_dia(8, 6, 7, rng).astype(jnp.float32)
+    n = a.shape[0]
+    k = 4
+    b = jnp.asarray(rng.standard_normal((n, k)), jnp.float32)
+    ref = fused_dia_cg_multi(a, b, tol=1e-5, maxiter=800, interpret=True)
+    res = dist_fused_cg_multi(a, b, MESH, jacobi=True, tol=1e-5,
+                              maxiter=800)
+    assert np.asarray(res.converged).all()
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                               rtol=5e-4, atol=5e-5)

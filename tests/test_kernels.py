@@ -63,6 +63,23 @@ def test_bell_engines_agree_beyond_prefetch_chunk(rng):
                                atol=1e-3)
 
 
+def test_bell_dma_single_block_per_row(rng):
+    """wb == 1: the DMA engine's j+1 prefetch branch never fires — the
+    synchronous j == 0 copy must carry the whole row."""
+    import scipy.sparse as sp
+    nbr, bs = 12, 8
+    n = nbr * bs
+    d = sp.block_diag([rng.standard_normal((bs, bs)) for _ in range(nbr)],
+                      format="csr")
+    a = csr_from_scipy(sp.csr_matrix(d))
+    bell = _bell(a, bs).astype(jnp.float32)
+    assert bell.wb == 1
+    x = rng.standard_normal((n, 4)).astype(np.float32)
+    y = bell_spmm(bell, jnp.asarray(x), interpret=True, engine="dma")
+    np.testing.assert_allclose(np.asarray(y)[:n], d @ x, rtol=1e-4,
+                               atol=1e-4)
+
+
 def test_bell_padding_blocks_are_inert(rng):
     """Rows with fewer blocks than wb must not pick up contributions."""
     import scipy.sparse as sp
