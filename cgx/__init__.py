@@ -16,7 +16,7 @@ from cgx.solve.cg import (CGResult, cg_solve,
                           cg_solve_single_reduction)
 from cgx.solve.precond import (BlockJacobiPrecond, JacobiPrecond,
                                PolynomialPrecond)
-from cgx.solve.ic0 import IC0Precond
+from cgx.solve.ic0 import IC0Precond, IC0SweepPrecond
 from cgx.solve.block import block_cg_solve, cg_solve_multi
 from cgx.solve.padded import cg_solve_padded
 from cgx.solve.auto import auto_solve, select_backend
@@ -35,5 +35,5 @@ __all__ = [
     "auto_solve", "select_backend", "cg_solve_checkpointed",
     "chebyshev_solve", "estimate_bounds", "ir_cg_solve", "ir_supported",
     "JacobiPrecond", "BlockJacobiPrecond", "PolynomialPrecond",
-    "IC0Precond",
+    "IC0Precond", "IC0SweepPrecond",
 ]

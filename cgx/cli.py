@@ -87,6 +87,8 @@ def _make_precond(args, a):
         return cgx.BlockJacobiPrecond.from_matrix(a, args.blocksize)
     if args.precond == "ic0":
         return cgx.IC0Precond.from_matrix(a)
+    if args.precond == "ic0-sweep":
+        return cgx.IC0SweepPrecond.from_matrix(a, nsweeps=args.sweeps)
     if args.precond == "poly":
         return cgx.PolynomialPrecond.from_matrix(a, steps=args.poly_steps)
     raise SystemExit(f"unknown preconditioner {args.precond!r}")
@@ -313,8 +315,11 @@ def _add_problem_flags(p):
     p.add_argument("--tol", type=float, default=1e-6)
     p.add_argument("--maxiter", type=int, default=None)
     p.add_argument("--precond", default="none",
-                   choices=["none", "jacobi", "block-jacobi", "ic0", "poly"])
+                   choices=["none", "jacobi", "block-jacobi", "ic0",
+                            "ic0-sweep", "poly"])
     p.add_argument("--poly-steps", type=int, default=3)
+    p.add_argument("--sweeps", type=int, default=1,
+                   help="Neumann sweeps per triangular solve (ic0-sweep)")
 
 
 def main(argv=None) -> int:

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["ic0_factor", "IC0Precond"]
+__all__ = ["ic0_factor", "IC0Precond", "IC0SweepPrecond"]
 
 
 def _tril_pattern(a):
@@ -322,4 +322,82 @@ class IC0Precond:
                          self.b_inv_diag, y)
         if self.perm is not None:
             z = z[self.perm[1]]                # back to original numbering
+        return z
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class IC0SweepPrecond:
+    """IC(0) with a gather-free, sweep-based apply (the TPU-shaped form).
+
+    The level-scheduled apply of :class:`IC0Precond` is gather/scatter
+    bound — measured ~128 ms/apply at 1 M rows on v5e (XLA's gather path
+    runs at ~65 Mnnz/s there), which drowns the iterations it saves.
+    This variant keeps the SAME IC(0) factor but applies the triangular
+    solves as truncated Neumann (Jacobi–Richardson) sweeps with the
+    strict triangles held as banded **DIA** operators, so every sweep is
+    a shifted-add SpMV — no gathers anywhere:
+
+        L⁻¹ r  ≈ y_k,   y_{j+1} = D̂⁻¹ (r − Lₛ y_j),   y_0 = D̂⁻¹ r
+        L⁻ᵀ y  ≈ z_k,   likewise with Us = Lₛᵀ
+
+    Because ``D̂⁻¹Lₛ`` is strictly triangular (nilpotent, index =
+    dependency-level count), the series TERMINATES: ``nsweeps ≥
+    n_levels − 1`` reproduces the exact IC(0) apply.  For any smaller
+    ``nsweeps`` the operator equals ``Aᵀ·A`` for an invertible ``A``
+    (the truncated series of ``L⁻¹``), hence symmetric positive
+    definite — always CG-safe, just a weaker preconditioner.
+
+    Requires the factor to be banded (≤ 64 populated diagonals) — true
+    for grid/stencil operators, where IC(0)'s pattern equals the lower
+    triangle of A's.
+    """
+
+    lower: object           # DIAMatrix — strict lower triangle of L
+    upper: object           # DIAMatrix — its transpose (strict upper)
+    inv_diag: jnp.ndarray   # 1 / diag(L)
+    nsweeps: int = dataclasses.field(metadata=dict(static=True))
+    n_levels: int = dataclasses.field(metadata=dict(static=True))
+
+    @classmethod
+    def from_matrix(cls, a, nsweeps: int = 3, dtype=None
+                    ) -> "IC0SweepPrecond":
+        """Factor a banded CSR SPD matrix; raises ``ValueError`` when the
+        factor is not banded (use :class:`IC0Precond` there)."""
+        import scipy.sparse as sp
+
+        from cgx.sparse.types import csr_from_scipy, dia_from_csr
+
+        lv, lc, lp = ic0_factor(a)
+        n = a.shape[0]
+        dtype = dtype or np.asarray(a.values).dtype
+        ell = sp.csr_matrix((lv, lc, lp), shape=(n, n))
+        d = ell.diagonal()
+        ls = sp.tril(ell, k=-1).tocsr()
+        ls.sort_indices()
+        try:
+            lower = dia_from_csr(csr_from_scipy(
+                sp.csr_matrix(ls, dtype=dtype)))
+            upper = dia_from_csr(csr_from_scipy(
+                sp.csr_matrix(ls.T.tocsr(), dtype=dtype)))
+        except ValueError as exc:
+            raise ValueError(
+                "IC0SweepPrecond needs a banded factor (<= 64 populated "
+                "diagonals); use IC0Precond for general sparsity"
+            ) from exc
+        lev = _level_schedule(lc, lp, n)
+        return cls(lower=lower, upper=upper,
+                   inv_diag=jnp.asarray(1.0 / d, dtype),
+                   nsweeps=int(nsweeps), n_levels=int(lev.max()) + 1)
+
+    def apply(self, r: jnp.ndarray) -> jnp.ndarray:
+        from cgx.ops.spmv import spmv
+
+        inv_d = self.inv_diag.astype(r.dtype)
+        y = inv_d * r
+        for _ in range(self.nsweeps):
+            y = inv_d * (r - spmv(self.lower, y))
+        z = inv_d * y
+        for _ in range(self.nsweeps):
+            z = inv_d * (y - spmv(self.upper, z))
         return z

@@ -121,3 +121,53 @@ def test_ic0_multicolor_ordering(rng):
     assert int(res_m.iterations) <= 2 * int(res_n.iterations)
     np.testing.assert_allclose(np.asarray(res_m.x), np.asarray(plain.x),
                                rtol=1e-8, atol=1e-10)
+
+
+def test_ic0_sweep_exact_at_level_count(rng):
+    """nsweeps >= n_levels - 1 terminates the Neumann series: the sweep
+    apply equals the exact level-scheduled apply."""
+    from cgx.io.poisson import poisson2d
+    from cgx.solve.ic0 import IC0SweepPrecond
+
+    a = poisson2d(10, 9)
+    exact = IC0Precond.from_matrix(a)
+    sweep = IC0SweepPrecond.from_matrix(a, nsweeps=exact.n_levels)
+    assert sweep.n_levels == exact.n_levels
+    r = jnp.asarray(rng.standard_normal(a.shape[0]))
+    np.testing.assert_allclose(np.asarray(sweep.apply(r)),
+                               np.asarray(exact.apply(r)),
+                               rtol=1e-10, atol=1e-12)
+
+
+def test_ic0_sweep_pcg_between_jacobi_and_exact(rng):
+    """Truncated sweeps give a CG-safe SPD preconditioner whose iteration
+    count sits between Jacobi and exact IC(0)."""
+    import cgx
+    from cgx.io.poisson import poisson2d
+    from cgx.solve.ic0 import IC0SweepPrecond
+
+    a = poisson2d(24, 24)
+    n = a.shape[0]
+    b = jnp.asarray(rng.standard_normal(n))
+    it_jac = int(cgx.cg_solve(
+        a, b, tol=1e-8, maxiter=2000,
+        preconditioner=cgx.JacobiPrecond.from_matrix(a)).iterations)
+    it_exact = int(cgx.cg_solve(
+        a, b, tol=1e-8, maxiter=2000,
+        preconditioner=IC0Precond.from_matrix(a)).iterations)
+    res = cgx.cg_solve(a, b, tol=1e-8, maxiter=2000,
+                       preconditioner=IC0SweepPrecond.from_matrix(
+                           a, nsweeps=3))
+    assert bool(res.converged)
+    it_sweep = int(res.iterations)
+    assert it_exact <= it_sweep <= it_jac
+    assert it_sweep < it_jac          # strictly better than Jacobi
+
+
+def test_ic0_sweep_rejects_unbanded():
+    from cgx.solve.ic0 import IC0SweepPrecond
+    from cgx.sparse.types import csr_from_scipy
+
+    s = random_spd_csr(128, 0.2)
+    with pytest.raises(ValueError, match="banded"):
+        IC0SweepPrecond.from_matrix(csr_from_scipy(s))
