@@ -155,11 +155,12 @@ def _solve_distributed(args, a, b, n, tol, maxiter):
     method = args.method
     jacobi = args.precond == "jacobi"
     precond = {"none": "none", "jacobi": "jacobi",
-               "block-jacobi": "block_jacobi", "poly": "poly"}.get(
-                   args.precond)
+               "block-jacobi": "block_jacobi", "poly": "poly",
+               "ic0-sweep": "ic0_sweep"}.get(args.precond)
     if precond is None:
         raise SystemExit(f"--devices>1 supports --precond none/jacobi/"
-                         f"block-jacobi/poly (got {args.precond!r})")
+                         f"block-jacobi/poly/ic0-sweep (got "
+                         f"{args.precond!r})")
     if method == "auto":
         method = ("fused" if dist_fused_supported(a, mesh)
                   and precond in ("none", "jacobi") else "cg")
@@ -186,7 +187,7 @@ def _solve_distributed(args, a, b, n, tol, maxiter):
     res = jax.block_until_ready(dist_cg_solve(
         part, b, mesh, tol=tol, maxiter=maxiter, preconditioner=precond,
         blocksize=args.blocksize, poly_steps=args.poly_steps,
-        method=method))
+        nsweeps=args.sweeps, method=method))
     dt = time.perf_counter() - t0
     return res, dt, unpad_vector(np.asarray(res.x), n)
 

@@ -13,9 +13,11 @@ from cgx.dist.partition import (Partition, partition_csr, partition_dia,
 from cgx.dist.halo import halo_exchange, local_matvec
 from cgx.dist.solve import (AXIS, dist_cg_solve, make_row_mesh,
                             operator_specs)
+from cgx.dist.schwarz import IC0SweepBlocks, ic0_sweep_blocks
 
 __all__ = [
     "Partition", "partition_csr", "partition_dia", "pad_vector",
     "unpad_vector", "halo_exchange", "local_matvec", "AXIS",
     "dist_cg_solve", "make_row_mesh", "operator_specs",
+    "IC0SweepBlocks", "ic0_sweep_blocks",
 ]

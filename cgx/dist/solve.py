@@ -92,13 +92,17 @@ def _local_block_inverses(a_loc: Partition, bs: int) -> jnp.ndarray:
 
 
 def _make_local_precond(a_loc: Partition, kind: str, mv, *, blocksize: int,
-                        poly_steps: int):
+                        poly_steps: int, ic0_blocks=None, nsweeps: int = 1):
     """Shard-local preconditioner closure (SURVEY §5.h: zero global setup
-    traffic — everything derives from the local operator)."""
+    traffic — everything derives from the local operator; ``ic0_sweep``
+    additionally receives host-factored :class:`IC0SweepBlocks`)."""
     from cgx.ops.blas import safe_recip
 
     if kind == "none":
         return None
+    if kind == "ic0_sweep":
+        from cgx.dist.schwarz import sweep_apply
+        return partial(sweep_apply, ic0_blocks, nsweeps)
     if kind == "jacobi":
         inv = safe_recip(_local_diag(a_loc))
         return lambda r: inv * r
@@ -117,7 +121,7 @@ def _make_local_precond(a_loc: Partition, kind: str, mv, *, blocksize: int,
         inv = safe_recip(_local_diag(a_loc))
         return PolynomialPrecond(mv, inv, steps=poly_steps).apply
     raise ValueError(f"unknown preconditioner {kind!r} (distributed path "
-                     "supports none/jacobi/block_jacobi/poly)")
+                     "supports none/jacobi/block_jacobi/poly/ic0_sweep)")
 
 
 def _local_diag(a_loc: Partition) -> jnp.ndarray:
@@ -155,6 +159,7 @@ def dist_cg_solve(
     preconditioner: Optional[str] = None,
     blocksize: int = 8,
     poly_steps: int = 3,
+    nsweeps: int = 1,
     track_history: bool = False,
     method: str = "cg",
     lam_min: Optional[float] = None,
@@ -168,11 +173,15 @@ def dist_cg_solve(
     :func:`cgx.dist.partition.unpad_vector`.
 
     ``preconditioner``: ``"none"`` | ``"jacobi"`` | ``"block_jacobi"`` |
-    ``"poly"`` — all built *inside* the shard from the local operator (no
-    global setup traffic); padding rows stay exactly zero.  Sharded
-    trajectories are identical to the single-device PCG with the matching
-    preconditioner.  ``jacobi=True`` is the round-1 spelling of
-    ``preconditioner="jacobi"`` (kept for compatibility).
+    ``"poly"`` | ``"ic0_sweep"`` — the first four are built *inside* the
+    shard from the local operator (no global setup traffic); padding rows
+    stay exactly zero.  Sharded trajectories are identical to the
+    single-device PCG with the matching preconditioner.  ``"ic0_sweep"``
+    is one-level additive Schwarz: each shard's diagonal block is
+    IC(0)-factored host-side once (:mod:`cgx.dist.schwarz`) and applied
+    with ``nsweeps`` gather-free Neumann sweeps per triangle — zero
+    cross-chip traffic in the apply.  ``jacobi=True`` is the round-1
+    spelling of ``preconditioner="jacobi"`` (kept for compatibility).
 
     ``method``: ``"cg"`` (2 psums/iter), ``"single_reduction"``
     (Chronopoulos–Gear, 1 fused psum/iter — halves cross-chip latency on
@@ -187,6 +196,13 @@ def dist_cg_solve(
         preconditioner = "jacobi" if jacobi else "none"
     b_pad = pad_vector(jnp.asarray(b), part.n_padded)
 
+    blocks = None
+    blocks_key = None
+    if preconditioner == "ic0_sweep":
+        from cgx.dist.schwarz import ic0_sweep_blocks
+        blocks = ic0_sweep_blocks(part)
+        blocks_key = (blocks.lower_offsets, blocks.upper_offsets)
+
     specs = operator_specs(part)
     vec = P(AXIS)
     f = _cached_solver(mesh, _static_key(part), float(tol), float(atol),
@@ -194,12 +210,17 @@ def dist_cg_solve(
                        int(poly_steps), bool(track_history),
                        method, x0 is not None,
                        None if lam_min is None else float(lam_min),
-                       None if lam_max is None else float(lam_max))
+                       None if lam_max is None else float(lam_max),
+                       int(nsweeps), blocks_key)
 
     part_dev = jax.device_put(
         part, jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
                            is_leaf=lambda v: isinstance(v, P)))
     args = [part_dev, jax.device_put(b_pad, NamedSharding(mesh, vec))]
+    if blocks is not None:
+        args.append(jax.device_put(blocks, jax.tree.map(
+            lambda leaf: NamedSharding(
+                mesh, P(AXIS, *(None,) * (leaf.ndim - 1))), blocks)))
     if x0 is not None:
         args.append(jax.device_put(
             pad_vector(jnp.asarray(x0), part.n_padded),
@@ -215,7 +236,7 @@ def _static_key(part: Partition):
 @lru_cache(maxsize=64)
 def _cached_solver(mesh, part_key, tol, atol, maxiter, precond_kind,
                    blocksize, poly_steps, track_history, method, has_x0,
-                   lam_min, lam_max):
+                   lam_min, lam_max, nsweeps=1, blocks_key=None):
     """Build-and-jit the shard_map solver once per static configuration.
 
     A fresh closure per call would key ``jax.jit`` on function identity and
@@ -232,12 +253,18 @@ def _cached_solver(mesh, part_key, tol, atol, maxiter, precond_kind,
     # trailing dims unsharded) — equivalent to operator_specs(part).
     op_specs = P(AXIS)
 
-    def local_solve(a_loc: Partition, b_loc, *x0_loc):
+    has_blocks = precond_kind == "ic0_sweep"
+
+    def local_solve(a_loc: Partition, b_loc, *rest):
+        rest = list(rest)
+        ic0_blocks = rest.pop(0) if has_blocks else None
         mv = partial(local_matvec, a_loc, axis_name=AXIS)
         precond = _make_local_precond(a_loc, precond_kind, mv,
                                       blocksize=blocksize,
-                                      poly_steps=poly_steps)
-        x0l = x0_loc[0] if x0_loc else None
+                                      poly_steps=poly_steps,
+                                      ic0_blocks=ic0_blocks,
+                                      nsweeps=nsweeps)
+        x0l = rest[0] if rest else None
         if method == "single_reduction":
             from cgx.solve.cg import cg_solve_single_reduction
             return cg_solve_single_reduction(
@@ -260,7 +287,8 @@ def _cached_solver(mesh, part_key, tol, atol, maxiter, precond_kind,
                         preconditioner=precond, axis_name=AXIS,
                         track_history=track_history)
 
-    in_specs = (op_specs, vec) + ((vec,) if has_x0 else ())
+    in_specs = ((op_specs, vec) + ((P(AXIS),) if has_blocks else ())
+                + ((vec,) if has_x0 else ()))
     return jax.jit(jax.shard_map(local_solve, mesh=mesh,
                                  in_specs=in_specs, out_specs=out_specs))
 

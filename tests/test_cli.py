@@ -193,3 +193,21 @@ def test_solve_distributed_fused_stencil(capsys):
          "--dtype", "f32", "--devices", "8", "--tol", "1e-5"], capsys)
     assert code == 0
     assert "converged=True" in err
+
+
+def test_solve_distributed_ic0_sweep(capsys):
+    """--devices>1 --precond ic0-sweep routes the Schwarz block-IC(0)."""
+    code, out, err = run_cli(
+        ["solve", "--poisson", "16x16", "--format", "dia", "--dtype", "f64",
+         "--precond", "ic0-sweep", "--sweeps", "2", "--devices", "8",
+         "--tol", "1e-8"], capsys)
+    assert code == 0
+    assert "converged=True" in err
+
+
+def test_solve_ic0_sweep_single_device(capsys):
+    code, out, err = run_cli(
+        ["solve", "--poisson", "12x12", "--dtype", "f64",
+         "--precond", "ic0-sweep", "--tol", "1e-8"], capsys)
+    assert code == 0
+    assert "converged=True" in err
