@@ -12,7 +12,7 @@ from cgx.sparse.types import (BSRMatrix, COOMatrix, CSRMatrix, DIAMatrix,
                               csr_from_scipy, dia_from_csr, ell_from_csr)
 from cgx.ops.spmv import spmv, spmm
 from cgx.ops import blas
-from cgx.solve.cg import (CGResult, cg_solve,
+from cgx.solve.cg import (CGResult, cg_solve, cg_solve_pipelined,
                           cg_solve_single_reduction)
 from cgx.solve.precond import (BlockJacobiPrecond, JacobiPrecond,
                                PolynomialPrecond)
@@ -30,7 +30,8 @@ __all__ = [
     "BSRMatrix", "COOMatrix", "CSRMatrix", "DIAMatrix", "ELLMatrix",
     "bsr_from_csr", "coo_from_scipy", "csr_from_scipy", "dia_from_csr",
     "ell_from_csr", "spmv", "spmm", "blas", "CGResult", "cg_solve",
-    "cg_solve_single_reduction", "cg_solve_multi", "block_cg_solve",
+    "cg_solve_single_reduction", "cg_solve_pipelined", "cg_solve_multi",
+    "block_cg_solve",
     "cg_solve_padded",
     "auto_solve", "select_backend", "cg_solve_checkpointed",
     "chebyshev_solve", "estimate_bounds", "ir_cg_solve", "ir_supported",

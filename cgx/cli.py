@@ -333,8 +333,8 @@ def main(argv=None) -> int:
     ps.add_argument("--devices", type=int, default=1,
                     help="row-shard the solve over N devices")
     ps.add_argument("--method", default="auto",
-                    choices=["auto", "cg", "single_reduction", "fused",
-                             "chebyshev"],
+                    choices=["auto", "cg", "single_reduction", "pipelined",
+                             "fused", "chebyshev"],
                     help="distributed solver method (with --devices>1)")
     ps.add_argument("--legacy-compat", action="store_true",
                     help="reference semantics: fixed iters, \\t%%f dump")

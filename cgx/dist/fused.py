@@ -70,10 +70,13 @@ def dist_fused_cg(
     jacobi: bool = False,
     track_history: bool = False,
     interpret: Optional[bool] = None,
+    plane_dtype=None,
 ) -> CGResult:
     """Row-sharded fused CG over ``mesh``; semantics of
     :func:`cgx.solve.cg.cg_solve` (``jacobi=True`` = Jacobi PCG, DIA
-    operators only).
+    operators only).  ``plane_dtype``: stream DIA coefficient planes in
+    this dtype (bf16) while vectors keep ``b.dtype`` — see
+    :func:`cgx.kernels.fused_dia_cg.fused_dia_cg`.
 
     ``b``/``x0`` are global vectors (host or device); the returned
     :class:`CGResult` carries the global solution.
@@ -118,7 +121,8 @@ def dist_fused_cg(
     f = _cached_dia_solver(mesh, geom, coeffs, b.dtype.name, float(tol),
                            float(atol), int(maxiter), bool(track_history),
                            x0 is not None, e is not None, bool(interpret),
-                           sym)
+                           sym, None if plane_dtype is None
+                           else jnp.dtype(plane_dtype).name)
     mat = NamedSharding(mesh, P(None, AXIS))
     args = [jax.device_put(planes, mat), jax.device_put(b, vec)]
     if e is not None:
@@ -308,10 +312,13 @@ def _cached_stencil_solver(mesh, s, dtype_name, tol, atol, maxiter, track,
 
 @lru_cache(maxsize=64)
 def _cached_dia_solver(mesh, geom, coeffs, dtype_name, tol, atol, maxiter,
-                       track, has_x0, scaled, interpret, sym=False):
+                       track, has_x0, scaled, interpret, sym=False,
+                       plane_dtype_name=None):
     import dataclasses as _dc
 
     dtype = jnp.dtype(dtype_name)
+    plane_dtype = (None if plane_dtype_name is None
+                   else jnp.dtype(plane_dtype_name))
 
     def local(planes_loc, b_loc, *rest):
         rest = list(rest)
@@ -323,7 +330,7 @@ def _cached_dia_solver(mesh, geom, coeffs, dtype_name, tol, atol, maxiter,
         x0_loc = rest.pop(0) if rest else None
         eng = FusedCG(geom, dtype=dtype, coeffs=coeffs, planes=planes_loc,
                       weight=w_loc, axis_name=AXIS, interpret=interpret,
-                      sym=sym)
+                      sym=sym, plane_dtype=plane_dtype)
         if e_loc is not None:
             b_s = e_loc * b_loc
             if x0_loc is not None:

@@ -185,10 +185,13 @@ def dist_cg_solve(
 
     ``method``: ``"cg"`` (2 psums/iter), ``"single_reduction"``
     (Chronopoulos–Gear, 1 fused psum/iter — halves cross-chip latency on
-    large meshes; no history tracking), or ``"chebyshev"`` (ZERO reductions
-    per iteration given eigenvalue bounds ``lam_min``/``lam_max`` of
-    ``M⁻¹A`` — estimated by distributed power iteration when omitted; the
-    latency-optimal method on large meshes).
+    large meshes; no history tracking), ``"pipelined"`` (Ghysels–Vanroose,
+    1 psum/iter that additionally OVERLAPS the local SpMV — reduction
+    latency off the critical path, at 3 extra carried vectors), or
+    ``"chebyshev"`` (ZERO reductions per iteration given eigenvalue
+    bounds ``lam_min``/``lam_max`` of ``M⁻¹A`` — estimated by distributed
+    power iteration when omitted; the latency-optimal method on large
+    meshes).
     """
     if maxiter is None:
         maxiter = part.n
@@ -268,6 +271,11 @@ def _cached_solver(mesh, part_key, tol, atol, maxiter, precond_kind,
         if method == "single_reduction":
             from cgx.solve.cg import cg_solve_single_reduction
             return cg_solve_single_reduction(
+                mv, b_loc, x0l, tol=tol, atol=atol, maxiter=maxiter,
+                preconditioner=precond, axis_name=AXIS)
+        if method == "pipelined":
+            from cgx.solve.cg import cg_solve_pipelined
+            return cg_solve_pipelined(
                 mv, b_loc, x0l, tol=tol, atol=atol, maxiter=maxiter,
                 preconditioner=precond, axis_name=AXIS)
         if method == "chebyshev":

@@ -297,7 +297,8 @@ def dia_prep(d, dtype, *, jacobi: bool = True, inv_diag=None,
 
 def build_fused_dia(d, dtype, *, jacobi: bool = True, inv_diag=None,
                     n_shards: int = 1, axis_name: Optional[str] = None,
-                    interpret: bool = False, allow_sym: bool = True):
+                    interpret: bool = False, allow_sym: bool = True,
+                    plane_dtype=None):
     """``(engine, e, planes)`` for a 7-point DIA operator (see
     :func:`dia_prep` for the scaling/symmetry semantics).  The returned
     ``planes`` are the *global* scaled planes — shard them (and ``e``)
@@ -307,6 +308,9 @@ def build_fused_dia(d, dtype, *, jacobi: bool = True, inv_diag=None,
     (3 windows instead of 6 pipelined blocks — ~2.5 fewer passes/iter and
     half the plane HBM); ``allow_sym=False`` opts out (the band-stacked
     multi-RHS engine predates sym support).
+
+    ``plane_dtype``: stream coefficient planes in this dtype (bf16) while
+    vectors stay ``dtype`` — see :class:`~cgx.kernels.fused_engine.FusedCG`.
     """
     nx, ny, nz, taps, coeffs, planes, e, weight, sym = dia_prep(
         d, dtype, jacobi=jacobi, inv_diag=inv_diag, allow_sym=allow_sym)
@@ -327,7 +331,8 @@ def build_fused_dia(d, dtype, *, jacobi: bool = True, inv_diag=None,
     if n_shards == 1:
         eng = FusedCG(geom, dtype=dtype, coeffs=coeffs, planes=planes,
                       weight=weight, axis_name=axis_name,
-                      interpret=interpret, sym=sym)
+                      interpret=interpret, sym=sym,
+                      plane_dtype=plane_dtype)
         return eng, e, planes
     return geom, e, planes, weight, coeffs, sym   # dist builds per-shard
 
@@ -336,7 +341,8 @@ def fused_dia_cg(d, b: jnp.ndarray, x0=None, *, tol: float = 1e-6,
                  atol: float = 0.0, maxiter: int = 1000,
                  jacobi: bool = True, inv_diag=None,
                  track_history: bool = False,
-                 interpret: bool = False) -> CGResult:
+                 interpret: bool = False,
+                 plane_dtype=None) -> CGResult:
     """Jacobi-PCG (or plain CG with ``jacobi=False``) on a 7-point DIA
     operator, fused Pallas passes.  Matches ``cg_solve(d, b,
     preconditioner=JacobiPrecond.from_matrix(d))`` to fp32 roundoff.
@@ -344,6 +350,13 @@ def fused_dia_cg(d, b: jnp.ndarray, x0=None, *, tol: float = 1e-6,
     ``inv_diag``: explicit diagonal preconditioner values (overrides the
     operator-derived ``1/diag(A)``) — lets a caller-supplied
     :class:`~cgx.solve.precond.JacobiPrecond` keep its exact trajectory.
+
+    ``plane_dtype=jnp.bfloat16`` streams the coefficient planes in bf16
+    (vectors stay ``b.dtype``): the recurrence converges normally but to
+    the solution of the bf16-rounded operator (true-system residual
+    plateaus near the ~4e-3 coefficient rounding) — use
+    :func:`cgx.solve.ir.ir_cg_solve` with ``inner_plane_dtype`` for full
+    accuracy.
     """
     # The lane layout drops contributions at x-plane-crossing slots (see
     # wrap_entries_zero).  Verify when the data is concrete; under jit the
@@ -357,7 +370,8 @@ def fused_dia_cg(d, b: jnp.ndarray, x0=None, *, tol: float = 1e-6,
 
     dtype = b.dtype
     eng, e, _ = build_fused_dia(d, dtype, jacobi=jacobi, inv_diag=inv_diag,
-                                interpret=interpret)
+                                interpret=interpret,
+                                plane_dtype=plane_dtype)
     if e is None:
         res = eng.solve(b, x0, tol=tol, atol=atol, maxiter=maxiter,
                         track_history=track_history)

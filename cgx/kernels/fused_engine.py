@@ -299,19 +299,22 @@ def _kernel_a(*refs, g: Geometry, coeffs, variable: bool, sym: bool = False):
             # so ONE windowed plane yields both taps — the +off term reads
             # the plane at the output position, the -off (mirror) term
             # reads plane AND p at the (-dx, -dl)-shifted position.
+            # Planes may stream in a narrower dtype (bf16 plane_dtype):
+            # upcast in-register before the multiply so products keep the
+            # vector dtype's mantissa.
             wp = pw[pi]
             pi += 1
-            term = wp[1:1 + nxl, g.sl:g.sl + g.bl_a] * s
+            term = (wp[1:1 + nxl, g.sl:g.sl + g.bl_a].astype(w.dtype) * s)
             if (dx, dy, dk) != (0, 0, 0):
                 term = term + (
                     wp[1 - dx:1 - dx + nxl,
-                       g.sl - dl:g.sl - dl + g.bl_a]
+                       g.sl - dl:g.sl - dl + g.bl_a].astype(w.dtype)
                     * w[1 - dx:1 - dx + nxl,
                         g.sl - dl:g.sl - dl + g.bl_a])
         elif coeffs[t] is None:
             # Coefficient plane at the OUTPUT rows (row-aligned DIA
             # convention); boundary zeros are encoded in the data.
-            term = planes_ref[pi, 1:1 + nxl, :] * s
+            term = planes_ref[pi, 1:1 + nxl, :].astype(w.dtype) * s
             pi += 1
         else:
             term = coeffs[t] * s
@@ -438,6 +441,10 @@ class FusedCG:
         as halo windows (build the geometry with
         ``a_window_streams = 1 + n_planes``).  Caller must verify the
         operator data really is symmetric.
+      plane_dtype: stream the coefficient planes in this dtype while the
+        vectors keep ``dtype`` (bf16 planes + fp32 vectors halves the
+        dominant stream on wide-tap DIA).  The rounding is a one-time
+        fixed SPD perturbation of the operator — see the inline note.
     """
 
     def __init__(self, geom: Geometry, *, dtype,
@@ -446,7 +453,8 @@ class FusedCG:
                  weight: Optional[jnp.ndarray] = None,
                  axis_name: Optional[str] = None,
                  interpret: bool = False,
-                 sym: bool = False):
+                 sym: bool = False,
+                 plane_dtype=None):
         from jax.experimental import pallas as pl
         from jax.experimental.pallas import tpu as pltpu
 
@@ -466,13 +474,22 @@ class FusedCG:
         n_planes = sum(1 for c in coeffs if c is None)
         variable = n_planes > 0
         self.sym = sym = bool(sym and variable)
+        # Planes may stream narrower than the vectors (plane_dtype=bf16
+        # with fp32 vectors): the operator data is rounded ONCE at setup —
+        # a fixed SPD perturbation (~4e-3 relative), so CG conjugacy is
+        # untouched and the recurrence converges normally, just to the
+        # perturbed system's solution.  Wrap in ir_cg_solve for true-system
+        # accuracy; the win is plane HBM traffic halved (dominant on
+        # wide-tap DIA operators where planes outnumber vector streams).
+        p_dtype = dtype if plane_dtype is None else jnp.dtype(plane_dtype)
+        self.plane_dtype = p_dtype
         if variable:
             if planes is None or planes.shape[0] != n_planes:
                 raise ValueError(f"need {n_planes} coefficient planes for "
                                  f"the None tap slots, got "
                                  f"{None if planes is None else planes.shape}")
             planes_l = jnp.stack(
-                [to_layout(g, planes[t].astype(dtype))
+                [to_layout(g, planes[t].astype(p_dtype))
                  for t in range(n_planes)])
             if sym and axis_name is not None:
                 # Mirror taps read the plane one row shifted: fill the
@@ -531,13 +548,15 @@ class FusedCG:
             a_scratch = [pltpu.VMEM((2, g.rows8, win), dtype),
                          pltpu.SemaphoreType.DMA((2,))]
             if sym:
-                a_scratch += [pltpu.VMEM((2, n_planes, g.rows8, win), dtype),
+                a_scratch += [pltpu.VMEM((2, n_planes, g.rows8, win),
+                                         p_dtype),
                               pltpu.SemaphoreType.DMA((2,))]
         else:
             a_scratch = [pltpu.VMEM((g.rows8, win), dtype),
                          pltpu.SemaphoreType.DMA(())]
             if sym:
-                a_scratch += [pltpu.VMEM((n_planes, g.rows8, win), dtype),
+                a_scratch += [pltpu.VMEM((n_planes, g.rows8, win),
+                                         p_dtype),
                               pltpu.SemaphoreType.DMA(())]
 
         a_params = {}

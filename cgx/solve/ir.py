@@ -51,6 +51,7 @@ def ir_cg_solve(a, b: jnp.ndarray, x0=None, *, tol: float = 1e-6,
                 inner_maxiter: Optional[int] = None,
                 max_outer: int = 40,
                 inner_dtype=jnp.bfloat16,
+                inner_plane_dtype=None,
                 preconditioner=None,
                 interpret: bool = False) -> CGResult:
     """CG via mixed-precision iterative refinement.
@@ -75,6 +76,14 @@ def ir_cg_solve(a, b: jnp.ndarray, x0=None, *, tol: float = 1e-6,
         scaling); stencil operators take ``None`` only.
       inner_dtype: inner vector dtype (bf16 default; fp32 turns this into
         plain restarted CG — useful for A/B measurement).
+      inner_plane_dtype: coefficient-plane dtype for the inner DIA engine
+        (vectors keep ``inner_dtype``).  ``inner_dtype=jnp.float32,
+        inner_plane_dtype=jnp.bfloat16`` is the "bf16 operator, fp32
+        vectors" mode: no per-iteration vector rounding (inner iteration
+        counts match fp32) while the dominant plane streams halve — the
+        per-cycle contraction floor is the ~4e-3 coefficient rounding, so
+        keep ``inner_tol`` at or above that.  Ignored for stencil
+        (constant-coefficient) operators, which stream no planes.
     """
     from cgx.kernels import fused_cg
     from cgx.kernels.fused_dia_cg import build_fused_dia
@@ -101,7 +110,7 @@ def ir_cg_solve(a, b: jnp.ndarray, x0=None, *, tol: float = 1e-6,
         eng, e, _ = build_fused_dia(
             a, inner_dtype, jacobi=jac,
             inv_diag=preconditioner.inv_diag if jac else None,
-            interpret=interpret)
+            interpret=interpret, plane_dtype=inner_plane_dtype)
         eng32, e32f, _ = build_fused_dia(
             a, jnp.float32, jacobi=jac,
             inv_diag=preconditioner.inv_diag if jac else None,

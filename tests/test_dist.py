@@ -579,3 +579,22 @@ def test_dist_ic0_sweep_ell_and_padding(rng):
     ref = cg_solve(a_csr, b, tol=1e-10, maxiter=600)
     np.testing.assert_allclose(np.asarray(res.x)[:n], np.asarray(ref.x),
                                rtol=1e-7, atol=1e-9)
+
+
+def test_dist_fused_bf16_planes(rng):
+    """bf16 coefficient planes through the distributed fused DIA engine:
+    recurrence converges; solution close to the fp32-plane result."""
+    from cgx.dist.fused import dist_fused_cg
+    a = poisson3d_dia(16, 6, 5, dtype=np.float32)
+    import dataclasses
+    n = a.shape[0]
+    scale = jnp.asarray(1.0 + 0.3 * rng.random(n), jnp.float32)
+    a = dataclasses.replace(a, data=a.data.at[3].mul(scale))
+    b = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    res16 = dist_fused_cg(a, b, MESH, tol=1e-5, maxiter=600, jacobi=True,
+                          plane_dtype=jnp.bfloat16)
+    res32 = dist_fused_cg(a, b, MESH, tol=1e-5, maxiter=600, jacobi=True)
+    assert bool(res16.converged) and bool(res32.converged)
+    err = (np.linalg.norm(np.asarray(res16.x) - np.asarray(res32.x))
+           / np.linalg.norm(np.asarray(res32.x)))
+    assert err < 3e-2

@@ -113,3 +113,55 @@ def test_bf16_plain_fused_stalls_where_ir_does_not():
 
     ir = ir_cg_solve(s, b, tol=1e-6, maxiter=3000, interpret=True)
     assert bool(ir.converged)
+
+
+def _variable_dia(seed=5, dims=(10, 9, 8)):
+    import dataclasses
+    d = poisson3d_dia(*dims, dtype=np.float32)
+    n = d.shape[0]
+    rng = np.random.default_rng(seed)
+    scale = jnp.asarray(1.0 + 0.3 * rng.random(n), jnp.float32)
+    return dataclasses.replace(d, data=d.data.at[3].mul(scale)), n
+
+
+def test_bf16_planes_converge_to_perturbed_operator():
+    """plane_dtype=bf16: fp32 vectors, bf16 coefficient planes.  The
+    recurrence converges (fixed SPD perturbation, conjugacy intact) but
+    the TRUE residual plateaus near the ~4e-3 coefficient rounding."""
+    from cgx.kernels.fused_dia_cg import fused_dia_cg
+
+    d, n = _variable_dia()
+    b = jnp.asarray(np.random.default_rng(7).standard_normal(n),
+                    jnp.float32)
+    res = fused_dia_cg(d, b, tol=1e-6, maxiter=3000, interpret=True,
+                       plane_dtype=jnp.bfloat16)
+    assert bool(res.converged)          # recurrence residual reaches tol
+    ref = cgx.cg_solve(d, b, tol=1e-10, maxiter=3000,
+                       preconditioner=cgx.JacobiPrecond(
+                           inv_diag=1.0 / d.data[3]))
+    # solution of the perturbed system: close, not fp32-close
+    err = (np.linalg.norm(np.asarray(res.x) - np.asarray(ref.x))
+           / np.linalg.norm(np.asarray(ref.x)))
+    assert err < 3e-2
+    r_true = np.asarray(b) - np.asarray(cgx.spmv(d, res.x))
+    rel = np.linalg.norm(r_true) / np.linalg.norm(np.asarray(b))
+    assert 1e-6 < rel < 5e-2            # plateaued above tol, bounded
+
+
+def test_ir_bf16_planes_full_accuracy():
+    """inner fp32 vectors + bf16 planes under iterative refinement: true
+    1e-6 accuracy with inner iteration counts near a direct fp32 solve
+    (no per-iteration vector rounding)."""
+    d, n = _variable_dia(seed=11)
+    b = jnp.asarray(np.random.default_rng(13).standard_normal(n),
+                    jnp.float32)
+    m = cgx.JacobiPrecond(inv_diag=1.0 / d.data[3])
+    res = ir_cg_solve(d, b, tol=1e-6, maxiter=4000, preconditioner=m,
+                      inner_dtype=jnp.float32,
+                      inner_plane_dtype=jnp.bfloat16,
+                      inner_tol=5e-3, interpret=True)
+    assert bool(res.converged)
+    r = np.asarray(b) - np.asarray(cgx.spmv(d, res.x))
+    assert np.linalg.norm(r) <= 1.1e-6 * np.linalg.norm(np.asarray(b))
+    direct = cgx.cg_solve(d, b, tol=1e-6, maxiter=4000, preconditioner=m)
+    assert int(res.iterations) <= int(1.5 * int(direct.iterations)) + 10
