@@ -125,6 +125,17 @@ def auto_solve(
             and backend in ("fused_stencil", "fused_dia",
                             "resident_stencil", "resident_dia"):
         from cgx.solve.ir import ir_cg_solve
+        # Wide-tap DIA (planes dominate the streams): bf16 PLANES with
+        # fp32 vectors is the measured winner (2.8-6x at 27-point 128³,
+        # PERF_NOTES 2h — no vector-rounding iteration inflation).
+        # Narrow-band/stencil: bf16 vectors (2e) remain the only lever.
+        from cgx.sparse.types import DIAMatrix
+        if isinstance(a, DIAMatrix) and len(a.offsets) > 7:
+            return ir_cg_solve(a, b, x0, tol=tol, atol=atol, maxiter=mi,
+                               inner_dtype=jnp.float32,
+                               inner_plane_dtype=jnp.bfloat16,
+                               inner_tol=5e-3,
+                               preconditioner=preconditioner)
         return ir_cg_solve(a, b, x0, tol=tol, atol=atol, maxiter=mi,
                            preconditioner=preconditioner)
     if backend.startswith("resident") and track_history:
