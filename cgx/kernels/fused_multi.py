@@ -157,15 +157,18 @@ def _kernel_a_multi(*refs, g: Geometry, coeffs, variable: bool, k: int,
                 # position, the mirror at the (-dx, -dl)-shifted one.
                 wp = pw[pi]
                 pi += 1
-                term = wp[1:1 + nxl, g.sl:g.sl + g.bl_a] * s
+                # Planes may stream narrower (plane_dtype=bf16): upcast
+                # in-register so products keep the vector mantissa.
+                term = (wp[1:1 + nxl, g.sl:g.sl + g.bl_a]
+                        .astype(w.dtype) * s)
                 if (dx, dy, dk) != (0, 0, 0):
                     term = term + (
                         wp[1 - dx:1 - dx + nxl,
-                           g.sl - dl:g.sl - dl + g.bl_a]
+                           g.sl - dl:g.sl - dl + g.bl_a].astype(w.dtype)
                         * w[1 - dx:1 - dx + nxl,
                             g.sl - dl:g.sl - dl + g.bl_a])
             elif coeffs[tt] is None:
-                term = planes_ref[pi, 1:1 + nxl, :] * s
+                term = planes_ref[pi, 1:1 + nxl, :].astype(s.dtype) * s
                 pi += 1
             else:
                 term = coeffs[tt] * s
@@ -268,7 +271,8 @@ def _exchange_multi(g: Geometry, k: int, axis_name, a):
 
 def _solve_multi(geom: Geometry, coeffs, planes, weight, b2, x0_2, *,
                  tol, atol, maxiter, interpret, dtype,
-                 sym: bool = False, axis_name=None) -> CGResult:
+                 sym: bool = False, axis_name=None,
+                 plane_dtype=None) -> CGResult:
     """Core batched driver; ``b2``/``x0_2`` are (k, n_local).  Under
     ``shard_map`` pass ``axis_name`` and per-shard arrays (the geometry
     built with ``n_shards``): halos ride :func:`_exchange_multi` and the
@@ -284,8 +288,9 @@ def _solve_multi(geom: Geometry, coeffs, planes, weight, b2, x0_2, *,
     n_planes = sum(1 for c in coeffs if c is None)
     variable = n_planes > 0
     sym = bool(sym and variable)
+    p_dtype = dtype if plane_dtype is None else jnp.dtype(plane_dtype)
     if variable:
-        planes_l = jnp.stack([to_layout(g, planes[t].astype(dtype))
+        planes_l = jnp.stack([to_layout(g, planes[t].astype(p_dtype))
                               for t in range(n_planes)])
         if sym and axis_name is not None:
             # Mirror taps read the planes one row shifted: fill the plane
@@ -350,17 +355,19 @@ def _solve_multi(geom: Geometry, coeffs, planes, weight, b2, x0_2, *,
     a_scratch = [pltpu.VMEM((n_slots, rows_g, win), dtype),
                  pltpu.SemaphoreType.DMA((n_slots,))]
     if sym:
-        a_scratch += [pltpu.VMEM((n_slots, n_planes, g.rows8, win), dtype),
+        a_scratch += [pltpu.VMEM((n_slots, n_planes, g.rows8, win),
+                                 p_dtype),
                       pltpu.SemaphoreType.DMA((n_slots,))]
     # Scoped-VMEM limits from the ACTUAL scratch/block shapes (the
     # geometry's model doesn't know about band tiling): manual window
     # scratch + pipelined in/out blocks + compute temporaries.
     itm = jnp.dtype(dtype).itemsize
+    p_itm = jnp.dtype(p_dtype).itemsize
     a_usage = itm * n_slots * rows_g * win
     if sym:
-        a_usage += itm * n_slots * n_planes * g.rows8 * win
+        a_usage += p_itm * n_slots * n_planes * g.rows8 * win
     else:
-        a_usage += itm * 2 * n_planes * g.rows8 * g.bl_a
+        a_usage += p_itm * 2 * n_planes * g.rows8 * g.bl_a
     a_usage += itm * 6 * rows_g * g.bl_a       # q out + temporaries
     a_params = {}
     if not interpret and (a_usage > (14 << 20) or g.a_vmem_limit):
@@ -485,8 +492,14 @@ def fused_stencil_cg_multi(s, b: jnp.ndarray, x0=None, *, tol: float = 1e-6,
 def fused_dia_cg_multi(d, b: jnp.ndarray, x0=None, *, tol: float = 1e-6,
                        atol: float = 0.0, maxiter: int = 1000,
                        jacobi: bool = True, inv_diag=None,
-                       interpret: Optional[bool] = None) -> CGResult:
-    """Batched fused Jacobi-PCG on a banded DIA operator; ``b``: (n, k)."""
+                       interpret: Optional[bool] = None,
+                       plane_dtype=None) -> CGResult:
+    """Batched fused Jacobi-PCG on a banded DIA operator; ``b``: (n, k).
+
+    ``plane_dtype=bfloat16`` streams the shared coefficient planes in
+    bf16 (vectors stay ``b.dtype``) — converges to the bf16-rounded
+    operator's solution; see :func:`cgx.kernels.fused_dia_cg.fused_dia_cg`.
+    """
     from cgx.kernels.fused_dia_cg import (dia_prep,
                                           wrap_entries_zero_or_none)
 
@@ -516,7 +529,8 @@ def fused_dia_cg_multi(d, b: jnp.ndarray, x0=None, *, tol: float = 1e-6,
             x0_2 = x0_2 * inv_e[None]
     res = _solve_multi(geom, coeffs, planes, weight, b2, x0_2,
                        tol=tol, atol=atol, maxiter=int(maxiter),
-                       interpret=interpret, dtype=dtype, sym=sym)
+                       interpret=interpret, dtype=dtype, sym=sym,
+                       plane_dtype=plane_dtype)
     if e is not None:
         res = dataclasses.replace(res, x=res.x * e[:, None])
     return res

@@ -690,3 +690,26 @@ def test_cg_solve_multi_fused_backend(rng):
     assert bool(jnp.all(res.converged))
     np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
                                rtol=5e-3, atol=5e-4)
+
+
+def test_fused_multi_rhs_bf16_planes(rng):
+    """Multi-RHS engine with bf16 coefficient planes: converges to the
+    perturbed operator's solutions, close to the fp32-plane results."""
+    import cgx
+    import dataclasses
+    from cgx.kernels.fused_multi import fused_dia_cg_multi
+    from cgx.io.poisson import poisson3d_dia
+
+    d = poisson3d_dia(10, 9, 8, dtype=np.float32)
+    n = d.shape[0]
+    scale = jnp.asarray(1.0 + 0.3 * rng.random(n), jnp.float32)
+    d = dataclasses.replace(d, data=d.data.at[3].mul(scale))
+    k = 4
+    b = jnp.asarray(rng.standard_normal((n, k)), jnp.float32)
+    r16 = fused_dia_cg_multi(d, b, tol=1e-5, maxiter=800, interpret=True,
+                             plane_dtype=jnp.bfloat16)
+    r32 = fused_dia_cg_multi(d, b, tol=1e-5, maxiter=800, interpret=True)
+    assert bool(jnp.all(r16.converged)) and bool(jnp.all(r32.converged))
+    err = (np.linalg.norm(np.asarray(r16.x) - np.asarray(r32.x))
+           / np.linalg.norm(np.asarray(r32.x)))
+    assert err < 3e-2
