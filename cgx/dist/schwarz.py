@@ -109,7 +109,7 @@ def ic0_sweep_blocks(part: Partition) -> IC0SweepBlocks:
     """
     import scipy.sparse as sp
 
-    from cgx.solve.ic0 import ic0_factor
+    from cgx.solve.ic0 import ic0_factor_shifted
 
     rl = part.rows_local
     dtype = np.asarray(
@@ -127,7 +127,7 @@ def ic0_sweep_blocks(part: Partition) -> IC0SweepBlocks:
             a_s = a_s + sp.csr_matrix(
                 (np.ones(len(fix)), (fix, fix)), shape=(rl, rl))
         a_s.sort_indices()
-        lv, lc, lp = ic0_factor(SimpleNamespace(
+        lv, lc, lp, _shift = ic0_factor_shifted(SimpleNamespace(
             values=a_s.data, col_indices=a_s.indices, indptr=a_s.indptr,
             shape=(rl, rl)))
         ell = sp.csr_matrix((lv, lc, lp), shape=(rl, rl))

@@ -29,7 +29,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["ic0_factor", "IC0Precond", "IC0SweepPrecond"]
+__all__ = ["ic0_factor", "ic0_factor_shifted", "IC0Precond",
+           "IC0SweepPrecond"]
 
 
 def _tril_pattern(a):
@@ -106,6 +107,45 @@ def ic0_factor(a, use_native: bool = True
                 vi[t] = np.sqrt(acc)
 
     return l_vals, l_cols, l_indptr
+
+
+def ic0_factor_shifted(a, use_native: bool = True,
+                       shifts=(0.0, 1e-3, 1e-2, 1e-1, 1.0)):
+    """IC(0) with Manteuffel-style diagonal-shifted retries.
+
+    IC(0) can break down (non-positive pivot) on SPD matrices that are
+    not H-matrices.  The standard remedy: factor ``A + α·diag(A)``
+    instead — still SPD, still the same sparsity pattern, and for the
+    smallest α that succeeds the factor remains an effective
+    preconditioner for ``A``.  Tries ``shifts`` in order (``0.0`` first,
+    so well-behaved matrices keep the exact reference factor) and
+    returns ``(l_values, l_cols, l_indptr, alpha)``.
+
+    Raises ``numpy.linalg.LinAlgError`` only if every shift fails.
+    """
+    from types import SimpleNamespace
+
+    vals = np.asarray(a.values, dtype=np.float64)
+    cols = np.asarray(a.col_indices).astype(np.int64)
+    indptr = np.asarray(a.indptr).astype(np.int64)
+    n = a.shape[0]
+    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+    on_diag = cols == rows
+    last_err = None
+    for alpha in shifts:
+        v = vals if alpha == 0.0 else np.where(
+            on_diag, vals * (1.0 + alpha), vals)
+        try:
+            lv, lc, lp = ic0_factor(
+                SimpleNamespace(values=v, col_indices=cols, indptr=indptr,
+                                shape=a.shape),
+                use_native=use_native)
+            return lv, lc, lp, float(alpha)
+        except np.linalg.LinAlgError as exc:
+            last_err = exc
+    raise np.linalg.LinAlgError(
+        f"IC(0) breakdown persists through diagonal shifts {shifts}: "
+        f"{last_err}")
 
 
 def _level_schedule(cols: np.ndarray, indptr: np.ndarray, n: int,
@@ -276,7 +316,7 @@ class IC0Precond:
         elif ordering != "natural":
             raise ValueError(f"unknown ordering {ordering!r}")
 
-        lv, lc, lp = ic0_factor(a)
+        lv, lc, lp, _shift = ic0_factor_shifted(a)
         dtype = dtype or np.asarray(a.values).dtype
         diag = lv[lp[1:] - 1]                   # row-sorted: diag is last
 
@@ -368,7 +408,7 @@ class IC0SweepPrecond:
 
         from cgx.sparse.types import csr_from_scipy, dia_from_csr
 
-        lv, lc, lp = ic0_factor(a)
+        lv, lc, lp, _shift = ic0_factor_shifted(a)
         n = a.shape[0]
         dtype = dtype or np.asarray(a.values).dtype
         ell = sp.csr_matrix((lv, lc, lp), shape=(n, n))

@@ -171,3 +171,52 @@ def test_ic0_sweep_rejects_unbanded():
     s = random_spd_csr(128, 0.2)
     with pytest.raises(ValueError, match="banded"):
         IC0SweepPrecond.from_matrix(csr_from_scipy(s))
+
+
+def _kershaw_block_csr(nblocks=8):
+    """Block-diagonal stack of Kershaw's 4x4 SPD matrix — the classic
+    example where IC(0) breaks down (pivot < 0 at row 3) despite SPD-ness."""
+    import scipy.sparse as sp
+    K = np.array([[3., -2, 0, 2], [-2, 3, -2, 0],
+                  [0, -2, 3, -2], [2, 0, -2, 3]])
+    assert np.linalg.eigvalsh(K).min() > 0
+    from cgx.sparse.types import csr_from_scipy
+    m = sp.csr_matrix(sp.block_diag([K] * nblocks))
+    m.eliminate_zeros()                    # keep K's true sparsity pattern
+    return csr_from_scipy(m)
+
+
+def test_ic0_shifted_recovers_kershaw_breakdown():
+    from cgx.solve.ic0 import ic0_factor, ic0_factor_shifted
+    a = _kershaw_block_csr()
+    with pytest.raises(np.linalg.LinAlgError):
+        ic0_factor(a)
+    lv, lc, lp, alpha = ic0_factor_shifted(a)
+    assert alpha > 0                       # a shift was needed
+    assert np.isfinite(lv).all()
+
+
+def test_ic0_precond_survives_breakdown_matrix(rng):
+    """from_matrix auto-shifts on breakdown; PCG still converges and the
+    shifted factor still beats plain CG's iteration count."""
+    import cgx
+    a = _kershaw_block_csr()
+    n = a.shape[0]
+    b = jnp.asarray(rng.standard_normal(n))
+    m = IC0Precond.from_matrix(a)          # would raise without the shift
+    res = cgx.cg_solve(a, b, tol=1e-10, maxiter=500, preconditioner=m)
+    assert bool(res.converged)
+    plain = cgx.cg_solve(a, b, tol=1e-10, maxiter=500)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(plain.x),
+                               rtol=1e-7, atol=1e-9)
+
+
+def test_ic0_sweep_survives_breakdown_matrix(rng):
+    import cgx
+    from cgx.solve.ic0 import IC0SweepPrecond
+    a = _kershaw_block_csr()
+    n = a.shape[0]
+    b = jnp.asarray(rng.standard_normal(n))
+    m = IC0SweepPrecond.from_matrix(a, nsweeps=3)
+    res = cgx.cg_solve(a, b, tol=1e-10, maxiter=500, preconditioner=m)
+    assert bool(res.converged)
