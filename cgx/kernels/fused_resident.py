@@ -90,11 +90,15 @@ def _from_layout(g: ResidentGeometry, a: jnp.ndarray) -> jnp.ndarray:
 
 
 def resident_vmem_bytes(g: ResidentGeometry, n_planes: int,
-                        weighted: bool, itemsize: int = 4) -> int:
+                        weighted: bool, itemsize: int = 4,
+                        plane_itemsize: int = None) -> int:
     """Rough VMEM footprint: x, r, p persistent + q-sized temporaries
-    (~3 for Mosaic's expression evaluation) + planes + weight."""
+    (~3 for Mosaic's expression evaluation) + planes + weight.
+    ``plane_itemsize``: planes may be held narrower (bf16) than the
+    vectors — nearly halves the footprint of wide-tap operators."""
     arr = g.rows8 * g.total * itemsize
-    return (3 + 3 + n_planes + (1 if weighted else 0)) * arr
+    p_arr = g.rows8 * g.total * (plane_itemsize or itemsize)
+    return (3 + 3 + (1 if weighted else 0)) * arr + n_planes * p_arr
 
 
 # VMEM budget for routing (v5e has 128 MB; leave headroom for Mosaic).
@@ -102,8 +106,10 @@ VMEM_BUDGET = 100 << 20
 
 
 def supports_resident(g: ResidentGeometry, n_planes: int,
-                      weighted: bool, itemsize: int = 4) -> bool:
-    return resident_vmem_bytes(g, n_planes, weighted, itemsize) <= VMEM_BUDGET
+                      weighted: bool, itemsize: int = 4,
+                      plane_itemsize: int = None) -> bool:
+    return resident_vmem_bytes(g, n_planes, weighted, itemsize,
+                               plane_itemsize) <= VMEM_BUDGET
 
 
 def _kernel(*refs, g: ResidentGeometry, coeffs, sym: bool,
@@ -137,15 +143,19 @@ def _kernel(*refs, g: ResidentGeometry, coeffs, sym: bool,
             dl = dy * g.nz + dk
             s = full[1 + dx:1 + dx + nxl, sl + dl:sl + dl + lp]
             if coeffs[t] is None and sym:
+                # Planes may be held narrower (plane_dtype=bf16): upcast
+                # in-register so products keep the vector mantissa.
                 wp = planes_ref[pi]
                 pi += 1
-                term = wp[1:1 + nxl, sl:sl + lp] * s
+                term = wp[1:1 + nxl, sl:sl + lp].astype(s.dtype) * s
                 if (dx, dy, dk) != (0, 0, 0):
                     term = term + (
-                        wp[1 - dx:1 - dx + nxl, sl - dl:sl - dl + lp]
+                        wp[1 - dx:1 - dx + nxl,
+                           sl - dl:sl - dl + lp].astype(s.dtype)
                         * full[1 - dx:1 - dx + nxl, sl - dl:sl - dl + lp])
             elif coeffs[t] is None:
-                term = planes_ref[pi, 1:1 + nxl, sl:sl + lp] * s
+                term = (planes_ref[pi, 1:1 + nxl, sl:sl + lp]
+                        .astype(s.dtype) * s)
                 pi += 1
             else:
                 term = coeffs[t] * s
@@ -213,7 +223,7 @@ def _kernel(*refs, g: ResidentGeometry, coeffs, sym: bool,
 
 
 def _build_call(g: ResidentGeometry, coeffs, sym: bool, weighted: bool,
-                dtype, interpret: bool):
+                dtype, interpret: bool, plane_dtype=None):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -230,8 +240,10 @@ def _build_call(g: ResidentGeometry, coeffs, sym: bool, weighted: bool,
     out_shape = (vshape, vshape,
                  jax.ShapeDtypeStruct((1, 1), jnp.int32),
                  jax.ShapeDtypeStruct((1, 2), jnp.float32))
-    vmem_need = resident_vmem_bytes(g, n_planes, weighted,
-                                    jnp.dtype(dtype).itemsize)
+    vmem_need = resident_vmem_bytes(
+        g, n_planes, weighted, jnp.dtype(dtype).itemsize,
+        jnp.dtype(plane_dtype).itemsize if plane_dtype is not None
+        else None)
     params = {} if interpret else dict(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=min(int(vmem_need * 1.6) + (8 << 20),
@@ -255,7 +267,8 @@ def _build_call(g: ResidentGeometry, coeffs, sym: bool, weighted: bool,
 def resident_cg(g: ResidentGeometry, b: jnp.ndarray, x0=None, *,
                 coeffs, planes=None, weight=None,
                 tol: float = 1e-6, atol: float = 0.0, maxiter: int = 1000,
-                sym: bool = False, interpret: bool = False) -> CGResult:
+                sym: bool = False, interpret: bool = False,
+                plane_dtype=None) -> CGResult:
     """Run the whole-solve kernel.  ``b``/``x0``/``weight`` flat (n,);
     ``planes`` (n_planes, n) in tap order for ``None`` coeff slots (the
     caller applies any diagonal scaling — semantics match
@@ -264,9 +277,10 @@ def resident_cg(g: ResidentGeometry, b: jnp.ndarray, x0=None, *,
     b_l = _to_layout(g, b.astype(dtype))
     x0_l = (_to_layout(g, x0.astype(dtype)) if x0 is not None
             else jnp.zeros_like(b_l))
+    p_dtype = dtype if plane_dtype is None else jnp.dtype(plane_dtype)
     extra = []
     if any(c is None for c in coeffs):
-        extra.append(jnp.stack([_to_layout(g, planes[t].astype(dtype))
+        extra.append(jnp.stack([_to_layout(g, planes[t].astype(p_dtype))
                                 for t in range(planes.shape[0])]))
     weighted = weight is not None
     if weighted:
@@ -279,7 +293,8 @@ def resident_cg(g: ResidentGeometry, b: jnp.ndarray, x0=None, *,
     tol_sq = jnp.maximum(jnp.asarray(tol, jnp.float32) ** 2 * bb,
                          jnp.asarray(atol, jnp.float32) ** 2)
 
-    call = _build_call(g, tuple(coeffs), sym, weighted, dtype, interpret)
+    call = _build_call(g, tuple(coeffs), sym, weighted, dtype, interpret,
+                       plane_dtype=plane_dtype)
     x_l, r_l, k, rz = call(tol_sq.reshape(1, 1),
                            jnp.full((1, 1), maxiter, jnp.int32),
                            x0_l, b_l, *extra)
@@ -342,9 +357,13 @@ def resident_stencil_cg(s, b: jnp.ndarray, x0=None, *, tol: float = 1e-6,
 def resident_dia_cg(d, b: jnp.ndarray, x0=None, *, tol: float = 1e-6,
                     atol: float = 0.0, maxiter: int = 1000,
                     jacobi: bool = True, inv_diag=None,
-                    interpret: Optional[bool] = None) -> CGResult:
+                    interpret: Optional[bool] = None,
+                    plane_dtype=None) -> CGResult:
     """Whole-solve resident Jacobi-PCG on a 7-point DIA operator;
-    matches :func:`cgx.kernels.fused_dia_cg.fused_dia_cg` semantics."""
+    matches :func:`cgx.kernels.fused_dia_cg.fused_dia_cg` semantics.
+    ``plane_dtype=bfloat16`` holds the coefficient planes in bf16 —
+    nearly halves the wide-tap VMEM footprint (residency reach), at the
+    usual bf16-rounded-operator caveat (see ``fused_dia_cg``)."""
     import dataclasses
 
     from cgx.kernels.fused_dia_cg import (dia_prep,
@@ -369,7 +388,8 @@ def resident_dia_cg(d, b: jnp.ndarray, x0=None, *, tol: float = 1e-6,
         b_s, x0_s = b, x0
     res = resident_cg(g, b_s, x0_s, coeffs=coeffs, planes=planes,
                       weight=weight, tol=tol, atol=atol,
-                      maxiter=int(maxiter), sym=sym, interpret=interpret)
+                      maxiter=int(maxiter), sym=sym, interpret=interpret,
+                      plane_dtype=plane_dtype)
     if e is not None:
         res = dataclasses.replace(res, x=e * res.x)
     return res

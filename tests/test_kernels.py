@@ -713,3 +713,30 @@ def test_fused_multi_rhs_bf16_planes(rng):
     err = (np.linalg.norm(np.asarray(r16.x) - np.asarray(r32.x))
            / np.linalg.norm(np.asarray(r32.x)))
     assert err < 3e-2
+
+
+def test_resident_bf16_planes(rng):
+    """Whole-solve resident kernel with bf16 planes: converges to the
+    perturbed operator's solution, close to the fp32-plane result, and
+    the VMEM model reflects the narrower planes."""
+    import dataclasses
+    from cgx.kernels.fused_resident import (resident_dia_cg,
+                                            resident_vmem_bytes,
+                                            make_resident_geometry)
+    from cgx.io.poisson import poisson3d_dia
+
+    d = poisson3d_dia(10, 9, 8, dtype=np.float32)
+    n = d.shape[0]
+    scale = jnp.asarray(1.0 + 0.3 * rng.random(n), jnp.float32)
+    d = dataclasses.replace(d, data=d.data.at[3].mul(scale))
+    b = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    r16 = resident_dia_cg(d, b, tol=1e-5, maxiter=800, interpret=True,
+                          plane_dtype=jnp.bfloat16)
+    r32 = resident_dia_cg(d, b, tol=1e-5, maxiter=800, interpret=True)
+    assert bool(r16.converged) and bool(r32.converged)
+    err = (np.linalg.norm(np.asarray(r16.x) - np.asarray(r32.x))
+           / np.linalg.norm(np.asarray(r32.x)))
+    assert err < 3e-2
+    g = make_resident_geometry(10, 9, 8, (((0, 0, 0)), (0, 0, 1)))
+    assert (resident_vmem_bytes(g, 4, True, 4, 2)
+            < resident_vmem_bytes(g, 4, True, 4, 4))
