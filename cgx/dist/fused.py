@@ -258,10 +258,8 @@ def _cached_multi_dia(mesh, geom, coeffs, k, dtype_name, tol, atol,
         if e_loc is not None:
             b2 = b2 * e_loc[None]
             if x0_2 is not None:
-                inv_e = jnp.where(e_loc > 0,
-                                  1.0 / jnp.where(e_loc > 0, e_loc, 1.0),
-                                  0.0)
-                x0_2 = x0_2 * inv_e[None]
+                from cgx.ops.blas import safe_recip
+                x0_2 = x0_2 * safe_recip(e_loc)[None]
         res = _solve_multi(geom, coeffs, planes_loc, w_loc, b2, x0_2,
                            tol=tol, atol=atol, maxiter=maxiter,
                            interpret=interpret, dtype=dtype, sym=sym,
@@ -334,9 +332,8 @@ def _cached_dia_solver(mesh, geom, coeffs, dtype_name, tol, atol, maxiter,
         if e_loc is not None:
             b_s = e_loc * b_loc
             if x0_loc is not None:
-                x0_loc = jnp.where(e_loc > 0,
-                                   x0_loc / jnp.where(e_loc > 0, e_loc, 1.0),
-                                   0.0)
+                from cgx.ops.blas import safe_recip
+                x0_loc = x0_loc * safe_recip(e_loc)
         else:
             b_s = b_loc
         res = eng.solve(b_s, x0_loc, tol=tol, atol=atol, maxiter=maxiter,

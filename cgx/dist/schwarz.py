@@ -112,8 +112,8 @@ def ic0_sweep_blocks(part: Partition) -> IC0SweepBlocks:
     from cgx.solve.ic0 import ic0_factor_shifted
 
     rl = part.rows_local
-    dtype = np.asarray(
-        part.dia_data if part.kind == "dia" else part.ell_values).dtype
+    dtype = np.dtype(
+        (part.dia_data if part.kind == "dia" else part.ell_values).dtype)
 
     factors = []                 # per shard: (d, strict-lower csr)
     low_offsets: set = set()

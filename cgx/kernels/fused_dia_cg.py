@@ -379,7 +379,8 @@ def fused_dia_cg(d, b: jnp.ndarray, x0=None, *, tol: float = 1e-6,
     b_s = e * b
     x0_s = None
     if x0 is not None:
-        x0_s = jnp.where(e > 0, x0 / jnp.where(e > 0, e, 1.0), 0.0)
+        from cgx.ops.blas import safe_recip
+        x0_s = x0 * safe_recip(e)
     res = eng.solve(b_s, x0_s, tol=tol, atol=atol, maxiter=maxiter,
                     track_history=track_history)
     return dataclasses.replace(res, x=e * res.x)

@@ -61,10 +61,6 @@ from cgx.solve.cg import CGResult
 __all__ = ["Geometry", "make_geometry", "FusedCG", "FusedState"]
 
 
-def _r8(v: int) -> int:
-    return -(-v // 8) * 8
-
-
 def _r128(v: int) -> int:
     return -(-v // 128) * 128
 
@@ -708,7 +704,8 @@ class FusedCG:
         r = from_layout(g, st.r)
         p = from_layout(g, st.p)
         if e is not None:
-            inv_e = jnp.where(e > 0, 1.0 / jnp.where(e > 0, e, 1.0), 0.0)
+            from cgx.ops.blas import safe_recip
+            inv_e = safe_recip(e)
             x, r, p = e * x, inv_e * r, e * p
             z = e * from_layout(g, st.r)      # z = M⁻¹ r = e·r̃
         else:
@@ -724,7 +721,8 @@ class FusedCG:
         g = self.geom
         x, r, p = cg.x, cg.r, cg.p
         if e is not None:
-            inv_e = jnp.where(e > 0, 1.0 / jnp.where(e > 0, e, 1.0), 0.0)
+            from cgx.ops.blas import safe_recip
+            inv_e = safe_recip(e)
             x, r, p = inv_e * x, e * r, inv_e * p
         rz = jnp.stack([cg.rz.astype(jnp.float32),
                         cg.rr.astype(jnp.float32)]).reshape(1, 2)

@@ -221,8 +221,19 @@ def _kernel_b_multi(*refs, g: Geometry, weighted: bool, k: int,
         rz = rz_ref[0, band]                   # solve-space ‖r̃_band‖²
         pq = pqqq_ref[0, band]
         qq = pqqq_ref[1, band]
-        alpha32 = rz / pq
-        beta = ((alpha32 * alpha32 * qq - rz) / rz).astype(p_ref.dtype)
+        # Converged-band freeze: the shared loop keeps running until EVERY
+        # band meets its tolerance, and a band whose rz underflows to 0
+        # would otherwise produce 0/0 = NaN (poisoning x and flipping its
+        # converged flag).  alpha = beta = 0 makes the update an identity
+        # (x, r unchanged; p ← r + 0·p keeps future q = A·r ≈ 0 harmless
+        # since alpha stays gated on rz > 0) — matching the vmapped XLA
+        # path's frozen-column semantics.
+        live = (rz > 0.0) & (pq > 0.0)
+        alpha32 = jnp.where(live, rz / jnp.where(pq > 0.0, pq, 1.0), 0.0)
+        beta = jnp.where(
+            live,
+            (alpha32 * alpha32 * qq - rz) / jnp.where(rz > 0.0, rz, 1.0),
+            0.0).astype(p_ref.dtype)
         alpha = alpha32.astype(x_ref.dtype)
 
         pv = p_ref[sl, :]
@@ -482,7 +493,8 @@ def fused_stencil_cg_multi(s, b: jnp.ndarray, x0=None, *, tol: float = 1e-6,
         raise ValueError("unsupported operator for the fused multi path")
     nx, ny, nz, taps, coeffs = spec
     geom = make_geometry(nx, ny, nz, taps,
-                         residency_multiplier=b.shape[1])
+                         residency_multiplier=b.shape[1],
+                         itemsize=jnp.dtype(b.dtype).itemsize)
     return _solve_multi(geom, coeffs, None, None, b.T,
                         None if x0 is None else x0.T,
                         tol=tol, atol=atol, maxiter=int(maxiter),
@@ -512,20 +524,24 @@ def fused_dia_cg_multi(d, b: jnp.ndarray, x0=None, *, tol: float = 1e-6,
     dtype = b.dtype
     nx, ny, nz, taps, coeffs, planes, e, weight, sym = dia_prep(
         d, dtype, jacobi=jacobi, inv_diag=inv_diag)
+    isz = jnp.dtype(dtype).itemsize
     if sym:
         geom = make_geometry(nx, ny, nz, taps, target_block_bytes=1 << 18,
                              a_window_streams=1 + planes.shape[0],
-                             residency_multiplier=b.shape[1])
+                             residency_multiplier=b.shape[1],
+                             itemsize=isz)
     else:
         geom = make_geometry(nx, ny, nz, taps, target_block_bytes=1 << 18,
                              a_extra_streams=2 * planes.shape[0],
-                             residency_multiplier=b.shape[1])
+                             residency_multiplier=b.shape[1],
+                             itemsize=isz)
     b2 = b.T
     x0_2 = None if x0 is None else x0.T
     if e is not None:
         b2 = b2 * e[None]
         if x0_2 is not None:
-            inv_e = jnp.where(e > 0, 1.0 / jnp.where(e > 0, e, 1.0), 0.0)
+            from cgx.ops.blas import safe_recip
+            inv_e = safe_recip(e)
             x0_2 = x0_2 * inv_e[None]
     res = _solve_multi(geom, coeffs, planes, weight, b2, x0_2,
                        tol=tol, atol=atol, maxiter=int(maxiter),

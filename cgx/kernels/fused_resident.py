@@ -383,7 +383,8 @@ def resident_dia_cg(d, b: jnp.ndarray, x0=None, *, tol: float = 1e-6,
         b_s = e * b
         x0_s = None
         if x0 is not None:
-            x0_s = jnp.where(e > 0, x0 / jnp.where(e > 0, e, 1.0), 0.0)
+            from cgx.ops.blas import safe_recip
+            x0_s = x0 * safe_recip(e)
     else:
         b_s, x0_s = b, x0
     res = resident_cg(g, b_s, x0_s, coeffs=coeffs, planes=planes,

@@ -113,10 +113,25 @@ def auto_solve(
     if b.ndim == 2:
         # Multi-RHS block: route the batched solver (its own backend
         # auto-selection picks the fused SpMM engine where it pays).
+        # Map this function's backend names onto cg_solve_multi's
+        # ("xla" forces the vmapped loop; any fused/resident override
+        # forces the band-stacked engine); reject options the batched
+        # path cannot honor rather than silently dropping them.
+        if track_history:
+            raise ValueError("track_history is not supported for "
+                             "multi-RHS (2-D b) solves")
+        if mixed_precision:
+            raise ValueError("mixed_precision is single-RHS only; for "
+                             "multi-RHS use fused_dia_cg_multi("
+                             "plane_dtype=bfloat16) directly")
         from cgx.solve.block import cg_solve_multi
+        mb = "auto"
+        if backend is not None:
+            mb = "xla" if backend in ("xla", "padded") else "fused"
         return cg_solve_multi(a, b, x0, tol=tol, atol=atol,
                               maxiter=maxiter,
-                              preconditioner=preconditioner)
+                              preconditioner=preconditioner,
+                              backend=mb)
     if backend is None:
         backend = select_backend(a, b, preconditioner)
     n = b.shape[0]

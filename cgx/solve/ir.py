@@ -115,8 +115,15 @@ def ir_cg_solve(a, b: jnp.ndarray, x0=None, *, tol: float = 1e-6,
             a, jnp.float32, jacobi=jac,
             inv_diag=preconditioner.inv_diag if jac else None,
             interpret=interpret)
-        ee = e32f.astype(jnp.float32)
-        inv_ee = jnp.where(ee > 0, 1.0 / jnp.where(ee > 0, ee, 1.0), 0.0)
+        if e32f is None:
+            # DIA with preconditioner=None: no diagonal scaling — the
+            # engines solve the unscaled system (same code paths as the
+            # stencil branch below).
+            ee = inv_ee = None
+        else:
+            from cgx.ops.blas import safe_recip
+            ee = e32f.astype(jnp.float32)
+            inv_ee = safe_recip(ee)
 
     def outer_state(x):
         """``(r, rr)`` — the TRUE fp32 residual via the fp32 engine's

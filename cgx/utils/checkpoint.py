@@ -173,7 +173,8 @@ def _fused_checkpointed(a, b, x0=None, *, tol, atol, maxiter,
     b_s = e * b if e is not None else b
     x0_s = x0
     if x0 is not None and e is not None:
-        x0_s = jnp.where(e > 0, x0 / jnp.where(e > 0, e, 1.0), 0.0)
+        from cgx.ops.blas import safe_recip
+        x0_s = x0 * safe_recip(e)
 
     bb = eng.norm_sq_b(b_s)
     tol_sq = jnp.maximum(jnp.asarray(tol, jnp.float32) ** 2 * bb,

@@ -165,3 +165,16 @@ def test_ir_bf16_planes_full_accuracy():
     assert np.linalg.norm(r) <= 1.1e-6 * np.linalg.norm(np.asarray(b))
     direct = cgx.cg_solve(d, b, tol=1e-6, maxiter=4000, preconditioner=m)
     assert int(res.iterations) <= int(1.5 * int(direct.iterations)) + 10
+
+
+def test_ir_dia_no_preconditioner():
+    """Regression: ir_cg_solve on a DIA operator with preconditioner=None
+    crashed (e=None dereference) despite ir_supported() advertising it."""
+    d = poisson3d_dia(10, 9, 8, dtype=np.float32)
+    n = d.shape[0]
+    b = jnp.asarray(np.random.default_rng(2).standard_normal(n),
+                    jnp.float32)
+    res = ir_cg_solve(d, b, tol=1e-6, maxiter=3000, interpret=True)
+    assert bool(res.converged)
+    r = np.asarray(b) - np.asarray(cgx.spmv(d, res.x))
+    assert np.linalg.norm(r) <= 1.1e-6 * np.linalg.norm(np.asarray(b))

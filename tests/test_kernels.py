@@ -740,3 +740,28 @@ def test_resident_bf16_planes(rng):
     g = make_resident_geometry(10, 9, 8, (((0, 0, 0)), (0, 0, 1)))
     assert (resident_vmem_bytes(g, 4, True, 4, 2)
             < resident_vmem_bytes(g, 4, True, 4, 4))
+
+
+def test_fused_multi_rhs_converged_column_freezes(rng):
+    """Regression: a column that converges early must coast (alpha=beta=0
+    on rz underflow) instead of going 0/0 = NaN — matching the vmapped
+    XLA path's frozen-column semantics."""
+    import cgx
+    from cgx.kernels.fused_multi import fused_dia_cg_multi
+    from cgx.io.poisson import poisson3d_dia
+
+    d = poisson3d_dia(8, 8, 8, dtype=np.float32)
+    n = d.shape[0]
+    # Column 0: aligned with the operator's action on a smooth vector
+    # (converges almost immediately); column 1: random (hard).
+    easy = np.asarray(cgx.spmv(d, jnp.ones(n, jnp.float32)))
+    hard = rng.standard_normal(n).astype(np.float32)
+    b = jnp.stack([jnp.asarray(easy), jnp.asarray(hard)], axis=1)
+    res = fused_dia_cg_multi(d, b, tol=1e-5, maxiter=600, interpret=True)
+    assert np.isfinite(np.asarray(res.x)).all()
+    assert bool(jnp.all(res.converged))
+    for i in range(2):
+        ref = cgx.cg_solve(d, b[:, i], tol=1e-5, maxiter=600,
+                           preconditioner=cgx.JacobiPrecond.from_matrix(d))
+        np.testing.assert_allclose(np.asarray(res.x[:, i]),
+                                   np.asarray(ref.x), rtol=5e-3, atol=5e-4)
