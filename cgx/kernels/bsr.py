@@ -90,12 +90,17 @@ def bell_from_bsr(a) -> BlockELL:
 _MAX_PREFETCH_ROWS = 256
 
 
-def _bell_spmm_dma(block_cols, values, xb, k, interpret):
+def _bell_spmm_dma(block_cols, values, xb, k, interpret, out_dtype):
     """One pallas_call for ANY block-row count: the (1, wb) id row rides
     a pipelined SMEM BlockSpec, and each x block is DMA'd from HBM with
     the id read at run time (start next slot while the MXU consumes the
     current one).  Replaces the per-256-row call unrolling of the
-    scalar-prefetch engine (VERDICT r1 weak #4)."""
+    scalar-prefetch engine (VERDICT r1 weak #4).
+
+    ``out_dtype`` may be wider than the operands: bf16 blocks × bf16 x
+    feed the MXU's native bf16 path while the output block — which the
+    ``wb`` grid steps revisit and accumulate — stays fp32, so no
+    precision is lost across the accumulation."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -136,14 +141,15 @@ def _bell_spmm_dma(block_cols, values, xb, k, interpret):
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, bs, k), lambda i, j: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((nbr, bs, k), xb.dtype),
+        out_shape=jax.ShapeDtypeStruct((nbr, bs, k), out_dtype),
         scratch_shapes=[pltpu.VMEM((2, 1, bs, k), xb.dtype),
                         pltpu.SemaphoreType.DMA((2,))],
         interpret=interpret,
     )(block_cols, values, xb)
 
 
-def _bell_spmm_prefetch(block_cols, values, xb, k, interpret):
+def _bell_spmm_prefetch(block_cols, values, xb, k, interpret,
+                        out_dtype):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -172,7 +178,7 @@ def _bell_spmm_prefetch(block_cols, values, xb, k, interpret):
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nbr, bs, k), xb.dtype),
+        out_shape=jax.ShapeDtypeStruct((nbr, bs, k), out_dtype),
         interpret=interpret,
     )(block_cols, values, xb)
 
@@ -187,14 +193,21 @@ def bell_spmm(a: BlockELL, x: jnp.ndarray, *,
     positive ``k`` is correct.  ``engine="dma"`` (default) runs ONE
     pallas_call for any size; ``engine="prefetch"`` keeps the legacy
     scalar-prefetch kernel (chunked per 256 block rows).
+
+    16-bit operands (``a.astype(bfloat16)``, bf16 ``x``) feed the MXU's
+    native bf16 path at half the HBM bytes; the result then comes back
+    **fp32** (the block accumulator stays wide — standard mixed-precision
+    matmul semantics).
     """
     nbr, wb, bs, _ = a.values.shape
     k = x.shape[1]
     xb = x.reshape(-1, bs, k)   # (n_block_cols, bs, k)
+    out_dtype = (jnp.float32 if jnp.dtype(x.dtype).itemsize < 4
+                 else x.dtype)
 
     if engine == "dma":
         return _bell_spmm_dma(a.block_cols, a.values, xb, k,
-                              interpret).reshape(nbr * bs, k)
+                              interpret, out_dtype).reshape(nbr * bs, k)
     if engine != "prefetch":
         raise ValueError(f"unknown engine {engine!r}")
     chunk = _MAX_PREFETCH_ROWS
@@ -202,7 +215,8 @@ def bell_spmm(a: BlockELL, x: jnp.ndarray, *,
     for r0 in range(0, nbr, chunk):
         r1 = min(r0 + chunk, nbr)
         outs.append(_bell_spmm_prefetch(
-            a.block_cols[r0:r1], a.values[r0:r1], xb, k, interpret))
+            a.block_cols[r0:r1], a.values[r0:r1], xb, k, interpret,
+            out_dtype))
     yb = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
     return yb.reshape(nbr * bs, k)
 

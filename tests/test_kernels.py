@@ -765,3 +765,46 @@ def test_fused_multi_rhs_converged_column_freezes(rng):
                            preconditioner=cgx.JacobiPrecond.from_matrix(d))
         np.testing.assert_allclose(np.asarray(res.x[:, i]),
                                    np.asarray(ref.x), rtol=5e-3, atol=5e-4)
+
+
+def test_bell_spmm_bf16_operands_fp32_out(rng):
+    """bf16 blocks x bf16 X feed the MXU's native path; the revisited
+    output block accumulates in fp32 (no precision loss across wb)."""
+    import scipy.sparse as sp
+    from cgx.kernels.bsr import bell_from_bsr, bell_spmm
+    from cgx.sparse.types import bsr_from_csr, csr_from_scipy
+
+    n, bs, k = 128, 16, 32
+    dense = sp.random(n // bs, n // bs, 0.4, random_state=7).toarray()
+    blocks = np.kron((dense != 0), np.ones((bs, bs)))
+    m = sp.csr_matrix(blocks * rng.standard_normal((n, n)))
+    a = bell_from_bsr(bsr_from_csr(csr_from_scipy(m), bs))
+    x = rng.standard_normal((n, k)).astype(np.float32)
+
+    y32 = bell_spmm(a, jnp.asarray(x), interpret=True)
+    a16 = a.astype(jnp.bfloat16)
+    y16 = bell_spmm(a16, jnp.asarray(x, jnp.bfloat16), interpret=True)
+    assert y16.dtype == jnp.float32            # wide accumulator out
+    rel = (np.linalg.norm(np.asarray(y16) - np.asarray(y32))
+           / np.linalg.norm(np.asarray(y32)))
+    assert rel < 3e-2                          # bf16 operand rounding
+
+    yp = bell_spmm(a16, jnp.asarray(x, jnp.bfloat16), interpret=True,
+                   engine="prefetch")
+    np.testing.assert_allclose(np.asarray(yp), np.asarray(y16),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_auto_solve_multi_rhs_honors_overrides(rng):
+    """Regression: 2-D b used to silently drop backend/track_history."""
+    import cgx
+    from cgx.io.poisson import poisson2d
+
+    a = poisson2d(12, 12)
+    b = jnp.asarray(rng.standard_normal((144, 3)))
+    res = cgx.auto_solve(a, b, tol=1e-8, backend="xla")
+    assert bool(res.converged.all())
+    with pytest.raises(ValueError, match="track_history"):
+        cgx.auto_solve(a, b, tol=1e-8, track_history=True)
+    with pytest.raises(ValueError, match="mixed_precision"):
+        cgx.auto_solve(a, b, tol=1e-8, mixed_precision=True)
