@@ -162,6 +162,7 @@ def dist_cg_solve(
     nsweeps: int = 1,
     track_history: bool = False,
     method: str = "cg",
+    adaptive_replace: bool = False,
     lam_min: Optional[float] = None,
     lam_max: Optional[float] = None,
 ) -> CGResult:
@@ -187,7 +188,10 @@ def dist_cg_solve(
     (Chronopoulos–Gear, 1 fused psum/iter — halves cross-chip latency on
     large meshes; no history tracking), ``"pipelined"`` (Ghysels–Vanroose,
     1 psum/iter that additionally OVERLAPS the local SpMV — reduction
-    latency off the critical path, at 3 extra carried vectors), or
+    latency off the critical path, at 3 extra carried vectors;
+    ``adaptive_replace=True`` selects the van der Vorst–Ye replacement
+    cadence, which extends the fp32 convergence envelope — see
+    :func:`cgx.solve.cg.cg_solve_pipelined`), or
     ``"chebyshev"`` (ZERO reductions per iteration given eigenvalue
     bounds ``lam_min``/``lam_max`` of ``M⁻¹A`` — estimated by distributed
     power iteration when omitted; the latency-optimal method on large
@@ -277,7 +281,8 @@ def _cached_solver(mesh, part_key, tol, atol, maxiter, precond_kind,
             from cgx.solve.cg import cg_solve_pipelined
             return cg_solve_pipelined(
                 mv, b_loc, x0l, tol=tol, atol=atol, maxiter=maxiter,
-                preconditioner=precond, axis_name=AXIS)
+                preconditioner=precond, axis_name=AXIS,
+                adaptive_replace=adaptive_replace)
         if method == "chebyshev":
             from cgx.solve.chebyshev import chebyshev_solve, estimate_bounds
             if lam_min is None or lam_max is None:

@@ -20,6 +20,7 @@ __all__ = [
     "poisson3d",
     "poisson2d_dia",
     "poisson3d_dia",
+    "poisson3d_dia27",
 ]
 
 
@@ -149,3 +150,53 @@ def poisson3d_dia(nx: int, ny: int, nz: int, dtype=np.float64):
     data[6] = np.where(i < nx - 1, -1.0, 0.0)
     return DIAMatrix(data=jnp.asarray(data), offsets=offsets, shape=(n, n),
                      grid=(nx, ny, nz))
+
+
+def poisson3d_dia27(nx: int, ny: int, nz: int, *, variable: bool = False,
+                    seed: int = 0, dtype=np.float32):
+    """Wrap-free SPD 27-point banded operator in DIA form.
+
+    The 27-point box stencil (all |dx|,|dy|,|dk| ≤ 1 neighbours) is the
+    widest-band operator the fused DIA engine decomposes natively
+    (``fused_dia_cg.dia_engine_spec``); this builder is the
+    variable-coefficient testbed used for the bf16-coefficient-plane
+    measurements (docs/PERF_NOTES.md round 2h).  ``variable=True`` draws
+    per-entry couplings from U[0.2, 1); either way the diagonal is made
+    strictly dominant (SPD) and every grid-boundary-crossing slot is
+    zero, so ``wrap_entries_zero`` holds and ``auto_solve`` routes the
+    fused engine.  Symmetry is entrywise (``data[-off][i+off] ==
+    data[off][i]``), so the symmetric 3-plane-per-axis streaming path
+    engages.
+
+    The reference has no generators at all (it hard-codes one course
+    dataset, ``cg.c:235,260-265``); this extends §6's Poisson family to
+    the wide-band case.
+    """
+    from cgx.sparse.types import DIAMatrix
+    import jax.numpy as jnp
+    n = nx * ny * nz
+    flat = np.arange(n)
+    k = flat % nz
+    j = (flat // nz) % ny
+    i = flat // (ny * nz)
+    rng = np.random.default_rng(seed)
+    # Positive-offset taps in lexicographic order; negatives mirrored.
+    pos = [(dx, dy, dk) for dx in (0, 1) for dy in (-1, 0, 1)
+           for dk in (-1, 0, 1) if (dx, dy, dk) > (0, 0, 0)]
+    offs_pos = [dx * ny * nz + dy * nz + dk for (dx, dy, dk) in pos]
+    offsets = sorted([-o for o in offs_pos] + [0] + offs_pos)
+    data = np.zeros((len(offsets), n), dtype=dtype)
+    row = {o: r for r, o in enumerate(offsets)}
+    diag = np.full(n, 0.05, dtype=np.float64)
+    for (dx, dy, dk), off in zip(pos, offs_pos):
+        ok = ((k + dk >= 0) & (k + dk < nz) & (j + dy >= 0)
+              & (j + dy < ny) & (i + dx < nx))
+        mag = rng.uniform(0.2, 1.0, n) if variable else 1.0
+        v = np.where(ok, -mag, 0.0)
+        data[row[off]] = v
+        data[row[-off]][off:] = v[:-off]          # symmetric mirror
+        diag += np.abs(v)
+        diag[off:] += np.abs(v[:-off])
+    data[row[0]] = diag.astype(dtype)
+    return DIAMatrix(data=jnp.asarray(data), offsets=tuple(offsets),
+                     shape=(n, n), grid=(nx, ny, nz))

@@ -324,6 +324,7 @@ def cg_solve_pipelined(
     preconditioner=None,
     axis_name: Optional[str] = None,
     replace_every: int = 25,
+    adaptive_replace: bool = False,
 ) -> CGResult:
     """Ghysels–Vanroose pipelined (P)CG: the single fused reduction
     OVERLAPS the preconditioner apply and the SpMV.
@@ -352,14 +353,30 @@ def cg_solve_pipelined(
       ``replace_every=0`` disables (fp64 needs neither fix: trajectory
       then matches CG to the iteration).
 
-    Measured fp32 envelope (2-D Poisson): iteration counts within ~15%
-    of standard CG up to κ ≈ 4·10³ at ``tol=1e-6``; at larger κ the
-    attainable TRUE-residual accuracy plateaus ~10–100× above standard
-    CG's (the inherent pipelined-CG trade — the loop then exits early on
-    the stagnation guard with ``converged=False``).  Use on many-host
-    meshes where reduction latency rivals the local SpMV, at moderate
-    tolerances or in fp64; for tight fp32 tolerances prefer
-    ``cg_solve_single_reduction``.
+    ``adaptive_replace=True`` switches the cadence to the van der
+    Vorst–Ye (1999) drift criterion: a running bound on the gap between
+    the true and recurrence residuals, ``d ← d + ε·(‖r‖ + λ̂·‖x‖)``
+    (λ̂ = running max of the Rayleigh quotient δ/γ — free from the fused
+    dots), triggers replacement when all three hold: ``d > √ε·‖r‖``
+    (the gap is about to matter), ``d > 1.1·d_at_last_replacement``
+    (geometric spacing — without it the criterion saturates to
+    continuous firing once ‖r‖ is small), and ``‖r‖² > 100·tol²‖b‖²``
+    (near the target the plain recurrence runs free, so late-stage exit
+    semantics match ``cg_solve``).  ``replace_every`` is ignored when
+    adaptive.
+
+    Measured fp32 envelope (2-D Poisson, tol=1e-6, tests/test_cg.py):
+    the periodic form converges only to κ ≈ 4·10³ — beyond that its
+    honest (replacement-refreshed) residual sits at the fp32 floor,
+    10–100× above tol, and the loop exits on the stagnation guard with
+    ``converged=False``.  ``adaptive_replace`` converges through the
+    whole measured range (κ up to ≈ 5·10⁴: 128²/192²/256² Poisson) at
+    +1–17% iterations vs standard CG, with TRUE residuals 1.4–2.6×
+    BETTER than standard CG's at the same tol (CG's recurrence drifts
+    optimistically; the adaptive form re-syncs it exactly while it
+    still converges).  Use on many-host meshes where reduction latency
+    rivals the local SpMV; for the tightest fp32 tolerances on the
+    worst-conditioned systems prefer ``cg_solve_single_reduction``.
 
     Algorithm anchor: the reference's ``conj_grad`` (cg.c:88-141) —
     same iteration in exact arithmetic, reorganized for overlap.
@@ -378,41 +395,58 @@ def cg_solve_pipelined(
     u0 = apply_m(r0) if apply_m is not None else r0
     w0 = matvec(u0)
 
-    def fused_dots(r, u, w, p, s):
-        """Six scalars in ONE cross-chip reduction: γ = rᵀu, δ = wᵀu,
-        ρ = rᵀr, plus the cross terms uᵀs, pᵀw, pᵀs that let the next
+    def fused_dots(r, u, w, p, s, x):
+        """Seven scalars in ONE cross-chip reduction: γ = rᵀu, δ = wᵀu,
+        ρ = rᵀr, the cross terms uᵀs, pᵀw, pᵀs that let the next
         iteration form α's denominator ``p'ᵀAp' = δ + β(uᵀs + pᵀw) +
         β²·pᵀs`` by bilinearity — the honest Rayleigh quotient instead of
-        the cancellation-prone recurrence ``δ − βγ/α_prev``.  (Measured:
-        the recurrence form stalls fp32 solves at 48²-Poisson scale even
-        with per-iteration residual replacement; this form tracks
-        standard CG's iteration counts.)"""
+        the cancellation-prone recurrence ``δ − βγ/α_prev`` — and ``xᵀx``
+        for the adaptive-replacement drift model.  (Measured: the
+        recurrence form stalls fp32 solves at 48²-Poisson scale even
+        with per-iteration residual replacement; the bilinear form
+        tracks standard CG's iteration counts.)"""
         local = jnp.stack([jnp.vdot(r, u), jnp.vdot(w, u), jnp.vdot(r, r),
-                           jnp.vdot(u, s), jnp.vdot(p, w), jnp.vdot(p, s)])
+                           jnp.vdot(u, s), jnp.vdot(p, w), jnp.vdot(p, s),
+                           jnp.vdot(x, x)])
         if axis_name is not None:
             local = jax.lax.psum(local, axis_name)
         return local
 
     zeros = jnp.zeros_like(b)
     one = jnp.ones((), dtype)
-    dots0 = fused_dots(r0, u0, w0, zeros, zeros)
+    dots0 = fused_dots(r0, u0, w0, zeros, zeros, x0)
     # Carry: (x, r, u, w, z, q, s, p, γ_prev, dots, k) — the dots slot
     # always holds the fused reduction over the CURRENT vectors, computed
     # at the END of the previous body (that psum is the one the next
     # body's m/n matvec overlaps).
-    # best_rr/strikes: stagnation guard — evaluated at replacement steps
-    # only (where rr is the TRUE residual): two consecutive replacement
-    # cycles without improvement end the solve (converged=False) instead
-    # of burning maxiter against the pipelined accuracy plateau.
+    # best_rr/strikes: stagnation guard — evaluated on a fixed
+    # 50-iteration cadence (NOT per replacement: adaptive replacements
+    # cluster near the accuracy floor, and consecutive closely-spaced
+    # evaluations would read CG's normal short plateaus as stalls —
+    # measured early-exit at 2e-2 relative residual on 192² Poisson):
+    # two consecutive windows without a 1% improvement end the solve
+    # (converged=False) instead of burning maxiter against the pipelined
+    # accuracy plateau.
+    # Adaptive-replacement drift model (van der Vorst & Ye 1999; Cools
+    # et al. 2018): the gap between the true and recurrence residuals
+    # grows per iteration by ~ε·(‖r‖ + ‖A‖·‖x‖); replace once the
+    # accumulated bound reaches √ε·‖r‖.  ‖A‖ is estimated for free as
+    # the running max of the Rayleigh quotient δ/γ = uᵀAu/uᵀru (exact
+    # λ̂ ∈ [λmin, λmax]; a mild underestimate only makes replacement
+    # slightly more eager via the √ε margin).
+    eps = jnp.asarray(jnp.finfo(dtype).eps, jnp.float32)
+    zero32 = jnp.zeros((), jnp.float32)
     state0 = (x0, r0, u0, w0, zeros, zeros, zeros, zeros,
               one, dots0, jnp.zeros((), jnp.int32),
-              dots0[2], jnp.zeros((), jnp.int32))
+              dots0[2], jnp.zeros((), jnp.int32), zero32, zero32,
+              zero32)
 
     def cond(c):
         return (c[10] < maxiter) & (c[9][2] > tol_sq) & (c[12] < 2)
 
     def body(c):
-        (x, r, u, w, z, q, s, p, g_prev, dots, k, best_rr, strikes) = c
+        (x, r, u, w, z, q, s, p, g_prev, dots, k, best_rr, strikes,
+         drift, lam, d_gate) = c
         gamma, delta, _rr, us, pw, ps = (dots[0], dots[1], dots[2],
                                          dots[3], dots[4], dots[5])
         # m/n depend only on w — independent of the in-flight reduction.
@@ -430,8 +464,11 @@ def cg_solve_pipelined(
         r = r - alpha * s
         u = u - alpha * q
         w = w - alpha * z
-        new_dots = fused_dots(r, u, w, p, s)
-        if replace_every:
+        new_dots = fused_dots(r, u, w, p, s, x)
+        # Running ‖A‖ estimate (M-weighted Rayleigh quotient, free).
+        lam = jnp.maximum(lam, jnp.where(
+            gamma > 0, delta / gamma, 0.0).astype(jnp.float32))
+        if replace_every or adaptive_replace:
             # Residual replacement: rebuild every recurrence-drifted
             # vector from its definition and refresh the dots.  One
             # lax.cond — the matvecs only execute on replacement steps.
@@ -444,22 +481,50 @@ def cg_solve_pipelined(
                 q2 = apply_m(s2) if apply_m is not None else s2
                 z2 = matvec(q2)
                 return (r2, u2, w2, z2, q2, s2,
-                        fused_dots(r2, u2, w2, p, s2))
+                        fused_dots(r2, u2, w2, p, s2, x))
 
             def keep(args):
                 return args[2:]
 
-            at_replace = (k + 1) % replace_every == 0
+            drift = drift + eps * (
+                jnp.sqrt(new_dots[2].astype(jnp.float32))
+                + lam * jnp.sqrt(new_dots[6].astype(jnp.float32)))
+            if adaptive_replace:
+                # van der Vorst–Ye trigger, all three clauses measured
+                # necessary (see the docstring): (a) the drift bound
+                # reached √ε·‖r‖; (b) it grew 1.1× past its value at the
+                # last replacement — spaces replacements geometrically
+                # and stops them at the accuracy floor, where (a) alone
+                # saturates to continuous firing; (c) still well above
+                # the target (rr > 100·tol²) — the final stretch then
+                # runs the plain recurrence, giving the same late-stage
+                # semantics as cg_solve (an honest residual kept synced
+                # to the true one can never pass an fp32-floor-level
+                # tolerance that the drifted recurrence does pass).
+                rr32 = new_dots[2].astype(jnp.float32)
+                at_replace = ((drift * drift > eps * rr32)
+                              & (drift > 1.1 * d_gate)
+                              & (new_dots[2] > 100.0 * tol_sq))
+            else:
+                at_replace = (k + 1) % replace_every == 0
+            d_gate = jnp.where(at_replace, drift, d_gate)
             (r, u, w, z, q, s, new_dots) = jax.lax.cond(
                 at_replace, refresh, keep,
                 (x, p, r, u, w, z, q, s, new_dots))
+            # Replacement resets the drift bound to one fresh step.
+            drift = jnp.where(
+                at_replace,
+                eps * (jnp.sqrt(new_dots[2].astype(jnp.float32))
+                       + lam * jnp.sqrt(new_dots[6].astype(jnp.float32))),
+                drift)
+            at_guard = (k + 1) % 50 == 0
             improved = new_dots[2] < 0.99 * best_rr
             strikes = jnp.where(
-                at_replace, jnp.where(improved, 0, strikes + 1), strikes)
-            best_rr = jnp.where(at_replace & improved,
+                at_guard, jnp.where(improved, 0, strikes + 1), strikes)
+            best_rr = jnp.where(at_guard & improved,
                                 new_dots[2], best_rr)
         return (x, r, u, w, z, q, s, p, gamma, new_dots, k + 1,
-                best_rr, strikes)
+                best_rr, strikes, drift, lam, d_gate)
 
     f = jax.lax.while_loop(cond, body, state0)
     return CGResult(x=f[0], iterations=f[10], residual_norm_sq=f[9][2],

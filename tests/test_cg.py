@@ -492,6 +492,55 @@ def test_pipelined_cg_preconditioned_and_x0(rng):
     assert np.linalg.norm(r) <= 1.1e-9 * np.linalg.norm(np.asarray(b))
 
 
+def test_pipelined_cg_adaptive_replacement_extends_fp32_envelope(rng):
+    """van der Vorst–Ye adaptive replacement (ROADMAP #13): at 128²
+    Poisson / fp32 / tol=1e-6 (κ ≈ 1.3·10⁴) the periodic form stalls at
+    the fp32 floor (converged=False via the stagnation guard) while the
+    adaptive form converges at ≈ standard CG's iteration count — and its
+    TRUE residual is strictly better than standard CG's (replacement
+    keeps the recurrence honest while it still converges)."""
+    import cgx
+    from cgx.io.poisson import poisson2d
+    side = 128
+    n = side * side
+    a = poisson2d(side, side, dtype=np.float32)
+    b = jnp.asarray(rng.standard_normal(n), jnp.float32)
+
+    ref = cgx.cg_solve(a, b, tol=1e-6, maxiter=5000)
+    per = cgx.cg_solve_pipelined(a, b, tol=1e-6, maxiter=5000)
+    ada = cgx.cg_solve_pipelined(a, b, tol=1e-6, maxiter=5000,
+                                 adaptive_replace=True)
+    assert bool(ref.converged)
+    assert not bool(per.converged)      # the documented periodic plateau
+    assert bool(ada.converged)
+    # Near-CG iteration count (measured +0.6% at this size; allow slack).
+    assert int(ada.iterations) <= int(ref.iterations) * 1.25
+
+    bn = np.linalg.norm(np.asarray(b))
+
+    def true_rel(x):
+        return float(np.linalg.norm(
+            np.asarray(b) - np.asarray(spmv(a, x)))) / bn
+
+    assert true_rel(ada.x) < true_rel(ref.x)
+
+
+def test_pipelined_cg_adaptive_fp64_matches_cg(rng):
+    """fp64: drift never reaches the √ε threshold on a well-conditioned
+    system — adaptive replacement must be a no-op (CG trajectory)."""
+    import cgx
+    from cgx.io.poisson import poisson2d
+    a = poisson2d(16, 16)
+    b = jnp.asarray(rng.standard_normal(256))
+    ref = cgx.cg_solve(a, b, tol=1e-9, maxiter=1000)
+    res = cgx.cg_solve_pipelined(a, b, tol=1e-9, maxiter=1000,
+                                 adaptive_replace=True)
+    assert bool(res.converged)
+    assert abs(int(res.iterations) - int(ref.iterations)) <= 5
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                               rtol=1e-6, atol=1e-8)
+
+
 def test_pipelined_cg_sharded_one_psum_overlappable(rng):
     """Sharded pipelined CG: ONE all-reduce per iteration, and the loop
     body's matvec does not depend on it (the overlap structure)."""
@@ -562,3 +611,10 @@ def test_dist_cg_solve_method_pipelined(rng):
     ref = cgx.cg_solve(a, b, tol=1e-8, maxiter=600,
                        preconditioner=cgx.JacobiPrecond.from_matrix(a))
     assert abs(int(res.iterations) - int(ref.iterations)) <= 5
+    # Adaptive replacement composes with the sharded path (fp64 here, so
+    # it is a behavioral no-op — trajectory still matches CG).
+    ada = dist_cg_solve(part, b, mesh, tol=1e-8, maxiter=600,
+                        preconditioner="jacobi", method="pipelined",
+                        adaptive_replace=True)
+    assert bool(ada.converged)
+    assert abs(int(ada.iterations) - int(ref.iterations)) <= 5
