@@ -187,10 +187,12 @@ def dist_fused_cg_multi(
     if nx % nd:
         raise ValueError(f"nx={nx} not divisible by mesh size {nd}")
     n_stream = sum(1 for c in coeffs if c is None)
+    isz = jnp.dtype(b.dtype).itemsize
     geom = make_geometry(
         nx, ny, nz, taps, n_shards=nd, target_block_bytes=1 << 18,
         residency_multiplier=k,
-        itemsize=jnp.dtype(b.dtype).itemsize,
+        itemsize=isz,
+        plane_bytes=n_stream * nx * ny * nz * isz,
         **(dict(a_window_streams=1 + n_stream) if sym
            else dict(a_extra_streams=2 * n_stream)))
     f = _cached_multi_dia(mesh, geom, coeffs, int(k), b.dtype.name,

@@ -218,7 +218,7 @@ def dist_cg_solve(
                        method, x0 is not None,
                        None if lam_min is None else float(lam_min),
                        None if lam_max is None else float(lam_max),
-                       int(nsweeps), blocks_key)
+                       int(nsweeps), blocks_key, bool(adaptive_replace))
 
     part_dev = jax.device_put(
         part, jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
@@ -243,7 +243,8 @@ def _static_key(part: Partition):
 @lru_cache(maxsize=64)
 def _cached_solver(mesh, part_key, tol, atol, maxiter, precond_kind,
                    blocksize, poly_steps, track_history, method, has_x0,
-                   lam_min, lam_max, nsweeps=1, blocks_key=None):
+                   lam_min, lam_max, nsweeps=1, blocks_key=None,
+                   adaptive_replace=False):
     """Build-and-jit the shard_map solver once per static configuration.
 
     A fresh closure per call would key ``jax.jit`` on function identity and

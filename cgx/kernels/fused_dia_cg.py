@@ -209,7 +209,8 @@ def _scaled_planes(d, e: jnp.ndarray, dtype) -> jnp.ndarray:
 
 
 def dia_prep(d, dtype, *, jacobi: bool = True, inv_diag=None,
-             allow_sym: bool = True):
+             allow_sym: bool = True,
+             assume_symmetric: Optional[bool] = None):
     """Engine-independent preparation for a 7-point DIA operator:
     ``(nx, ny, nz, taps, coeffs, planes, e, weight, sym)``.
 
@@ -222,6 +223,14 @@ def dia_prep(d, dtype, *, jacobi: bool = True, inv_diag=None,
     Any banded operator whose offsets decompose into ``|dx| ≤ 1`` grid
     taps is accepted (:func:`dia_engine_spec` — 7-point auto-detected,
     everything else via ``d.grid`` metadata).
+
+    ``assume_symmetric``: the symmetry check needs concrete data, so
+    under jit (traced ``d.data``) the builder silently falls back to the
+    all-planes engine; callers who KNOW the operator is entrywise
+    symmetric pass ``True`` to get the symmetric (mirror-tap, half the
+    plane traffic) engine regardless — the jit-caller analogue of
+    ``auto_solve(backend="fused_dia")`` for the wrap check.  ``False``
+    forces the non-symmetric engine.
     """
     import numpy as np
 
@@ -246,7 +255,14 @@ def dia_prep(d, dtype, *, jacobi: bool = True, inv_diag=None,
 
     # Symmetric scaling Ã = E A E preserves symmetry, so checking the raw
     # data (concrete even when b is traced) covers the scaled planes too.
-    sym = bool(allow_sym and data_symmetric_or_none(d) is True)
+    if assume_symmetric is None:
+        sym = bool(allow_sym and data_symmetric_or_none(d) is True)
+    else:
+        sym = bool(allow_sym and assume_symmetric)
+        if sym and any(-int(o) not in tuple(map(int, d.offsets))
+                       for o in d.offsets):
+            raise ValueError("assume_symmetric=True but the offset set "
+                             "is not sign-symmetric")
 
     unit_diag = False
     if invd is None:
@@ -298,7 +314,8 @@ def dia_prep(d, dtype, *, jacobi: bool = True, inv_diag=None,
 def build_fused_dia(d, dtype, *, jacobi: bool = True, inv_diag=None,
                     n_shards: int = 1, axis_name: Optional[str] = None,
                     interpret: bool = False, allow_sym: bool = True,
-                    plane_dtype=None):
+                    plane_dtype=None,
+                    assume_symmetric: Optional[bool] = None):
     """``(engine, e, planes)`` for a 7-point DIA operator (see
     :func:`dia_prep` for the scaling/symmetry semantics).  The returned
     ``planes`` are the *global* scaled planes — shard them (and ``e``)
@@ -313,20 +330,24 @@ def build_fused_dia(d, dtype, *, jacobi: bool = True, inv_diag=None,
     vectors stay ``dtype`` — see :class:`~cgx.kernels.fused_engine.FusedCG`.
     """
     nx, ny, nz, taps, coeffs, planes, e, weight, sym = dia_prep(
-        d, dtype, jacobi=jacobi, inv_diag=inv_diag, allow_sym=allow_sym)
+        d, dtype, jacobi=jacobi, inv_diag=inv_diag, allow_sym=allow_sym,
+        assume_symmetric=assume_symmetric)
 
     isz = jnp.dtype(dtype).itemsize
+    p_isz = jnp.dtype(plane_dtype).itemsize if plane_dtype is not None \
+        else isz
+    n_stream_planes = sum(1 for c in coeffs if c is None)
+    pb = n_stream_planes * nx * ny * nz * p_isz
     if sym:
-        n_win = 1 + sum(1 for c in coeffs if c is None)
         geom = make_geometry(nx, ny, nz, taps, n_shards=n_shards,
                              target_block_bytes=1 << 18,
-                             a_window_streams=n_win, itemsize=isz)
+                             a_window_streams=1 + n_stream_planes,
+                             itemsize=isz, plane_bytes=pb)
     else:
-        n_stream_planes = sum(1 for c in coeffs if c is None)
         geom = make_geometry(nx, ny, nz, taps, n_shards=n_shards,
                              target_block_bytes=1 << 18,
                              a_extra_streams=2 * n_stream_planes,
-                             itemsize=isz)
+                             itemsize=isz, plane_bytes=pb)
 
     if n_shards == 1:
         eng = FusedCG(geom, dtype=dtype, coeffs=coeffs, planes=planes,
@@ -342,7 +363,8 @@ def fused_dia_cg(d, b: jnp.ndarray, x0=None, *, tol: float = 1e-6,
                  jacobi: bool = True, inv_diag=None,
                  track_history: bool = False,
                  interpret: bool = False,
-                 plane_dtype=None) -> CGResult:
+                 plane_dtype=None,
+                 assume_symmetric: Optional[bool] = None) -> CGResult:
     """Jacobi-PCG (or plain CG with ``jacobi=False``) on a 7-point DIA
     operator, fused Pallas passes.  Matches ``cg_solve(d, b,
     preconditioner=JacobiPrecond.from_matrix(d))`` to fp32 roundoff.
@@ -357,6 +379,10 @@ def fused_dia_cg(d, b: jnp.ndarray, x0=None, *, tol: float = 1e-6,
     plateaus near the ~4e-3 coefficient rounding) — use
     :func:`cgx.solve.ir.ir_cg_solve` with ``inner_plane_dtype`` for full
     accuracy.
+
+    ``assume_symmetric=True``: engage the symmetric (mirror-tap) engine
+    without the concrete-data check — required to reach it under jit,
+    where ``d.data`` is traced (see :func:`dia_prep`).
     """
     # The lane layout drops contributions at x-plane-crossing slots (see
     # wrap_entries_zero).  Verify when the data is concrete; under jit the
@@ -371,7 +397,8 @@ def fused_dia_cg(d, b: jnp.ndarray, x0=None, *, tol: float = 1e-6,
     dtype = b.dtype
     eng, e, _ = build_fused_dia(d, dtype, jacobi=jacobi, inv_diag=inv_diag,
                                 interpret=interpret,
-                                plane_dtype=plane_dtype)
+                                plane_dtype=plane_dtype,
+                                assume_symmetric=assume_symmetric)
     if e is None:
         res = eng.solve(b, x0, tol=tol, atol=atol, maxiter=maxiter,
                         track_history=track_history)

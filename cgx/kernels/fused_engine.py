@@ -107,7 +107,8 @@ def make_geometry(nx: int, ny: int, nz: int,
                   a_window_streams: int = 1,
                   stream_budget_bytes: Optional[int] = None,
                   residency_multiplier: int = 1,
-                  itemsize: int = 4) -> Geometry:
+                  itemsize: int = 4,
+                  plane_bytes: int = 0) -> Geometry:
     """``target_block_bytes`` sizes kernel B's blocks (7-8 double-buffered
     streams — keep modest); kernel A's block multiple ``m`` is chosen per
     regime (see the inline comments).  ``row_multiplier``: effective
@@ -123,7 +124,14 @@ def make_geometry(nx: int, ny: int, nz: int,
     while the resident-regime test must see k x the vectors).
     ``itemsize``: vector element size in bytes (2 for bf16) — sets the
     sublane tile (fp32 (8,128) / bf16 (16,128)) and the VMEM byte
-    models, so bf16 gets proportionally wider blocks and windows."""
+    models, so bf16 gets proportionally wider blocks and windows.
+    ``plane_bytes``: total bytes of streamed coefficient planes (at
+    their STREAM dtype — half for bf16 planes).  Counted into the
+    residency test: an iteration whose planes spill VMEM is
+    HBM-streaming-bound even when the carried vectors alone would fit,
+    so it gets the streaming geometry (double-buffered wide windows).
+    This is the footprint model behind the bf16-plane routing
+    (docs/PERF_NOTES.md round 2h/2i)."""
     if nx % n_shards:
         raise ValueError(f"nx={nx} not divisible by n_shards={n_shards}")
     nxl = nx // n_shards
@@ -151,7 +159,8 @@ def make_geometry(nx: int, ny: int, nz: int,
     # window its scoped-VMEM budget allows.
     l_pad1 = -(-l_real // bl) * bl
     working_set = (5 * rows_eff * (l_pad1 + 2 * bl) * itemsize
-                   * max(1, int(residency_multiplier)))
+                   * max(1, int(residency_multiplier))
+                   + int(plane_bytes))
     a_vmem_limit = 0
     if working_set <= (96 << 20):
         # Resident regime: smallest layout, no window DMA double-buffering
@@ -159,6 +168,16 @@ def make_geometry(nx: int, ny: int, nz: int,
         # VMEM-to-VMEM copies don't need hiding).
         m = 1
         double_buffer = False
+        # Wide-tap operators can exceed Mosaic's ~16 MB scoped budget
+        # even at m=1 (26 grid-pipelined plane blocks at 27-point 144³
+        # measured 18.6 MB — compile OOM): model the per-step usage and
+        # raise the LIMIT (not the window) exactly as the streaming
+        # branch does.
+        n_win = max(1, int(a_window_streams))
+        usage = itemsize * rows_eff * (
+            (2 * n_win + 7 + a_extra_streams) * bl + 4 * sl * n_win)
+        if usage > (14 << 20):
+            a_vmem_limit = min(int(usage * 1.25) + (4 << 20), 120 << 20)
     else:
         # Streaming regime: widest A-window whose scoped-VMEM fits.
         # Model (calibrated on-chip; 288^3 OOMed at bl_a=1536/rows8=296,

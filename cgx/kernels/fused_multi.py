@@ -525,16 +525,19 @@ def fused_dia_cg_multi(d, b: jnp.ndarray, x0=None, *, tol: float = 1e-6,
     nx, ny, nz, taps, coeffs, planes, e, weight, sym = dia_prep(
         d, dtype, jacobi=jacobi, inv_diag=inv_diag)
     isz = jnp.dtype(dtype).itemsize
+    p_isz = jnp.dtype(plane_dtype).itemsize if plane_dtype is not None \
+        else isz
+    pb = planes.shape[0] * nx * ny * nz * p_isz
     if sym:
         geom = make_geometry(nx, ny, nz, taps, target_block_bytes=1 << 18,
                              a_window_streams=1 + planes.shape[0],
                              residency_multiplier=b.shape[1],
-                             itemsize=isz)
+                             itemsize=isz, plane_bytes=pb)
     else:
         geom = make_geometry(nx, ny, nz, taps, target_block_bytes=1 << 18,
                              a_extra_streams=2 * planes.shape[0],
                              residency_multiplier=b.shape[1],
-                             itemsize=isz)
+                             itemsize=isz, plane_bytes=pb)
     b2 = b.T
     x0_2 = None if x0 is None else x0.T
     if e is not None:
