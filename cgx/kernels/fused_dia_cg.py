@@ -170,6 +170,52 @@ _DIA_TAPS = ((-1, 0, 0), (0, -1, 0), (0, 0, -1), (0, 0, 0), (0, 0, 1),
 _DIA_TAPS_SYM = ((0, 0, 0), (0, 0, 1), (0, 1, 0), (1, 0, 0))
 
 
+def bf16_plane_speedup(d, n: int, itemsize: int = 4) -> float:
+    """Predicted per-iteration speedup of bf16 coefficient planes over
+    fp32 planes for this DIA operator — the footprint model behind
+    ``auto_solve(mixed_precision=True)``'s mode routing (measured
+    calibration in docs/PERF_NOTES.md round 2h/2i).
+
+    Two regimes:
+
+    * **Residency flip** — fp32 planes + the 5 carried vectors spill
+      VMEM (~100 MB usable of the v5e's 128 MB) but the bf16 set fits:
+      the fp32 configuration re-streams its planes from HBM every
+      iteration and the bf16 one doesn't.  Measured 2.8–6× at 27-point
+      128³; the model returns the conservative 2.8.
+    * **Streaming ratio** — both spill (or both fit): halving the plane
+      bytes saves ``f/2`` of per-iteration traffic where ``f =
+      planes/(planes + 8)`` is the planes' traffic fraction.  The 8 is
+      calibrated: plane windows carry the same ~1.5× window
+      amplification as the vector windows (PERF_NOTES round 2b), and the
+      measured 27-point fraction is ~62 % (13 planes ↔ 8 effective
+      vector streams).  Predicts 1.48× at 27-point 160³ (measured
+      1.39–1.45×) and 1.16× for symmetric 7-point.
+
+    Symmetric data (checkable only when concrete) halves the plane
+    streams AND bytes; traced data assumes non-symmetric (conservative:
+    predicts a larger f, but both dtypes share the assumption).
+    """
+    k = len(d.offsets)
+    n_planes = k - 1            # unit diagonal after symmetric scaling
+    if n_planes <= 0:
+        return 1.0
+    if data_symmetric_or_none(d) is True:
+        n_planes //= 2
+    vec_streams = 8.0
+    f = n_planes / (n_planes + vec_streams)
+    ratio = 1.0 / (1.0 - f / 2.0)
+    vmem = 100 << 20
+    vectors = 5 * n * itemsize
+
+    def working_set(plane_isz):
+        return n_planes * n * plane_isz + vectors
+
+    if working_set(itemsize) > vmem >= working_set(2):
+        return 2.8
+    return ratio
+
+
 def data_symmetric_or_none(d):
     """True iff the (concrete) DIA data describes a symmetric matrix:
     the offset set is sign-symmetric and ``data[-off][i] ==

@@ -99,9 +99,14 @@ def auto_solve(
 
     ``mixed_precision``: opt in to bf16-inner iterative refinement
     (:func:`cgx.solve.ir.ir_cg_solve`) for fused-capable operators at
-    streaming scale — halves the hot loop's HBM bytes; the returned
-    residual is the true fp32 ``‖b − A·x‖²``.  Falls back to the normal
-    routing when the operator has no fused route or is below
+    streaming scale — the returned residual is always the true fp32
+    ``‖b − A·x‖²``.  DIA operators route between the two bf16 modes by
+    the measured footprint model
+    (:func:`cgx.kernels.fused_dia_cg.bf16_plane_speedup`): bf16
+    coefficient planes + fp32 vectors wherever the model predicts
+    ≥1.15× (wide-tap always; narrow-band included — no vector-rounding
+    iteration inflation), bf16 vector streams otherwise.  Falls back to
+    the normal routing when the operator has no fused route or is below
     ``FUSED_MIN_ROWS`` (the resident regime is not bandwidth-bound).
     """
     from cgx.kernels.fused_cg import fused_stencil_cg
@@ -140,12 +145,18 @@ def auto_solve(
             and backend in ("fused_stencil", "fused_dia",
                             "resident_stencil", "resident_dia"):
         from cgx.solve.ir import ir_cg_solve
-        # Wide-tap DIA (planes dominate the streams): bf16 PLANES with
-        # fp32 vectors is the measured winner (2.8-6x at 27-point 128³,
-        # PERF_NOTES 2h — no vector-rounding iteration inflation).
-        # Narrow-band/stencil: bf16 vectors (2e) remain the only lever.
+        # Mode routing by the measured footprint model (PERF_NOTES
+        # 2h/2i): bf16 PLANES with fp32 vectors win where the planes are
+        # a large traffic fraction (wide-tap DIA: 1.39-6x) or where
+        # halving them flips the working set into VMEM residency — with
+        # no vector-rounding iteration inflation.  Below a ~1.15x
+        # predicted plane win, bf16 vectors (2e) are the only remaining
+        # lever (a measured end-to-end loss on well-conditioned systems,
+        # but the caller opted in).
+        from cgx.kernels.fused_dia_cg import bf16_plane_speedup
         from cgx.sparse.types import DIAMatrix
-        if isinstance(a, DIAMatrix) and len(a.offsets) > 7:
+        if isinstance(a, DIAMatrix) and bf16_plane_speedup(
+                a, n, jnp.dtype(b.dtype).itemsize) >= 1.15:
             return ir_cg_solve(a, b, x0, tol=tol, atol=atol, maxiter=mi,
                                inner_dtype=jnp.float32,
                                inner_plane_dtype=jnp.bfloat16,

@@ -167,6 +167,46 @@ def test_ir_bf16_planes_full_accuracy():
     assert int(res.iterations) <= int(1.5 * int(direct.iterations)) + 10
 
 
+def test_bf16_plane_speedup_footprint_model():
+    """The mode-routing model (PERF_NOTES 2h/2i): streaming-ratio
+    predictions bracket the measurements, and the VMEM residency flip
+    fires exactly where the halved plane footprint fits but fp32's
+    doesn't (27-point at 128³ — the measured 2.8-6x configuration)."""
+    from cgx.io.poisson import poisson3d_dia27
+    from cgx.kernels.fused_dia_cg import bf16_plane_speedup
+
+    d7 = poisson3d_dia(8, 8, 8, dtype=np.float32)
+    s7 = bf16_plane_speedup(d7, 8**3)
+    assert 1.1 < s7 < 1.25               # narrow band: small ratio win
+
+    d27 = poisson3d_dia27(8, 8, 8)
+    # streaming regime (both dtypes spill): 160³-class prediction ~1.45
+    s_stream = bf16_plane_speedup(d27, 160**3)
+    assert 1.35 < s_stream < 1.55
+    # residency flip at 128³: fp32 planes spill, bf16 planes fit
+    assert bf16_plane_speedup(d27, 128**3) == pytest.approx(2.8)
+
+    # asymmetric data keeps all planes -> larger fraction, bigger ratio
+    import dataclasses
+    d_asym = dataclasses.replace(
+        d27, data=d27.data.at[0, -1].add(0.5))
+    s_asym = bf16_plane_speedup(d_asym, 160**3)
+    assert s_asym > s_stream
+
+
+def test_auto_solve_mixed_precision_routes_plane_mode():
+    """auto_solve(mixed_precision=True) picks bf16 PLANES (not bf16
+    vectors) whenever the footprint model predicts >=1.15x — including
+    symmetric 7-point DIA (3 plane windows of ~11 streams, 1.16x) where
+    the old offsets>7 rule fell through to the measured-net-loss vector
+    mode.  Verified via the inner_plane_dtype plumbing: the solve
+    converges to true fp32 accuracy on CPU interpret."""
+    from cgx.kernels.fused_dia_cg import bf16_plane_speedup
+
+    d, n = _variable_dia()
+    assert bf16_plane_speedup(d, n) >= 1.15
+
+
 def test_ir_dia_no_preconditioner():
     """Regression: ir_cg_solve on a DIA operator with preconditioner=None
     crashed (e=None dereference) despite ir_supported() advertising it."""
