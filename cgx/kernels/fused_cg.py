@@ -63,16 +63,29 @@ def supports(s) -> bool:
 
 def build_fused(s, dtype, *, n_shards: int = 1,
                 axis_name: Optional[str] = None,
-                interpret: bool = False) -> FusedCG:
+                interpret: bool = False,
+                one_pass: bool = False) -> FusedCG:
     """Engine instance for a stencil operator (``n_shards > 1`` builds the
     per-shard geometry for use inside ``shard_map`` — see
-    :mod:`cgx.dist.fused`)."""
+    :mod:`cgx.dist.fused`).  ``one_pass``: the v5 single-kernel iteration
+    (:mod:`cgx.kernels.fused_onepass` — 6 HBM streams/iter instead of ~9;
+    single-device only)."""
     spec = stencil_taps(s)
     if spec is None or not supports(s):
         raise ValueError("fused_stencil_cg: unsupported operator (need a "
                          "Stencil2D/Stencil3D/GeneralStencil3D with "
                          "|dx| <= 1 taps and nx <= 4096)")
     nx, ny, nz, taps, coeffs = spec
+    if one_pass:
+        if n_shards > 1 or axis_name is not None:
+            raise ValueError("one-pass engine is single-device (the "
+                             "sharded path keeps the two-pass engine)")
+        from cgx.kernels.fused_onepass import OnePassCG
+        geom = make_geometry(nx, ny, nz, taps,
+                             itemsize=jnp.dtype(dtype).itemsize,
+                             one_pass=True)
+        return OnePassCG(geom, dtype=dtype, coeffs=coeffs,
+                         interpret=interpret)
     geom = make_geometry(nx, ny, nz, taps, n_shards=n_shards,
                          itemsize=jnp.dtype(dtype).itemsize)
     return FusedCG(geom, dtype=dtype, coeffs=coeffs, axis_name=axis_name,
@@ -82,13 +95,15 @@ def build_fused(s, dtype, *, n_shards: int = 1,
 def fused_stencil_cg(s, b: jnp.ndarray, x0=None, *, tol: float = 1e-6,
                      atol: float = 0.0, maxiter: int = 1000,
                      track_history: bool = False,
-                     interpret: bool = False) -> CGResult:
+                     interpret: bool = False,
+                     one_pass: bool = False) -> CGResult:
     """Plain CG on a constant-coefficient stencil operator, fused passes.
 
     Semantics match ``cg_solve(s, b, x0, tol=..., maxiter=...,
     track_history=...)`` (fp32 dot accumulation; trajectories match the
-    XLA path to fp32 roundoff).
+    XLA path to fp32 roundoff).  ``one_pass`` selects the v5 single-kernel
+    iteration (see :func:`build_fused`).
     """
-    eng = build_fused(s, b.dtype, interpret=interpret)
+    eng = build_fused(s, b.dtype, interpret=interpret, one_pass=one_pass)
     return eng.solve(b, x0, tol=tol, atol=atol, maxiter=maxiter,
                      track_history=track_history)

@@ -108,7 +108,8 @@ def make_geometry(nx: int, ny: int, nz: int,
                   stream_budget_bytes: Optional[int] = None,
                   residency_multiplier: int = 1,
                   itemsize: int = 4,
-                  plane_bytes: int = 0) -> Geometry:
+                  plane_bytes: int = 0,
+                  one_pass: bool = False) -> Geometry:
     """``target_block_bytes`` sizes kernel B's blocks (7-8 double-buffered
     streams — keep modest); kernel A's block multiple ``m`` is chosen per
     regime (see the inline comments).  ``row_multiplier``: effective
@@ -162,6 +163,33 @@ def make_geometry(nx: int, ny: int, nz: int,
                    * max(1, int(residency_multiplier))
                    + int(plane_bytes))
     a_vmem_limit = 0
+    if one_pass:
+        # v5 one-pass model (cgx/kernels/fused_onepass.py): per row, two
+        # double-buffered halo windows (p: bl_a+4·sl, r: bl_a+2·sl),
+        # pipelined x input + 3 outputs, ~4 extended temporaries →
+        # ~16·bl_a + 20·sl scoped bytes per row.  The default budget is
+        # larger than the two-pass engine's 15 MB because the whole
+        # iteration lives in this one kernel — its windows ARE the
+        # iteration's streams, so starving them costs bandwidth directly
+        # (the two-pass "wider windows were slower" result applied to
+        # widening kernel A beyond its share).
+        budget = (32 << 20) if stream_budget_bytes is None \
+            else int(stream_budget_bytes)
+        per_row = itemsize * rows_eff
+        cap = budget // per_row - 20 * sl
+        m = max(1, int(cap // (16 * bl)))
+        m = max(m, -(-2 * sl) // bl)    # p-window start needs bl_a ≥ 2·sl
+        usage = per_row * (16 * bl * m + 20 * sl)
+        if usage > (14 << 20):
+            a_vmem_limit = min(int(usage * 1.25) + (4 << 20), 120 << 20)
+        bl_a = bl * m
+        l_pad = -(-l_real // bl_a) * bl_a
+        return Geometry(nx=nx, ny=ny, nz=nz, nxl=nxl,
+                        taps=tuple(map(tuple, taps)), rows8=rows8, sl=sl,
+                        bl=bl, bl_a=bl_a, l_real=l_real, l_pad=l_pad,
+                        total=l_pad + 2 * bl_a, nb=l_pad // bl,
+                        nb_a=l_pad // bl_a, double_buffer=True,
+                        a_vmem_limit=a_vmem_limit)
     if working_set <= (96 << 20):
         # Resident regime: smallest layout, no window DMA double-buffering
         # (its per-block control overhead measured ~50% at 128^3, and
@@ -309,7 +337,22 @@ def _kernel_a(*refs, g: Geometry, coeffs, variable: bool, sym: bool = False):
         # Row shift dx is an offset into the halo-extended rows (real rows
         # live at 1..nxl); lane shift dl indexes the halo window.
         s = w[1 + dx:1 + dx + nxl, g.sl + dl:g.sl + dl + g.bl_a]
-        if coeffs[t] is None and sym:
+        if coeffs[t] is not None:
+            # Boundary masks depend only on the LANE index, never the
+            # row: fold them (and output validity) into a (1, bl_a)
+            # masked-coefficient row so the per-element work is one
+            # multiply+add — a (rows, bl_a) where/select here measured
+            # as a large share of the kernel's VPU time.
+            m = valid
+            if dk:
+                m = m & (k + dk >= 0) & (k + dk < g.nz)
+            if dy:
+                m = m & (jy + dy >= 0) & (jy + dy < g.ny)
+            cv = jnp.where(m, jnp.asarray(coeffs[t], w.dtype),
+                           jnp.asarray(0.0, w.dtype))
+            y = cv * s if y is None else y + cv * s
+            continue
+        if sym:
             # Symmetric operator: plane'_{-off}[i] = plane'_{+off}[i-off],
             # so ONE windowed plane yields both taps — the +off term reads
             # the plane at the output position, the -off (mirror) term
@@ -326,29 +369,18 @@ def _kernel_a(*refs, g: Geometry, coeffs, variable: bool, sym: bool = False):
                        g.sl - dl:g.sl - dl + g.bl_a].astype(w.dtype)
                     * w[1 - dx:1 - dx + nxl,
                         g.sl - dl:g.sl - dl + g.bl_a])
-        elif coeffs[t] is None:
+        else:
             # Coefficient plane at the OUTPUT rows (row-aligned DIA
             # convention); boundary zeros are encoded in the data.
             term = planes_ref[pi, 1:1 + nxl, :].astype(w.dtype) * s
             pi += 1
-        else:
-            term = coeffs[t] * s
-            # Boundary masks from index arithmetic (register work only).
-            m = None
-            if dk:
-                m = (k + dk >= 0) & (k + dk < g.nz)
-            if dy:
-                my = (jy + dy >= 0) & (jy + dy < g.ny)
-                m = my if m is None else m & my
-            if m is not None:
-                term = jnp.where(m, term, 0.0)
         y = term if y is None else y + term
 
-    if sym or any(c is not None for c in coeffs):
-        # Lane-padding outputs must be zeroed: constant-coefficient (and
-        # symmetric mirror) shifted reads can pull real values into
-        # padding lanes, which would corrupt qq and r.  (Output-aligned
-        # plane taps are zero there already.)
+    if sym:
+        # Lane-padding outputs must be zeroed: symmetric mirror reads can
+        # pull real values into padding lanes, which would corrupt qq and
+        # r.  (Constant taps fold validity into their coefficient rows;
+        # output-aligned plane taps are zero there already.)
         y = jnp.where(valid, y, 0.0)
 
     q_ref[...] = jnp.pad(y, ((1, g.rows8 - 1 - nxl), (0, 0)))
