@@ -38,10 +38,22 @@ FUSED_MIN_ROWS = 3_000_000
 RESIDENT_MIN_ROWS = 200_000
 
 
+def _sr_tier(a):
+    """The semi-resident residency tier for a fused-capable stencil, or
+    None (no tier fits / not a supported stencil)."""
+    from cgx.kernels.fused_cg import stencil_taps
+    from cgx.kernels.fused_semiresident import sr_mode
+    spec = stencil_taps(a)
+    if spec is None:
+        return None
+    nx, ny, nz, taps, _ = spec
+    return sr_mode(nx, ny, nz, taps)
+
+
 def select_backend(a, b, preconditioner=None) -> str:
     """The backend :func:`auto_solve` would route this problem to:
-    ``"resident_stencil"`` | ``"resident_dia"`` | ``"fused_stencil"`` |
-    ``"fused_dia"`` | ``"padded"`` | ``"xla"``.
+    ``"resident_stencil"`` | ``"resident_dia"`` | ``"sr_stencil"`` |
+    ``"fused_stencil"`` | ``"fused_dia"`` | ``"padded"`` | ``"xla"``.
 
     Call OUTSIDE jit with concrete data (the DIA wrap-entry check is
     data-dependent); pass the result to ``auto_solve(backend=...)`` when
@@ -69,6 +81,12 @@ def select_backend(a, b, preconditioner=None) -> str:
     if (stencil_ok or dia_ok) and n >= RESIDENT_MIN_ROWS \
             and resident_supported(a, b.dtype):
         return "resident_stencil" if stencil_ok else "resident_dia"
+    if stencil_ok and n >= FUSED_MIN_ROWS and _sr_tier(a) is not None:
+        # Past full residency but a semi-resident tier still fits: the
+        # residency-ladder kernel beats the two-pass engine wherever it
+        # applies (measured 287 vs 340 us/iter at 216^3 rp, 84-97 vs
+        # 93-106 at 160^3 rpq — docs/PERF_NOTES.md round 2j).
+        return "sr_stencil"
     if stencil_ok and n >= FUSED_MIN_ROWS:
         return "fused_stencil"
     if dia_ok and n >= FUSED_MIN_ROWS:
@@ -170,6 +188,13 @@ def auto_solve(
         backend = ("fused" + backend[len("resident"):]
                    if n >= FUSED_MIN_ROWS else
                    ("padded" if padded_length(n) != n else "xla"))
+    if backend == "sr_stencil" and track_history:
+        # Same whole-solve limitation as the resident kernel.
+        backend = ("fused_stencil" if n >= FUSED_MIN_ROWS else
+                   ("padded" if padded_length(n) != n else "xla"))
+    if backend == "sr_stencil":
+        from cgx.kernels.fused_semiresident import sr_stencil_cg
+        return sr_stencil_cg(a, b, x0, tol=tol, atol=atol, maxiter=mi)
     if backend == "resident_stencil":
         return resident_stencil_cg(a, b, x0, tol=tol, atol=atol,
                                    maxiter=mi)

@@ -146,7 +146,13 @@ def test_select_backend_routes_fused_on_tpu(monkeypatch, rng):
 
     s = poisson3d_stencil(160, 160, 160)     # 4.1 M rows (>= FUSED_MIN_ROWS)
     b = jnp.zeros((s.shape[0],), jnp.float32)
-    assert auto.select_backend(s, b) == "fused_stencil"
+    # Past full residency but within the semi-resident ladder ("rpq" at
+    # 160^3) -> the residency-ladder whole-solve kernel.
+    assert auto.select_backend(s, b) == "sr_stencil"
+    # Past every semi-resident tier -> the streaming two-pass engine.
+    s_huge = poisson3d_stencil(430, 430, 430)
+    b_huge = jnp.zeros((s_huge.shape[0],), jnp.float32)
+    assert auto.select_backend(s_huge, b_huge) == "fused_stencil"
 
     # DIA: fused when wrap-free... (tiny data stretched is fine: only the
     # shape/pattern and wrap slots matter for routing)
@@ -171,8 +177,8 @@ def test_select_backend_routes_fused_on_tpu(monkeypatch, rng):
     a_mid = poisson3d_dia(128, 128, 128, dtype=np.float32)
     assert auto.select_backend(a_mid, b3) == "resident_dia"
     # ... but not when the working set exceeds VMEM (160^3 stencil needs
-    # ~105 MB) — those stay on the streaming two-pass engine.
-    assert auto.select_backend(s, b) == "fused_stencil"
+    # ~105 MB for all five vectors) — those take the semi-resident ladder.
+    assert auto.select_backend(s, b) == "sr_stencil"
 
 
 def test_solve_distributed_method_flag(capsys):
