@@ -204,8 +204,12 @@ def make_geometry(nx: int, ny: int, nz: int,
         n_win = max(1, int(a_window_streams))
         usage = itemsize * rows_eff * (
             (2 * n_win + 7 + a_extra_streams) * bl + 4 * sl * n_win)
-        if usage > (14 << 20):
-            a_vmem_limit = min(int(usage * 1.25) + (4 << 20), 120 << 20)
+        # Raise from 11 MB, not the 16 MB default: the model under-counts
+        # the grid-pipelined wide-tap case by ~25% (27-plane non-sym DIA
+        # 96³ measured 16.88 MB actual vs 13.6 MB modeled — compile OOM
+        # when no limit was set).
+        if usage > (11 << 20):
+            a_vmem_limit = min(int(usage * 1.5) + (4 << 20), 120 << 20)
     else:
         # Streaming regime: widest A-window whose scoped-VMEM fits.
         # Model (calibrated on-chip; 288^3 OOMed at bl_a=1536/rows8=296,
@@ -227,14 +231,16 @@ def make_geometry(nx: int, ny: int, nz: int,
         usage = itemsize * rows_eff * (denom * bl * m + 4 * sl * n_win)
         if stream_budget_bytes is not None:
             a_vmem_limit = min(int(usage * 1.5) + (8 << 20), 120 << 20)
-        elif usage > (14 << 20):
+        elif usage > (11 << 20):
+            # 11 MB threshold, not 14: see the resident-regime comment
+            # (the model under-counts wide-tap stack usage by ~25%).
             # Wide-tap operators (many plane windows, m clamped to 1)
             # legitimately need more scoped VMEM than Mosaic's ~16 MB
             # default — raise the LIMIT to fit the scratch while keeping
             # the window width from the 15 MB sizing model (wider
             # windows via a bigger budget were measured slower; a bigger
             # limit for the same windows just prevents a spill OOM).
-            a_vmem_limit = min(int(usage * 1.25) + (4 << 20), 120 << 20)
+            a_vmem_limit = min(int(usage * 1.5) + (4 << 20), 120 << 20)
         double_buffer = True
     bl_a = bl * m
     l_pad = -(-l_real // bl_a) * bl_a

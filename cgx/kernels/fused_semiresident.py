@@ -30,7 +30,17 @@ trajectories match ``cg_solve`` to fp32 roundoff.
 In-place update hazard: sweep 1 updates p in VMEM while the stencil
 still needs the PRE-update values at the next block's left margin; a
 rolling ``sl``-wide saved strip carries them (the textbook in-place
-stencil delay line).  Constant-coefficient stencils only, single device.
+stencil delay line).  Single device.
+
+Variable-coefficient DIA (:func:`sr_dia_cg`): the rpq tier additionally
+streams the operator's coefficient planes as double-buffered halo
+windows through its single apply sweep — ONE plane pass per iteration
+where the two-pass engine pays two kernel launches and re-reads q —
+with the same Jacobi-as-symmetric-scaling semantics as
+:mod:`cgx.kernels.fused_dia_cg` (weighted true-residual test streams
+``w = diag(A)`` through the update sweep).  rp/p tiers stay
+constant-coefficient (their update sweep re-applies the stencil, which
+would double the plane traffic).
 
 Reference algorithm anchor: ``conj_grad`` (cg.c:88-141).
 """
@@ -46,7 +56,8 @@ import jax.numpy as jnp
 from cgx.solve.cg import CGResult
 
 __all__ = ["SRGeometry", "make_sr_geometry", "sr_mode", "sr_cg",
-           "sr_stencil_cg", "SR_VMEM_BUDGET"]
+           "sr_stencil_cg", "sr_dia_cg", "sr_dia_supported",
+           "SR_VMEM_BUDGET"]
 
 
 def _r128(v: int) -> int:
@@ -67,6 +78,9 @@ class SRGeometry:
     total: int          # l_pad + 2·sl
     nb: int             # l_pad // bl
     mode: str           # "rpq" | "rp" | "p"
+    n_planes: int = 0   # streamed coefficient planes (variable DIA)
+    weighted: bool = False  # stream w for the true-residual test (PCG)
+    sym: bool = False   # planes mirror into their negative taps
 
     @property
     def n(self) -> int:
@@ -90,39 +104,58 @@ _MODE_SPILL = {"rpq": 4, "rp": 4, "p": 6}
 
 
 def _footprint(mode: str, rows8: int, l_real: int, sl: int, bl: int,
-               itemsize: int) -> int:
+               itemsize: int, n_planes: int = 0, weighted: bool = False,
+               plane_isz: int = 4) -> int:
     l_pad = -(-l_real // bl) * bl
     arr = rows8 * (l_pad + 2 * sl) * itemsize
     over = (_MODE_SLOTS[mode] + _MODE_SPILL[mode]) * rows8 * bl * itemsize
+    if n_planes:
+        # Double-buffered plane windows in the apply sweep.
+        over += 2 * n_planes * rows8 * (bl + 2 * sl) * plane_isz
+    if weighted:
+        over += 2 * rows8 * bl * itemsize     # streamed w blocks
     return _MODE_K[mode] * arr + over
 
 
 def _plan(nx: int, ny: int, nz: int,
           taps: Sequence[Tuple[int, int, int]], itemsize: int,
-          mode: Optional[str], bl_req: int
+          mode: Optional[str], bl_req: int, n_planes: int = 0,
+          weighted: bool = False, plane_isz: int = 4
           ) -> Optional[Tuple[str, int]]:
     """(mode, bl) for the densest tier that fits the VMEM model, trying
     bl_req then halving; None if no tier fits.  A forced ``mode`` returns
     best-effort bl even when the model says it won't fit (interpret-mode
-    callers)."""
+    callers).  Streamed coefficient planes (``n_planes > 0``) restrict
+    the ladder to the rpq tier — the rp/p tiers re-apply the stencil in
+    the update sweep, which would double the plane traffic."""
     rows8 = -(-(nx + 2) // 8) * 8
     l_real = ny * nz
     reach = max([abs(dy * nz + dk) for (_, dy, dk) in taps] + [1])
     sl = _r128(reach)
 
+    # Streamed-plane kernels under-count their stack by ~12% (27-point
+    # sym at 96³ measured 116.7 MB actual vs 103.9 MB modeled — the
+    # mirror-tap temporaries aren't in the model), so they plan against
+    # a lower budget; the compile limit gets matching headroom.
+    budget = (100 << 20) if n_planes else SR_VMEM_BUDGET
+
     def pick_bl(m):
         bl = max(_r128(bl_req), sl)
         while True:
-            if _footprint(m, rows8, l_real, sl, bl, itemsize) \
-                    <= SR_VMEM_BUDGET:
+            if _footprint(m, rows8, l_real, sl, bl, itemsize, n_planes,
+                          weighted, plane_isz) <= budget:
                 return bl
             if bl <= sl or bl <= 128:
                 return None
             bl = max(_r128(bl // 2), sl)
 
+    tiers = ("rpq",) if n_planes else ("rpq", "rp", "p")
     if mode is not None:
+        if n_planes and mode != "rpq":
+            raise ValueError("streamed coefficient planes require the "
+                             "rpq tier (1 apply/iter)")
         return mode, (pick_bl(mode) or max(_r128(128), sl))
-    for m in ("rpq", "rp", "p"):
+    for m in tiers:
         bl = pick_bl(m)
         if bl is not None:
             return m, bl
@@ -143,12 +176,17 @@ def make_sr_geometry(nx: int, ny: int, nz: int,
                      taps: Sequence[Tuple[int, int, int]],
                      mode: Optional[str] = None,
                      bl: Optional[int] = None,
-                     itemsize: int = 4) -> SRGeometry:
+                     itemsize: int = 4,
+                     n_planes: int = 0,
+                     weighted: bool = False,
+                     sym: bool = False,
+                     plane_isz: int = 4) -> SRGeometry:
     for (dx, dy, dk) in taps:
         if abs(dx) > 1:
             raise ValueError(f"tap {dx, dy, dk}: |dx| must be <= 1")
     plan = _plan(nx, ny, nz, taps, itemsize, mode,
-                 4096 if bl is None else bl)
+                 4096 if bl is None else bl, n_planes, weighted,
+                 plane_isz)
     if plan is None:
         raise ValueError("problem too large for any semi-resident "
                          "tier — use the two-pass engine")
@@ -165,7 +203,8 @@ def make_sr_geometry(nx: int, ny: int, nz: int,
     return SRGeometry(nx=nx, ny=ny, nz=nz, taps=tuple(map(tuple, taps)),
                       rows8=-(-(nx + 2) // 8) * 8, sl=sl, bl=bl,
                       l_real=l_real, l_pad=l_pad, total=l_pad + 2 * sl,
-                      nb=l_pad // bl, mode=mode)
+                      nb=l_pad // bl, mode=mode, n_planes=n_planes,
+                      weighted=weighted, sym=sym)
 
 
 def _to_layout(g: SRGeometry, v: jnp.ndarray) -> jnp.ndarray:
@@ -187,6 +226,8 @@ def _kernel(*refs, g: SRGeometry, coeffs, interp: bool):
     maxit_ref = refs.pop(0)
     r0_in = refs.pop(0)                     # ANY (HBM)
     x_in = refs.pop(0)                      # ANY (HBM), aliased to x_out
+    planes_hbm = refs.pop(0) if g.n_planes else None  # (np, rows8, total)
+    w_hbm = refs.pop(0) if g.weighted else None       # ANY (HBM)
     x_out = refs.pop(0)                     # ANY (HBM)
     r_hbm = refs.pop(0) if g.mode == "p" else None   # ANY, aliased to r0_in
     k_out = refs.pop(0)
@@ -199,9 +240,13 @@ def _kernel(*refs, g: SRGeometry, coeffs, interp: bool):
     xout_blk = refs.pop(0)                  # (2, rows8, bl) out
     rblk = refs.pop(0) if g.mode == "p" else None
     rout_blk = refs.pop(0) if g.mode == "p" else None
+    pwin = refs.pop(0) if g.n_planes else None  # (2, np, rows8, win)
+    wblk = refs.pop(0) if g.weighted else None  # (2, rows8, bl)
     sem_in, sem_out = refs.pop(0), refs.pop(0)
     sem_rin = refs.pop(0) if g.mode == "p" else None
     sem_rout = refs.pop(0) if g.mode == "p" else None
+    psem = refs.pop(0) if g.n_planes else None
+    sem_w = refs.pop(0) if g.weighted else None
     sem_big = refs.pop(0)
 
     nxl, sl, bl, nb = g.nx, g.sl, g.bl, g.nb
@@ -209,7 +254,9 @@ def _kernel(*refs, g: SRGeometry, coeffs, interp: bool):
     f32 = jnp.float32
 
     # (1, W) masked coefficient rows per block (lane-only boundary
-    # masks — see fused_engine._kernel_a).
+    # masks — see fused_engine._kernel_a).  Variable (streamed-plane)
+    # taps have coeffs[t] = None: their boundary zeros are encoded in
+    # the plane data (wrap_entries_zero) and the layout padding.
     def coeff_rows(b, width, origin_off):
         lane = (b * bl + origin_off
                 + jax.lax.broadcasted_iota(jnp.int32, (1, width), 1))
@@ -218,6 +265,9 @@ def _kernel(*refs, g: SRGeometry, coeffs, interp: bool):
         valid = (lane >= 0) & (lane < g.l_real)
         rows = []
         for t, (dx, dy, dk) in enumerate(g.taps):
+            if coeffs[t] is None:
+                rows.append(None)
+                continue
             m = valid
             if dk:
                 m = m & (k + dk >= 0) & (k + dk < g.nz)
@@ -227,24 +277,64 @@ def _kernel(*refs, g: SRGeometry, coeffs, interp: bool):
                                   jnp.asarray(0.0, f32)))
         return rows
 
-    def apply_taps(w, crows):
+    def apply_taps(w, crows, pw=None, b=None):
         """Stencil apply over a (rows8, bl + 2·sl) window; returns the
-        (nxl, bl) core."""
+        (nxl, bl) core.  ``pw`` carries the block's streamed coefficient
+        plane windows ((n_planes, rows8, win)); in sym mode each plane
+        serves its tap AND the mirror tap via a shifted read (see
+        fused_engine._kernel_a)."""
         y = None
+        pi = 0
         for t, (dx, dy, dk) in enumerate(g.taps):
             dl = dy * g.nz + dk
-            term = crows[t] * w[1 + dx:1 + dx + nxl,
-                                sl + dl:sl + dl + bl]
+            s = w[1 + dx:1 + dx + nxl, sl + dl:sl + dl + bl]
+            if crows[t] is not None:
+                term = crows[t] * s
+            else:
+                wp = pw[pi]
+                pi += 1
+                term = wp[1:1 + nxl, sl:sl + bl].astype(w.dtype) * s
+                if g.sym and (dx, dy, dk) != (0, 0, 0):
+                    term = term + (
+                        wp[1 - dx:1 - dx + nxl,
+                           sl - dl:sl - dl + bl].astype(w.dtype)
+                        * w[1 - dx:1 - dx + nxl,
+                            sl - dl:sl - dl + bl])
             y = term if y is None else y + term
+        if g.sym and g.n_planes:
+            # Mirror reads can pull real values into lane padding —
+            # zero it (constant taps mask validity in their rows;
+            # output-aligned plane reads are zero there already).
+            lane = (b * bl
+                    + jax.lax.broadcasted_iota(jnp.int32, (1, bl), 1))
+            y = jnp.where(lane < g.l_real, y, jnp.asarray(0.0, y.dtype))
         return y
+
+    def start_pwin(slot, b):
+        return pltpu.make_async_copy(
+            planes_hbm.at[:, :, pl.ds(b * bl, win)], pwin.at[slot],
+            psem.at[slot])
 
     def gram_sweep():
         """pq = pᵀAp, qq = ‖Ap‖² over the resident p (read-only; when
         mode == "rpq" the apply is also stored into q_scr)."""
+        if pwin is not None:
+            start_pwin(0, 0).start()
+
         def step(b, acc):
             pq, qq = acc
+            pw = None
+            if pwin is not None:
+                slot = jax.lax.rem(b, 2)
+
+                @pl.when(b + 1 < nb)
+                def _():
+                    start_pwin(jax.lax.rem(b + 1, 2), b + 1).start()
+
+                start_pwin(slot, b).wait()
+                pw = pwin[slot]
             w = p_scr[:, pl.ds(b * bl, win)]
-            q = apply_taps(w, coeff_rows(b, bl, 0))
+            q = apply_taps(w, coeff_rows(b, bl, 0), pw, b)
             if q_scr is not None:
                 q_scr[:, pl.ds(sl + b * bl, bl)] = jnp.pad(
                     q, ((1, g.rows8 - 1 - nxl), (0, 0)))
@@ -277,16 +367,23 @@ def _kernel(*refs, g: SRGeometry, coeffs, interp: bool):
                 r_hbm.at[:, pl.ds(sl + b * bl, bl)], rblk.at[slot],
                 sem_rin.at[slot])
 
+        def start_w_in(slot, b):
+            return pltpu.make_async_copy(
+                w_hbm.at[:, pl.ds(sl + b * bl, bl)], wblk.at[slot],
+                sem_w.at[slot])
+
         # Prefetch block 0; the rolling strip starts as the (permanently
         # zero) left halo.
         start_x_in(0, 0).start()
         if rblk is not None:
             start_r_in(0, 0).start()
+        if wblk is not None:
+            start_w_in(0, 0).start()
         if remat:
             save_scr[...] = p_scr[:, pl.ds(0, sl)]
 
         def step(b, acc):
-            rz_acc = acc
+            rz_acc, rzt_acc = acc
             slot = jax.lax.rem(b, 2)
             nslot = jax.lax.rem(b + 1, 2)
 
@@ -295,10 +392,14 @@ def _kernel(*refs, g: SRGeometry, coeffs, interp: bool):
                 start_x_in(nslot, b + 1).start()
                 if rblk is not None:
                     start_r_in(nslot, b + 1).start()
+                if wblk is not None:
+                    start_w_in(nslot, b + 1).start()
 
             start_x_in(slot, b).wait()       # matching-sized wait
             if rblk is not None:
                 start_r_in(slot, b).wait()
+            if wblk is not None:
+                start_w_in(slot, b).wait()
 
             if remat:
                 # Pre-update p window: saved strip + untouched right part.
@@ -354,9 +455,16 @@ def _kernel(*refs, g: SRGeometry, coeffs, interp: bool):
             p_scr[1:1 + nxl, pl.ds(sl + b * bl, bl)] = p_new
 
             r32 = r_new.astype(f32)
-            return rz_acc + jnp.sum(r32 * r32)
+            rsq = r32 * r32
+            s = jnp.sum(rsq)
+            if wblk is not None:
+                rzt = jnp.sum(rsq * wblk[slot][1:1 + nxl, :].astype(f32))
+            else:
+                rzt = s
+            return rz_acc + s, rzt_acc + rzt
 
-        rz = jax.lax.fori_loop(0, nb, step, jnp.zeros((), f32))
+        rz, rzt = jax.lax.fori_loop(
+            0, nb, step, (jnp.zeros((), f32), jnp.zeros((), f32)))
         # Drain the last two blocks' out-DMAs (static nb — everything
         # earlier was waited at slot reuse).
         for bb in range(max(0, nb - 2), nb):
@@ -369,7 +477,7 @@ def _kernel(*refs, g: SRGeometry, coeffs, interp: bool):
                     rout_blk.at[bb % 2],
                     r_hbm.at[:, pl.ds(sl + bb * bl, bl)],
                     sem_rout.at[bb % 2]).wait()
-        return rz
+        return rz, rzt
 
     # --- init: copy r0 into the resident arrays / leave in HBM --------
     def big_copy(src, dst):
@@ -390,34 +498,48 @@ def _kernel(*refs, g: SRGeometry, coeffs, interp: bool):
         # aliased outputs; copy explicitly there.
         big_copy(r0_in, r_hbm)
 
-    rz0 = jnp.zeros((), f32)
-
     def rz_step(b, acc):
+        rz, rzt = acc
         r = p_scr[1:1 + nxl, pl.ds(sl + b * bl, bl)].astype(f32)
-        return acc + jnp.sum(r * r)
-    rz0 = jax.lax.fori_loop(0, nb, rz_step, rz0)
+        rsq = r * r
+        s = jnp.sum(rsq)
+        if wblk is not None:
+            cp = pltpu.make_async_copy(
+                w_hbm.at[:, pl.ds(sl + b * bl, bl)], wblk.at[0],
+                sem_w.at[0])
+            cp.start()
+            cp.wait()
+            t = jnp.sum(rsq * wblk[0][1:1 + nxl, :].astype(f32))
+        else:
+            t = s
+        return rz + s, rzt + t
+    rz0, rzt0 = jax.lax.fori_loop(
+        0, nb, rz_step, (jnp.zeros((), f32), jnp.zeros((), f32)))
     pq0, qq0 = gram_sweep()
 
     def cond(c):
-        k, rz, pq, qq = c
-        return jnp.logical_and(k < maxit_ref[0, 0], rz > tol_ref[0, 0])
+        k, rz, rzt, pq, qq = c
+        # The convergence test is on the TRUE residual (solve-space ==
+        # true when unweighted); α/β use the solve-space recurrence.
+        return jnp.logical_and(k < maxit_ref[0, 0], rzt > tol_ref[0, 0])
 
     def body(c):
-        k, rz, pq, qq = c
+        k, rz, rzt, pq, qq = c
         alpha32 = rz / pq
         beta32 = (alpha32 * alpha32 * qq - rz) / rz
-        rz_new = update_sweep(alpha32, beta32)
+        rz_new, rzt_new = update_sweep(alpha32, beta32)
         pq_new, qq_new = gram_sweep()
-        return k + 1, rz_new, pq_new, qq_new
+        return k + 1, rz_new, rzt_new, pq_new, qq_new
 
-    k, rz, pq, qq = jax.lax.while_loop(
-        cond, body, (jnp.zeros((), jnp.int32), rz0, pq0, qq0))
+    k, rz, rzt, pq, qq = jax.lax.while_loop(
+        cond, body, (jnp.zeros((), jnp.int32), rz0, rzt0, pq0, qq0))
     k_out[0, 0] = k
     rz_out[0, 0] = rz
-    rz_out[0, 1] = rz
+    rz_out[0, 1] = rzt
 
 
-def _build_call(g: SRGeometry, coeffs, dtype, interpret: bool):
+def _build_call(g: SRGeometry, coeffs, dtype, interpret: bool,
+                plane_dtype=None):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -426,8 +548,12 @@ def _build_call(g: SRGeometry, coeffs, dtype, interpret: bool):
     anyspec = pl.BlockSpec(memory_space=pl.ANY)
     sm = pl.BlockSpec(memory_space=pltpu.SMEM)
     vshape = jax.ShapeDtypeStruct((g.rows8, g.total), dtype)
+    pdt = dtype if plane_dtype is None else plane_dtype
+    win = g.bl + 2 * g.sl
 
     in_specs = [sm, sm, anyspec, anyspec]
+    n_extra_in = (1 if g.n_planes else 0) + (1 if g.weighted else 0)
+    in_specs += [anyspec] * n_extra_in
     out_specs = [anyspec]
     out_shape = [vshape]
     aliases = {3: 0}                        # x_in -> x_out
@@ -450,21 +576,33 @@ def _build_call(g: SRGeometry, coeffs, dtype, interpret: bool):
     if g.mode == "p":
         scratch += [pltpu.VMEM((2, g.rows8, g.bl), dtype),
                     pltpu.VMEM((2, g.rows8, g.bl), dtype)]
+    if g.n_planes:
+        scratch.append(pltpu.VMEM((2, g.n_planes, g.rows8, win), pdt))
+    if g.weighted:
+        scratch.append(pltpu.VMEM((2, g.rows8, g.bl), dtype))  # w blocks
     scratch += [pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,))]
     if g.mode == "p":
         scratch += [pltpu.SemaphoreType.DMA((2,)),
                     pltpu.SemaphoreType.DMA((2,))]
+    if g.n_planes:
+        scratch.append(pltpu.SemaphoreType.DMA((2,)))          # psem
+    if g.weighted:
+        scratch.append(pltpu.SemaphoreType.DMA((2,)))          # sem_w
     scratch.append(pltpu.SemaphoreType.DMA(()))
 
     vmem_need = _footprint(g.mode, g.rows8, g.l_real, g.sl, g.bl,
-                           jnp.dtype(dtype).itemsize)
+                           jnp.dtype(dtype).itemsize, g.n_planes,
+                           g.weighted, jnp.dtype(pdt).itemsize)
+    # Streamed-plane kernels need ~1.2x headroom over the model (the
+    # mirror-tap temporaries aren't counted — see _plan's budget note).
+    headroom = 1.2 if g.n_planes else 1.05
     params = {} if interpret else dict(
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=min(int(vmem_need * 1.05) + (2 << 20),
+            vmem_limit_bytes=min(int(vmem_need * headroom) + (2 << 20),
                                  127 << 20)))
 
-    def call(tol_sq, maxit, r0_l, x0_l):
+    def call(tol_sq, maxit, r0_l, x0_l, *extra):
         return pl.pallas_call(
             kernel,
             in_specs=in_specs,
@@ -474,27 +612,49 @@ def _build_call(g: SRGeometry, coeffs, dtype, interpret: bool):
             scratch_shapes=scratch,
             interpret=interpret,
             **params,
-        )(tol_sq, maxit, r0_l, x0_l)
+        )(tol_sq, maxit, r0_l, x0_l, *extra)
 
     return call
 
 
 def sr_cg(g: SRGeometry, b: jnp.ndarray, *, coeffs,
           tol: float = 1e-6, atol=0.0, maxiter: int = 1000,
-          interpret: bool = False) -> CGResult:
+          interpret: bool = False, planes=None, w=None,
+          plane_dtype=None, b_norm_sq=None) -> CGResult:
     """Run the semi-resident whole-solve kernel on flat ``b`` (x₀ = 0 —
     callers with an initial guess solve for the correction, see
-    :func:`sr_stencil_cg`).  ``atol`` may be a traced scalar."""
+    :func:`sr_stencil_cg`).  ``atol`` may be a traced scalar.
+
+    ``planes``: streamed coefficient planes, flat ``(n_planes, n)``
+    (variable DIA — geometry must carry matching ``n_planes``/``sym``).
+    ``w``: per-row weight for the TRUE-residual convergence test, flat
+    ``(n,)`` (Jacobi-as-scaling PCG — see fused_dia_cg); ``b_norm_sq``
+    overrides the ``tol``-reference norm (pass Σ w·b² for weighted
+    solves so the test matches ``cg_solve``'s true ‖b‖²)."""
     dtype = b.dtype
     r0_l = _to_layout(g, b.astype(dtype))
     x0_l = jnp.zeros((g.rows8, g.total), dtype)
+    extra = []
+    if g.n_planes:
+        pdt = dtype if plane_dtype is None else plane_dtype
+        if planes is None or planes.shape[0] != g.n_planes:
+            raise ValueError("geometry expects "
+                             f"{g.n_planes} streamed planes")
+        extra.append(jnp.stack([_to_layout(g, planes[t].astype(pdt))
+                                for t in range(g.n_planes)]))
+    if g.weighted:
+        if w is None:
+            raise ValueError("geometry expects a weight vector")
+        extra.append(_to_layout(g, w.astype(dtype)))
 
-    bb = jnp.sum(b.astype(jnp.float32) ** 2)
+    bb = (jnp.sum(b.astype(jnp.float32) ** 2)
+          if b_norm_sq is None else b_norm_sq)
     tol_sq = jnp.maximum(jnp.asarray(tol, jnp.float32) ** 2 * bb,
                          jnp.asarray(atol, jnp.float32) ** 2)
-    call = _build_call(g, tuple(coeffs), dtype, interpret)
+    call = _build_call(g, tuple(coeffs), dtype, interpret,
+                       plane_dtype=plane_dtype)
     out = call(tol_sq.reshape(1, 1),
-               jnp.full((1, 1), maxiter, jnp.int32), r0_l, x0_l)
+               jnp.full((1, 1), maxiter, jnp.int32), r0_l, x0_l, *extra)
     x_l = out[0]
     k, rz = out[-2], out[-1]
     return CGResult(x=_from_layout(g, x_l),
@@ -537,3 +697,95 @@ def sr_stencil_cg(s, b: jnp.ndarray, x0=None, *, tol: float = 1e-6,
         return dataclasses.replace(res, x=res.x + x0)
     return sr_cg(g, b, coeffs=coeffs, tol=tol, atol=atol,
                  maxiter=maxiter, interpret=interpret)
+
+
+def sr_dia_supported(d, dtype=jnp.float32,
+                     plane_dtype=None) -> bool:
+    """True iff the variable-coefficient semi-resident route can take
+    this DIA operator: engine-decomposable offsets AND the rpq tier
+    (the only tier streamed planes support — 1 apply/iter) fits the
+    VMEM footprint model with the plane windows counted.
+
+    Conservative on the plane count: assumes every kept tap streams a
+    plane (the unit-diagonal constant-tap optimization only shrinks the
+    footprint)."""
+    from cgx.kernels.fused_dia_cg import (data_symmetric_or_none,
+                                          dia_engine_spec, supports_dia)
+
+    spec = dia_engine_spec(d)
+    if spec is None or not supports_dia(d):
+        return False
+    nx, ny, nz, taps = spec
+    offs = tuple(map(int, d.offsets))
+    sym = data_symmetric_or_none(d) is True
+    n_planes = (1 + sum(1 for o in offs if o > 0)) if sym else len(offs)
+    isz = jnp.dtype(dtype).itemsize
+    p_isz = isz if plane_dtype is None else jnp.dtype(plane_dtype).itemsize
+    try:
+        plan = _plan(nx, ny, nz, taps, isz, None, 4096, n_planes,
+                     True, p_isz)
+    except ValueError:
+        return False
+    return plan is not None
+
+
+def sr_dia_cg(d, b: jnp.ndarray, x0=None, *, tol: float = 1e-6,
+              atol: float = 0.0, maxiter: int = 1000,
+              jacobi: bool = True, inv_diag=None,
+              interpret: Optional[bool] = None,
+              plane_dtype=None,
+              assume_symmetric: Optional[bool] = None) -> CGResult:
+    """Semi-resident whole-solve Jacobi-PCG (or plain CG with
+    ``jacobi=False``) on a variable-coefficient DIA operator.
+
+    Same operator semantics as :func:`cgx.kernels.fused_dia_cg.fused_dia_cg`
+    (Jacobi as one-time symmetric scaling ``Ã = E A E``, convergence
+    tested on the TRUE weighted residual, wrap-free data required) but
+    the whole solve runs in ONE ``pallas_call`` with r/p/q pinned in
+    VMEM (rpq tier) — the coefficient planes stream through the single
+    apply sweep once per iteration, half the two-pass engine's plane
+    traffic.  Raises when the rpq tier does not fit
+    (:func:`sr_dia_supported`); trajectories match ``cg_solve(d, b,
+    preconditioner=JacobiPrecond...)`` to fp32 roundoff.
+
+    Reference algorithm anchor: ``conj_grad`` (cg.c:88-141).
+    """
+    import dataclasses
+
+    from cgx.kernels.fused_dia_cg import (dia_prep,
+                                          wrap_entries_zero_or_none)
+    from cgx.ops.spmv import spmv
+
+    if wrap_entries_zero_or_none(d) is False:
+        raise ValueError(
+            "sr_dia_cg: DIA data has nonzero entries at x-plane-crossing "
+            "slots; the fused layout would silently drop them — use "
+            "cg_solve instead")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    dtype = b.dtype
+    nx, ny, nz, taps, coeffs, planes, e, weight, sym = dia_prep(
+        d, dtype, jacobi=jacobi, inv_diag=inv_diag,
+        assume_symmetric=assume_symmetric)
+    pdt = dtype if plane_dtype is None else plane_dtype
+    g = make_sr_geometry(
+        nx, ny, nz, taps, n_planes=int(planes.shape[0]),
+        weighted=weight is not None, sym=sym,
+        itemsize=jnp.dtype(dtype).itemsize,
+        plane_isz=jnp.dtype(pdt).itemsize)
+
+    bb = jnp.sum(b.astype(jnp.float32) ** 2)    # true ‖b‖² in both spaces
+    if x0 is not None:
+        r0 = b - spmv(d, x0)
+    else:
+        r0 = b
+    b_s = r0 if e is None else e * r0
+
+    res = sr_cg(g, b_s, coeffs=coeffs, tol=tol, atol=atol,
+                maxiter=maxiter, interpret=interpret,
+                planes=planes, w=weight, plane_dtype=plane_dtype,
+                b_norm_sq=bb)
+    x = res.x if e is None else e * res.x
+    if x0 is not None:
+        x = x + x0
+    return dataclasses.replace(res, x=x)

@@ -53,7 +53,8 @@ def _sr_tier(a):
 def select_backend(a, b, preconditioner=None) -> str:
     """The backend :func:`auto_solve` would route this problem to:
     ``"resident_stencil"`` | ``"resident_dia"`` | ``"sr_stencil"`` |
-    ``"fused_stencil"`` | ``"fused_dia"`` | ``"padded"`` | ``"xla"``.
+    ``"sr_dia"`` | ``"fused_stencil"`` | ``"fused_dia"`` | ``"padded"``
+    | ``"xla"``.
 
     Call OUTSIDE jit with concrete data (the DIA wrap-entry check is
     data-dependent); pass the result to ``auto_solve(backend=...)`` when
@@ -90,6 +91,11 @@ def select_backend(a, b, preconditioner=None) -> str:
     if stencil_ok and n >= FUSED_MIN_ROWS:
         return "fused_stencil"
     if dia_ok and n >= FUSED_MIN_ROWS:
+        from cgx.kernels.fused_semiresident import sr_dia_supported
+        if sr_dia_supported(a, b.dtype):
+            # rpq tier with streamed plane windows: ONE apply/iter, so
+            # the plane traffic halves vs the two-pass engine.
+            return "sr_dia"
         return "fused_dia"
     if padded_length(n) != n:
         return "padded"
@@ -161,6 +167,7 @@ def auto_solve(
     mi = int(maxiter) if maxiter is not None else n
     if mixed_precision and not track_history and n >= FUSED_MIN_ROWS \
             and backend in ("fused_stencil", "fused_dia",
+                            "sr_stencil", "sr_dia",
                             "resident_stencil", "resident_dia"):
         from cgx.solve.ir import ir_cg_solve
         # Mode routing by the measured footprint model (PERF_NOTES
@@ -188,13 +195,21 @@ def auto_solve(
         backend = ("fused" + backend[len("resident"):]
                    if n >= FUSED_MIN_ROWS else
                    ("padded" if padded_length(n) != n else "xla"))
-    if backend == "sr_stencil" and track_history:
+    if backend in ("sr_stencil", "sr_dia") and track_history:
         # Same whole-solve limitation as the resident kernel.
-        backend = ("fused_stencil" if n >= FUSED_MIN_ROWS else
+        fb = "fused" + backend[len("sr"):]
+        backend = (fb if n >= FUSED_MIN_ROWS else
                    ("padded" if padded_length(n) != n else "xla"))
     if backend == "sr_stencil":
         from cgx.kernels.fused_semiresident import sr_stencil_cg
         return sr_stencil_cg(a, b, x0, tol=tol, atol=atol, maxiter=mi)
+    if backend == "sr_dia":
+        from cgx.kernels.fused_semiresident import sr_dia_cg
+        jac = isinstance(preconditioner, JacobiPrecond)
+        return sr_dia_cg(
+            a, b, x0, tol=tol, atol=atol, jacobi=jac,
+            inv_diag=preconditioner.inv_diag if jac else None,
+            maxiter=mi)
     if backend == "resident_stencil":
         return resident_stencil_cg(a, b, x0, tol=tol, atol=atol,
                                    maxiter=mi)

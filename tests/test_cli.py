@@ -154,10 +154,15 @@ def test_select_backend_routes_fused_on_tpu(monkeypatch, rng):
     b_huge = jnp.zeros((s_huge.shape[0],), jnp.float32)
     assert auto.select_backend(s_huge, b_huge) == "fused_stencil"
 
-    # DIA: fused when wrap-free... (tiny data stretched is fine: only the
-    # shape/pattern and wrap slots matter for routing)
+    # DIA: semi-resident (rpq + streamed planes) when wrap-free and the
+    # tier fits... (tiny data stretched is fine: only the shape/pattern
+    # and wrap slots matter for routing)
     a = poisson3d_dia(160, 160, 160, dtype=np.float32)
-    assert auto.select_backend(a, b) == "fused_dia"
+    assert auto.select_backend(a, b) == "sr_dia"
+    # ... and the streaming two-pass engine past the rpq tier.
+    a_big = poisson3d_dia(256, 256, 256, dtype=np.float32)
+    b_big = jnp.zeros((a_big.shape[0],), jnp.float32)
+    assert auto.select_backend(a_big, b_big) == "fused_dia"
     data = np.asarray(a.data).copy()
     data[4, 160 * 160 - 1] = 1.0             # x-plane-crossing slot
     dirty = DIAMatrix(data=jnp.asarray(data), offsets=a.offsets,

@@ -98,6 +98,123 @@ def test_sr_2d_and_27point(rng):
                                atol=1e-4)
 
 
+def _scaled_poisson3d_dia(nx, ny, nz, rng):
+    """Variable-coefficient SPD 7-point operator: D A D for random D > 0."""
+    from cgx.io.poisson import poisson3d_dia
+    from cgx.sparse.types import DIAMatrix
+    a = poisson3d_dia(nx, ny, nz)
+    n = a.shape[0]
+    d = rng.uniform(0.5, 2.0, n)
+    data = np.asarray(a.data).copy()
+    for k, off in enumerate(a.offsets):
+        tgt = np.arange(n) + off
+        ok = (tgt >= 0) & (tgt < n)
+        data[k, ok] *= d[ok] * d[tgt[ok]]
+    return DIAMatrix(data=jnp.asarray(data), offsets=a.offsets,
+                     shape=a.shape)
+
+
+@pytest.mark.parametrize("jacobi", [True, False])
+def test_sr_dia_matches_cg_solve(jacobi, rng):
+    """Variable-coefficient DIA through the rpq semi-resident tier:
+    streamed symmetric plane windows + weighted true-residual test ==
+    (Jacobi-P)CG trajectories."""
+    import cgx
+    from cgx.kernels.fused_semiresident import sr_dia_cg, sr_dia_supported
+
+    a = _scaled_poisson3d_dia(10, 9, 11, rng).astype(jnp.float32)
+    assert sr_dia_supported(a)
+    n = a.shape[0]
+    b = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    m = cgx.JacobiPrecond.from_matrix(a) if jacobi else None
+    ref = cgx.cg_solve(a, b, tol=1e-6, maxiter=1000, preconditioner=m)
+    res = sr_dia_cg(a, b, tol=1e-6, maxiter=1000, jacobi=jacobi,
+                    interpret=True)
+    assert bool(res.converged)
+    assert abs(int(res.iterations) - int(ref.iterations)) <= 1
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                               rtol=5e-3, atol=5e-4)
+
+
+def test_sr_dia_multiblock_and_x0(rng):
+    """Multi-block plane-window streaming (bl < l_real) and the
+    initial-guess correction solve."""
+    import cgx
+    from cgx.kernels.fused_dia_cg import dia_prep
+    from cgx.kernels.fused_semiresident import sr_cg, sr_dia_cg
+
+    a = _scaled_poisson3d_dia(7, 19, 17, rng).astype(jnp.float32)
+    n = a.shape[0]
+    b = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    nx, ny, nz, taps, coeffs, planes, e, weight, sym = dia_prep(
+        a, jnp.float32, jacobi=True)
+    assert sym
+    g = make_sr_geometry(nx, ny, nz, taps, mode="rpq", bl=256,
+                         n_planes=int(planes.shape[0]), weighted=True,
+                         sym=sym)
+    assert g.nb >= 2
+    bb = jnp.sum(b.astype(jnp.float32) ** 2)
+    res = sr_cg(g, e * b, coeffs=coeffs, planes=planes, w=weight,
+                tol=1e-6, maxiter=1000, interpret=True, b_norm_sq=bb)
+    m = cgx.JacobiPrecond.from_matrix(a)
+    ref = cgx.cg_solve(a, b, tol=1e-6, maxiter=1000, preconditioner=m)
+    assert abs(int(res.iterations) - int(ref.iterations)) <= 1
+    np.testing.assert_allclose(np.asarray(e * res.x), np.asarray(ref.x),
+                               rtol=5e-3, atol=5e-4)
+
+    x0 = jnp.asarray(0.1 * rng.standard_normal(n), jnp.float32)
+    ref0 = cgx.cg_solve(a, b, x0, tol=1e-6, maxiter=1000,
+                        preconditioner=m)
+    res0 = sr_dia_cg(a, b, x0, tol=1e-6, maxiter=1000, interpret=True)
+    assert abs(int(res0.iterations) - int(ref0.iterations)) <= 1
+    np.testing.assert_allclose(np.asarray(res0.x), np.asarray(ref0.x),
+                               rtol=5e-3, atol=5e-4)
+
+
+def test_sr_dia_wide_band_27pt(rng):
+    """Generic banded 27-point variable-coefficient DIA (the wide-tap
+    configuration where halving plane traffic pays most)."""
+    import cgx
+    from cgx.sparse.types import DIAMatrix
+    from cgx.kernels.fused_semiresident import sr_dia_cg, sr_dia_supported
+
+    nx, ny, nz = 5, 6, 7
+    n = nx * ny * nz
+    i = np.arange(n)
+    kz = i % nz
+    jy = (i // nz) % ny
+    ix = i // (ny * nz)
+    pos = [(dx, dy, dk) for dx in (0, 1) for dy in (-1, 0, 1)
+           for dk in (-1, 0, 1) if (dx, dy, dk) > (0, 0, 0)]
+    planes = {}
+    diag = np.full(n, 0.05)
+    for (dx, dy, dk) in pos:
+        off = dx * ny * nz + dy * nz + dk
+        ok = ((kz + dk >= 0) & (kz + dk < nz) & (jy + dy >= 0)
+              & (jy + dy < ny) & (ix + dx < nx))
+        v = np.where(ok, -rng.uniform(0.2, 1.0, n), 0.0)
+        neg = np.zeros(n)
+        neg[off:] = v[:-off]
+        planes[off] = v
+        planes[-off] = neg
+        diag += np.abs(v)
+        np.add.at(diag, np.arange(off, n), np.abs(v[:-off]))
+    offs = sorted(list(planes) + [0])
+    planes[0] = diag
+    data = np.stack([planes[o] for o in offs]).astype(np.float32)
+    d = DIAMatrix(data=jnp.asarray(data), offsets=tuple(offs),
+                  shape=(n, n), grid=(nx, ny, nz))
+    assert sr_dia_supported(d)
+    b = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    m = cgx.JacobiPrecond.from_matrix(d)
+    ref = cgx.cg_solve(d, b, tol=1e-6, maxiter=500, preconditioner=m)
+    res = sr_dia_cg(d, b, tol=1e-6, maxiter=500, interpret=True)
+    assert bool(res.converged)
+    assert abs(int(res.iterations) - int(ref.iterations)) <= 1
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                               rtol=5e-3, atol=5e-4)
+
+
 def test_auto_solve_sr_backend(rng):
     """auto_solve dispatches backend="sr_stencil" (interpret on CPU), and
     track_history falls back to a history-capable path."""
