@@ -34,13 +34,17 @@ stencil delay line).  Single device.
 
 Variable-coefficient DIA (:func:`sr_dia_cg`): the rpq tier additionally
 streams the operator's coefficient planes as double-buffered halo
-windows through its single apply sweep — ONE plane pass per iteration
-where the two-pass engine pays two kernel launches and re-reads q —
-with the same Jacobi-as-symmetric-scaling semantics as
+windows through its single apply sweep, with the same
+Jacobi-as-symmetric-scaling semantics as
 :mod:`cgx.kernels.fused_dia_cg` (weighted true-residual test streams
-``w = diag(A)`` through the update sweep).  rp/p tiers stay
-constant-coefficient (their update sweep re-applies the stencil, which
-would double the plane traffic).
+``w = diag(A)`` through the update sweep).  The win over the two-pass
+engine is the vectors' VMEM residency — both stream the planes once per
+iteration, but the two-pass engine also re-streams x/r/p/q through
+kernel B plus the q round-trip between kernels (measured 275 vs 314
+µs/iter at 7-point 160³, 503 vs 690 at 27-point 128³,
+trajectory-identical).  rp/p tiers stay constant-coefficient (their
+update sweep re-applies the stencil, which would double the plane
+traffic).
 
 Reference algorithm anchor: ``conj_grad`` (cg.c:88-141).
 """
@@ -742,9 +746,10 @@ def sr_dia_cg(d, b: jnp.ndarray, x0=None, *, tol: float = 1e-6,
     (Jacobi as one-time symmetric scaling ``Ã = E A E``, convergence
     tested on the TRUE weighted residual, wrap-free data required) but
     the whole solve runs in ONE ``pallas_call`` with r/p/q pinned in
-    VMEM (rpq tier) — the coefficient planes stream through the single
-    apply sweep once per iteration, half the two-pass engine's plane
-    traffic.  Raises when the rpq tier does not fit
+    VMEM (rpq tier) — kernel B's vector re-streams and the q HBM
+    round-trip disappear (measured 1.14–1.37x over ``fused_dia_cg`` on
+    chip, trajectory-identical; planes stream once per iteration in
+    both).  Raises when the rpq tier does not fit
     (:func:`sr_dia_supported`); trajectories match ``cg_solve(d, b,
     preconditioner=JacobiPrecond...)`` to fp32 roundoff.
 

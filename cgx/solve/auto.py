@@ -93,8 +93,9 @@ def select_backend(a, b, preconditioner=None) -> str:
     if dia_ok and n >= FUSED_MIN_ROWS:
         from cgx.kernels.fused_semiresident import sr_dia_supported
         if sr_dia_supported(a, b.dtype):
-            # rpq tier with streamed plane windows: ONE apply/iter, so
-            # the plane traffic halves vs the two-pass engine.
+            # rpq tier with streamed plane windows: r/p/q stay VMEM
+            # resident, so kernel B's vector re-streams and the q
+            # round-trip disappear (measured 1.14-1.37x vs fused_dia).
             return "sr_dia"
         return "fused_dia"
     if padded_length(n) != n:
