@@ -20,13 +20,27 @@ import time
 
 def bench_matrix(name: str, a, is_standin: bool, *, tol: float = 1e-6,
                  maxiter: int = 8000, reps: int = 2, dtype="float32",
-                 fmt: str = "ell"):
+                 fmt: str = "auto", chunk: int = 150):
     """One matrix across the preconditioner set; returns result dicts.
 
-    ``fmt="ell"`` converts the solve operator to row-padded ELLPACK
+    ``fmt``: solve-operator storage.  ``"ell"`` is row-padded ELLPACK
     (static-shape gathers — measured ~1.7x over CSR at the reference's
-    full-problem scale, ``cgx/bench/reference_full.py``); the
+    banded full-problem scale, ``cgx/bench/reference_full.py``), but on
+    IRREGULAR matrices the max-degree padding multiplies the gather
+    count, which is the whole cost on TPU (thermal2 stand-in: 3.4x
+    padding, ELL 227 ms/iter vs CSR 137 — same-process interleaved;
+    reordering does not help, the gather is locality-independent).
+    ``"auto"`` picks ELL when padding waste ≤ 1.5x, else CSR.  The
     preconditioners are always built from the exact CSR data.
+
+    ``chunk``: iterations per device dispatch
+    (:func:`cgx.utils.checkpoint.cg_solve_checkpointed` without a
+    snapshot path — trajectory-identical to one while_loop).  The
+    remote-TPU tunnel kills any single dispatch running longer than
+    ~60 s ("UNAVAILABLE: TPU device error"), which a multi-thousand-
+    iteration solve on a gather-bound operator exceeds; bounded chunks
+    keep every dispatch under it on any operator.
+
     Non-converged solves (e.g. bcsstk17's κ≈10¹⁰ in fp32) time a single
     rep — the iteration count and honest ``converged=False`` are the
     data point, not the repeat noise.
@@ -36,7 +50,12 @@ def bench_matrix(name: str, a, is_standin: bool, *, tol: float = 1e-6,
     import numpy as np
 
     import cgx
+    from cgx.utils.checkpoint import cg_solve_checkpointed
 
+    if fmt == "auto":
+        deg = np.diff(np.asarray(a.indptr))
+        waste = float(deg.max() * a.shape[0]) / max(int(a.nnz), 1)
+        fmt = "ell" if waste <= 1.5 else "csr"
     a32 = a.astype(jnp.dtype(dtype))
     if fmt == "ell":
         from cgx.sparse.types import ell_from_csr
@@ -64,13 +83,17 @@ def bench_matrix(name: str, a, is_standin: bool, *, tol: float = 1e-6,
     for pname, m in preconds.items():
         rec = {"matrix": name, "standin": bool(is_standin), "n": n,
                "nnz": int(a.nnz), "precond": pname, "dtype": dtype,
-               "tol": tol}
+               "tol": tol, "format": fmt}
         if isinstance(m, Exception):
             rec["error"] = f"IC(0) breakdown: {m}"
             out.append(rec)
             continue
-        solve = jax.jit(lambda b, m=m: cgx.cg_solve(
-            a32, b, tol=tol, maxiter=maxiter, preconditioner=m))
+
+        def solve(b, m=m):
+            return cg_solve_checkpointed(
+                a32, b, tol=tol, maxiter=maxiter, preconditioner=m,
+                chunk=chunk)
+
         res = jax.block_until_ready(solve(jnp.asarray(base)))   # compile
         best = None
         n_reps = reps if bool(res.converged) else 1
@@ -100,7 +123,10 @@ def main(argv=None) -> int:
     ap.add_argument("--tol", type=float, default=1e-6)
     ap.add_argument("--maxiter", type=int, default=8000)
     ap.add_argument("--reps", type=int, default=2)
-    ap.add_argument("--format", default="ell", choices=["ell", "csr"])
+    ap.add_argument("--chunk", type=int, default=150,
+                    help="iterations per device dispatch (tunnel-safe)")
+    ap.add_argument("--format", default="auto",
+                    choices=["auto", "ell", "csr"])
     ap.add_argument("--dir", default=None,
                     help="directory with real .mtx artifacts")
     args = ap.parse_args(argv)
@@ -111,7 +137,7 @@ def main(argv=None) -> int:
         a, standin = load_or_standin(name, args.dir, scale=args.scale)
         for rec in bench_matrix(name, a, standin, tol=args.tol,
                                 maxiter=args.maxiter, reps=args.reps,
-                                fmt=args.format):
+                                fmt=args.format, chunk=args.chunk):
             print(json.dumps(rec), flush=True)
     return 0
 
