@@ -50,11 +50,15 @@ def bench_matrix(name: str, a, is_standin: bool, *, tol: float = 1e-6,
     import numpy as np
 
     import cgx
-    from cgx.utils.checkpoint import cg_solve_checkpointed
+    from cgx.utils.checkpoint import make_checkpointed_solver
 
     if fmt == "auto":
         deg = np.diff(np.asarray(a.indptr))
-        waste = float(deg.max() * a.shape[0]) / max(int(a.nnz), 1)
+        # Waste from the width ACTUALLY used: ell_from_csr pads the row
+        # width up to a multiple of 8, so a max degree of 3-5 still costs
+        # 8 gathers/row (ADVICE r2).
+        w = -(-int(deg.max()) // 8) * 8
+        waste = float(w * a.shape[0]) / max(int(a.nnz), 1)
         fmt = "ell" if waste <= 1.5 else "csr"
     a32 = a.astype(jnp.dtype(dtype))
     if fmt == "ell":
@@ -89,10 +93,10 @@ def bench_matrix(name: str, a, is_standin: bool, *, tol: float = 1e-6,
             out.append(rec)
             continue
 
-        def solve(b, m=m):
-            return cg_solve_checkpointed(
-                a32, b, tol=tol, maxiter=maxiter, preconditioner=m,
-                chunk=chunk)
+        # One compiled chunk step per (matrix, preconditioner): the timed
+        # reps reuse it — no per-call retrace (ADVICE r2 medium).
+        solve = make_checkpointed_solver(
+            a32, tol=tol, maxiter=maxiter, preconditioner=m, chunk=chunk)
 
         res = jax.block_until_ready(solve(jnp.asarray(base)))   # compile
         best = None

@@ -7,6 +7,11 @@ in chunks (:func:`~cgx.solve.cg.cg_chunk`), and every chunk boundary is a
 checkpoint opportunity.  Snapshots are host-side ``.npz`` (atomic rename) —
 cheap relative to solve time because state is O(n), and format-stable for
 cross-process resume after preemption.
+
+:func:`make_checkpointed_solver` builds the jitted chunk step ONCE and
+returns a reusable solver — repeated solves on the same operator (bench
+reps, multi-RHS sweeps) pay trace/compile cost a single time.
+:func:`cg_solve_checkpointed` is the one-shot convenience wrapper.
 """
 from __future__ import annotations
 
@@ -18,7 +23,8 @@ import numpy as np
 
 from cgx.solve.cg import CGResult, CGState, cg_chunk, cg_init
 
-__all__ = ["save_state", "load_state", "cg_solve_checkpointed"]
+__all__ = ["save_state", "load_state", "cg_solve_checkpointed",
+           "make_checkpointed_solver"]
 
 _FIELDS = ("x", "r", "z", "p", "rz", "rr", "k", "history")
 
@@ -46,6 +52,83 @@ def load_state(path: str) -> CGState:
         return CGState(**{f: jnp.asarray(z[f]) for f in _FIELDS})
 
 
+def make_checkpointed_solver(
+    a,
+    *,
+    tol: float = 1e-6,
+    atol: float = 0.0,
+    maxiter: Optional[int] = None,
+    preconditioner=None,
+    chunk: int = 100,
+    backend: str = "xla",
+) -> Callable[..., CGResult]:
+    """Build a reusable chunked solver for operator ``a``.
+
+    Returns ``solve(b, x0=None, *, checkpoint_path=None, on_chunk=None)``
+    with :func:`cg_solve_checkpointed` semantics.  The jitted chunk step is
+    traced once at build time and shared across every call — repeated
+    solves (bench reps, parameter sweeps) recompile nothing (the per-call
+    retrace was measured at ~1.1-1.9 s on CPU; see ADVICE r2).
+
+    ``backend``: ``"xla"`` (any operator/preconditioner) or ``"fused"``
+    (the two-pass Pallas engine, fused-capable stencil/DIA operators; the
+    path :func:`~cgx.solve.auto.auto_solve` routes big problems to).
+    Snapshot files are backend-interchangeable — a solve checkpointed under
+    one backend can resume under the other.
+    """
+    if backend == "fused":
+        return _make_fused_checkpointed(
+            a, tol=tol, atol=atol, maxiter=maxiter,
+            preconditioner=preconditioner, chunk=chunk)
+    if backend != "xla":
+        raise ValueError(f"unknown backend {backend!r}")
+
+    import jax
+    import jax.numpy as jnp
+
+    from cgx.solve.cg import _tol_sq
+
+    # NOTE on donation (SURVEY.md §2.1 #2): the initial state aliases b
+    # (r0 = z0 = p0 = b when x0 is None), so donate_argnums=1 would donate
+    # one buffer several times; XLA's while_loop already updates the carried
+    # state in place inside each chunk, which is where the traffic is.
+    # `a` is closed over (it may be a matvec callable — not a JAX type) and
+    # `iters` is traced (only the while_loop cond uses it), so every chunk —
+    # including a short final one — reuses one compilation.
+    @jax.jit
+    def step(s, b, iters):
+        return cg_chunk(a, s, iters, b=b, tol=tol, atol=atol,
+                        preconditioner=preconditioner)
+
+    def solve(b, x0=None, *, checkpoint_path: Optional[str] = None,
+              on_chunk: Optional[Callable[[CGState], None]] = None
+              ) -> CGResult:
+        mi = int(maxiter) if maxiter is not None else b.shape[0]
+        if checkpoint_path and os.path.exists(checkpoint_path):
+            state = load_state(checkpoint_path)
+        else:
+            state = cg_init(a, b, x0, preconditioner=preconditioner)
+        tol_sq = _tol_sq(tol, atol, b, None)
+
+        while int(state.k) < mi and float(state.rr) > float(tol_sq):
+            iters = min(chunk, mi - int(state.k))
+            state = jax.block_until_ready(step(state, b, jnp.int32(iters)))
+            if checkpoint_path:
+                save_state(checkpoint_path, state)
+            if on_chunk is not None:
+                on_chunk(state)
+
+        return CGResult(
+            x=state.x,
+            iterations=state.k,
+            residual_norm_sq=state.rr,
+            converged=state.rr <= tol_sq,
+            history=state.history,
+        )
+
+    return solve
+
+
 def cg_solve_checkpointed(
     a,
     b,
@@ -68,68 +151,19 @@ def cg_solve_checkpointed(
     trajectory is bit-identical to an uninterrupted solve — chunking only
     changes where the host observes the state.
 
-    ``backend``: ``"xla"`` (any operator/preconditioner) or ``"fused"``
-    (the two-pass Pallas engine, fused-capable stencil/DIA operators; the
-    path :func:`~cgx.solve.auto.auto_solve` routes big problems to).
-    Snapshot files are backend-interchangeable — a solve checkpointed under
-    one backend can resume under the other.
+    One-shot wrapper over :func:`make_checkpointed_solver`; for repeated
+    solves on one operator build the solver once instead (each call here
+    re-traces the chunk step).
     """
-    import jax
-    import jax.numpy as jnp
-
-    if backend == "fused":
-        return _fused_checkpointed(
-            a, b, x0, tol=tol, atol=atol, maxiter=maxiter,
-            preconditioner=preconditioner, chunk=chunk,
-            checkpoint_path=checkpoint_path, on_chunk=on_chunk)
-    if backend != "xla":
-        raise ValueError(f"unknown backend {backend!r}")
-
-    if maxiter is None:
-        maxiter = b.shape[0]
-    maxiter = int(maxiter)
-
-    if checkpoint_path and os.path.exists(checkpoint_path):
-        state = load_state(checkpoint_path)
-    else:
-        state = cg_init(a, b, x0, preconditioner=preconditioner)
-
-    from cgx.solve.cg import _tol_sq
-    tol_sq = _tol_sq(tol, atol, b, None)
-
-    # NOTE on donation (SURVEY.md §2.1 #2): the initial state aliases b
-    # (r0 = z0 = p0 = b when x0 is None), so donate_argnums=1 would donate
-    # one buffer several times; XLA's while_loop already updates the carried
-    # state in place inside each chunk, which is where the traffic is.
-    # `a` is closed over (it may be a matvec callable — not a JAX type) and
-    # `iters` is traced (only the while_loop cond uses it), so every chunk —
-    # including a short final one — reuses one compilation.
-    @jax.jit
-    def step(s, b, iters):
-        return cg_chunk(a, s, iters, b=b, tol=tol, atol=atol,
-                        preconditioner=preconditioner)
-
-    while int(state.k) < maxiter and float(state.rr) > float(tol_sq):
-        iters = min(chunk, maxiter - int(state.k))
-        state = jax.block_until_ready(step(state, b, jnp.int32(iters)))
-        if checkpoint_path:
-            save_state(checkpoint_path, state)
-        if on_chunk is not None:
-            on_chunk(state)
-
-    return CGResult(
-        x=state.x,
-        iterations=state.k,
-        residual_norm_sq=state.rr,
-        converged=state.rr <= tol_sq,
-        history=state.history,
-    )
+    solver = make_checkpointed_solver(
+        a, tol=tol, atol=atol, maxiter=maxiter,
+        preconditioner=preconditioner, chunk=chunk, backend=backend)
+    return solver(b, x0, checkpoint_path=checkpoint_path, on_chunk=on_chunk)
 
 
-def _fused_checkpointed(a, b, x0=None, *, tol, atol, maxiter,
-                        preconditioner, chunk, checkpoint_path,
-                        on_chunk) -> CGResult:
-    """Chunked fused-engine solve with snapshots (VERDICT r1 #3): the same
+def _make_fused_checkpointed(a, *, tol, atol, maxiter, preconditioner,
+                             chunk) -> Callable[..., CGResult]:
+    """Chunked fused-engine solver factory (VERDICT r1 #3): the same
     elasticity semantics as the XLA path, on the kernels ``auto_solve``
     routes big problems to.  Snapshots are written in the unscaled flat
     :class:`CGState` format, so files interoperate with ``backend="xla"``.
@@ -145,58 +179,74 @@ def _fused_checkpointed(a, b, x0=None, *, tol, atol, maxiter,
     from cgx.solve.precond import JacobiPrecond
 
     interpret = jax.default_backend() != "tpu"
-    dtype = b.dtype
-    e = None
-    if _fc.supports(a):
+    is_stencil = _fc.supports(a)
+    if is_stencil:
         if preconditioner is not None:
             raise ValueError("fused stencil backend: preconditioner must "
                              "be None (constant-diagonal operators: Jacobi "
                              "is an exact rescaling)")
-        eng = _fc.build_fused(a, dtype, interpret=interpret)
     elif supports_dia(a) and wrap_entries_zero_or_none(a) is True:
-        jac = isinstance(preconditioner, JacobiPrecond)
-        if preconditioner is not None and not jac:
+        if preconditioner is not None and not isinstance(preconditioner,
+                                                         JacobiPrecond):
             raise ValueError("fused DIA backend supports only Jacobi "
                              "preconditioning")
-        eng, e, _ = build_fused_dia(
-            a, dtype, jacobi=jac,
-            inv_diag=preconditioner.inv_diag if jac else None,
-            interpret=interpret)
     else:
         raise ValueError("backend='fused': operator is not fused-capable "
                          "(need a supported stencil or wrap-free 7-point "
                          "DIA)")
 
-    if maxiter is None:
-        maxiter = b.shape[0]
-    maxiter = int(maxiter)
-    b_s = e * b if e is not None else b
-    x0_s = x0
-    if x0 is not None and e is not None:
-        from cgx.ops.blas import safe_recip
-        x0_s = x0 * safe_recip(e)
+    # Engine + jitted step built once per vector dtype, shared across
+    # calls (the per-call rebuild/retrace was the ADVICE r2 finding).
+    cache = {}
 
-    bb = eng.norm_sq_b(b_s)
-    tol_sq = jnp.maximum(jnp.asarray(tol, jnp.float32) ** 2 * bb,
-                         jnp.asarray(atol, jnp.float32) ** 2)
+    def _built(dtype):
+        if dtype not in cache:
+            if is_stencil:
+                eng = _fc.build_fused(a, dtype, interpret=interpret)
+                e = None
+            else:
+                jac = isinstance(preconditioner, JacobiPrecond)
+                eng, e, _ = build_fused_dia(
+                    a, dtype, jacobi=jac,
+                    inv_diag=preconditioner.inv_diag if jac else None,
+                    interpret=interpret)
+            step = jax.jit(
+                lambda s, upto, tol_sq: eng.run(s, upto, tol_sq))
+            cache[dtype] = (eng, e, step)
+        return cache[dtype]
 
-    if checkpoint_path and os.path.exists(checkpoint_path):
-        st = eng.state_from_flat(load_state(checkpoint_path), e)
-    else:
-        st = eng.init(b_s, x0_s)
+    def solve(b, x0=None, *, checkpoint_path: Optional[str] = None,
+              on_chunk: Optional[Callable[[CGState], None]] = None
+              ) -> CGResult:
+        mi = int(maxiter) if maxiter is not None else b.shape[0]
+        eng, e, step = _built(b.dtype)
+        b_s = e * b if e is not None else b
+        x0_s = x0
+        if x0 is not None and e is not None:
+            from cgx.ops.blas import safe_recip
+            x0_s = x0 * safe_recip(e)
 
-    step = jax.jit(lambda s, upto: eng.run(s, upto, tol_sq))
+        bb = eng.norm_sq_b(b_s)
+        tol_sq = jnp.maximum(jnp.asarray(tol, jnp.float32) ** 2 * bb,
+                             jnp.asarray(atol, jnp.float32) ** 2)
 
-    while int(st.k) < maxiter and float(st.rz[0, 1]) > float(tol_sq):
-        upto = min(int(st.k) + chunk, maxiter)
-        st = jax.block_until_ready(step(st, jnp.int32(upto)))
-        flat = eng.state_to_flat(st, e)
-        if checkpoint_path:
-            save_state(checkpoint_path, flat)
-        if on_chunk is not None:
-            on_chunk(flat)
+        if checkpoint_path and os.path.exists(checkpoint_path):
+            st = eng.state_from_flat(load_state(checkpoint_path), e)
+        else:
+            st = eng.init(b_s, x0_s)
 
-    res = eng.result(st, tol_sq)
-    if e is not None:
-        res = dataclasses.replace(res, x=e * res.x)
-    return res
+        while int(st.k) < mi and float(st.rz[0, 1]) > float(tol_sq):
+            upto = min(int(st.k) + chunk, mi)
+            st = jax.block_until_ready(step(st, jnp.int32(upto), tol_sq))
+            flat = eng.state_to_flat(st, e)
+            if checkpoint_path:
+                save_state(checkpoint_path, flat)
+            if on_chunk is not None:
+                on_chunk(flat)
+
+        res = eng.result(st, tol_sq)
+        if e is not None:
+            res = dataclasses.replace(res, x=e * res.x)
+        return res
+
+    return solve
