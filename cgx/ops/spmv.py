@@ -152,6 +152,24 @@ def _dia_spmm(a: DIAMatrix, x: jnp.ndarray) -> jnp.ndarray:
     return y
 
 
+# -- WBELL (windowed block-ELL — unstructured sparsity, Pallas) -------------
+
+def _register_wbell():
+    from cgx.sparse.wbell import WBELLMatrix
+
+    @spmv.register(WBELLMatrix)
+    def _wbell_spmv(a, x: jnp.ndarray) -> jnp.ndarray:
+        from cgx.kernels.wbell import wbell_spmv
+        return wbell_spmv(a, x)
+
+    @spmm.register(WBELLMatrix)
+    def _wbell_spmm(a, x: jnp.ndarray) -> jnp.ndarray:
+        return jax.vmap(lambda v: spmv(a, v), in_axes=-1, out_axes=-1)(x)
+
+
+_register_wbell()
+
+
 # -- Matrix-free stencils ---------------------------------------------------
 
 @spmv.register(Stencil2D)

@@ -1,0 +1,255 @@
+"""Windowed block-ELL (WBELL): the TPU-native unstructured-sparsity format.
+
+This is the general-sparsity engine SURVEY.md §2.1 #4 blueprints (reference
+anchor: the CSR SpMV ``mv_mult``, ``mv_ops.c:160-201``) for matrices with no
+stencil/DIA structure — SuiteSparse-class FEM/graph matrices.  The XLA
+gather+``segment_sum`` path is gather-count-bound on TPU (measured
+~130 M gathers/s, locality-independent — BASELINE.md round 2); WBELL removes
+per-element gathers from the hot loop entirely:
+
+* **Supervariable blocking** — the matrix is symmetrically RCM-permuted and
+  densified into 8×8 blocks (``bs = 8`` = the sublane count).  Irregular
+  per-element structure becomes regular per-*block* structure; the fill-in
+  (stored zeros) is the price, measured ~11x on Delaunay-class meshes —
+  irrelevant next to the ~100x gather wall because the blocks stream at HBM
+  speed.
+* **Windowed gather** — 128 consecutive block rows form a *tile*.  After
+  RCM, every block column a tile touches lies in a contiguous window of
+  ``ngw`` 128-block *groups*; the kernel DMAs that window into VMEM once
+  per tile (double-buffered, prefetched one tile ahead) and resolves each
+  block's x-operand with the TPU's native intra-vreg dynamic lane gather
+  (``tpu.dynamic_gather`` via ``jnp.take_along_axis``) plus a static
+  ``ngw``-way select tree.  No per-element HBM gathers remain.
+* **Internal vector layout** — vectors live as ``(n_groups, 8, 128)``:
+  lane = block row within group, sublane = element within block.  A block's
+  8 x-values occupy one lane column, so one dynamic lane gather fetches the
+  whole block operand.  CG runs entirely in this layout (elementwise ops and
+  dots are layout-agnostic); ``to_internal``/``from_internal`` convert at
+  the solve boundary only.
+
+Slot planes are packed per tile (each tile stores its own max block count,
+not the global max) and fat tiles are split into *virtual tiles* of at most
+``wbcap`` slots, so the ELL padding waste is bounded by the per-128-row
+local maximum, not the global one.
+
+Host-side construction (this module) is NumPy/SciPy; the kernel lives in
+:mod:`cgx.kernels.wbell`.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["WBELLMatrix", "wbell_from_csr"]
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class WBELLMatrix:
+    """Windowed block-ELL matrix (see module docstring for the layout)."""
+
+    # Packed slot planes: plane p holds one 8x8 block per lane (block row).
+    values: jnp.ndarray        # (P, 8, 8, 128) fp32 — [i, j, lane] = B[i, j]
+    lc: jnp.ndarray            # (P, 1, 128) int32 — window-local block col
+    # Per-virtual-tile scalars (prefetched to SMEM by the kernel).
+    outg: jnp.ndarray          # (ntv,) int32 — output group this tile adds to
+    ps: jnp.ndarray            # (ntv,) int32 — first plane of this tile
+    wb: jnp.ndarray            # (ntv,) int32 — number of planes (<= wbcap)
+    zi: jnp.ndarray            # (ntv,) int32 — 1 iff first tile of its group
+    g0: jnp.ndarray            # (ntv,) int32 — window start group
+    gn: jnp.ndarray            # (ntv,) int32 — next group's window start
+    # Solve-boundary transforms + Jacobi diagonal (internal layout).
+    perm: jnp.ndarray          # (n,) int32 — RCM permutation
+    iperm: jnp.ndarray         # (n,) int32 — inverse permutation
+    diag_internal: jnp.ndarray  # (nt, 8, 128) fp32
+    shape: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))
+    ng_real: int = dataclasses.field(metadata=dict(static=True))
+    nt: int = dataclasses.field(metadata=dict(static=True))  # groups + pad
+    ngw: int = dataclasses.field(metadata=dict(static=True))
+    wbcap: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def dtype(self):
+        return self.values.dtype
+
+    @property
+    def n(self) -> int:
+        return self.shape[0]
+
+    @property
+    def nnz_stored(self) -> int:
+        """Stored (densified) values — fill included."""
+        return int(self.values.shape[0]) * 64 * 128
+
+    def diagonal(self) -> jnp.ndarray:
+        """Matrix diagonal in the INTERNAL layout (for Jacobi PCG)."""
+        return self.diag_internal
+
+    # -- solve-boundary layout transforms ------------------------------
+
+    def to_internal(self, v: jnp.ndarray) -> jnp.ndarray:
+        """(n,) standard-order vector → (nt, 8, 128) internal layout."""
+        vp = jnp.asarray(v, self.dtype)[self.perm]
+        vp = jnp.pad(vp, (0, self.ng_real * 1024 - self.n))
+        vi = vp.reshape(self.ng_real, 128, 8).transpose(0, 2, 1)
+        return jnp.pad(vi, ((0, self.nt - self.ng_real), (0, 0), (0, 0)))
+
+    def from_internal(self, vi: jnp.ndarray) -> jnp.ndarray:
+        """(nt, 8, 128) internal layout → (n,) standard order."""
+        v = vi[:self.ng_real].transpose(0, 2, 1).reshape(-1)[:self.n]
+        return v[self.iperm]
+
+
+def _rcm(a_csr):
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+    return np.asarray(reverse_cuthill_mckee(a_csr, symmetric_mode=True),
+                      dtype=np.int64)
+
+
+def _best_wbcap(wbt: np.ndarray, wb_hard_max: int) -> int:
+    """Pick the slot cap minimizing grid work ``ntv(w) * w``."""
+    best, best_cost = int(wbt.max()), None
+    for w in range(2, int(wbt.max()) + 1):
+        cost = int(np.ceil(wbt / w).sum()) * w
+        if best_cost is None or cost < best_cost:
+            best, best_cost = w, cost
+    return min(best, wb_hard_max)
+
+
+def wbell_from_csr(a, *, order: str = "rcm", max_ngw: int = 128,
+                   wbcap: int = 0) -> WBELLMatrix:
+    """Build a :class:`WBELLMatrix` from a CSR matrix (host-side).
+
+    Args:
+      a: :class:`cgx.sparse.types.CSRMatrix` or a ``scipy.sparse`` matrix.
+      order: ``"rcm"`` (default — required for bounded windows on mesh-like
+        matrices) or ``"natural"``.
+      max_ngw: reject matrices whose tile windows exceed this many 128-block
+        groups (the caller should fall back to the XLA CSR path).
+      wbcap: virtual-tile slot cap; 0 = auto (minimizes grid work).
+
+    Raises:
+      ValueError: window exceeds ``max_ngw`` — no bounded-window tiling
+        exists for this matrix/ordering (caller falls back to XLA CSR).
+    """
+    import scipy.sparse as sp
+
+    if hasattr(a, "indptr") and hasattr(a, "row_indices"):  # CSRMatrix
+        a = sp.csr_matrix((np.asarray(a.values, np.float64),
+                           np.asarray(a.col_indices),
+                           np.asarray(a.indptr)), shape=a.shape)
+    a = sp.csr_matrix(a)
+    n = a.shape[0]
+    if a.shape[0] != a.shape[1]:
+        raise ValueError("wbell_from_csr needs a square matrix")
+
+    perm = _rcm(a) if order == "rcm" else np.arange(n, dtype=np.int64)
+    ap = a[perm][:, perm].tocsr()
+    ap.sort_indices()
+    coo = ap.tocoo()
+    row = coo.row.astype(np.int64)
+    col = coo.col.astype(np.int64)
+    val = coo.data.astype(np.float32)
+
+    nbr = -(-n // 8)                  # block rows
+    ng_real = -(-nbr // 128)          # real groups (= real output tiles)
+
+    # -- unique 8x8 blocks, ordered (block row, block col) ---------------
+    br, bc = row >> 3, col >> 3
+    key = br * nbr + bc               # nbr >= max(bc)+1 since square
+    uid, inv = np.unique(key, return_inverse=True)
+    ub_r, ub_c = uid // nbr, uid % nbr
+    nblocks = len(uid)
+
+    counts = np.bincount(ub_r, minlength=nbr)
+    starts = np.concatenate([[0], np.cumsum(counts[:-1])])
+    rank = np.arange(nblocks, dtype=np.int64) - starts[ub_r]
+
+    tile_of_block = ub_r >> 7
+    wbt = np.ones(ng_real, np.int64)
+    np.maximum.at(wbt, tile_of_block, rank + 1)
+    pstart = np.concatenate([[0], np.cumsum(wbt[:-1])])
+    p_real = int(wbt.sum())
+
+    # -- windows ----------------------------------------------------------
+    g0t = np.full(ng_real, 2**31, np.int64)
+    gmax = np.zeros(ng_real, np.int64)
+    np.minimum.at(g0t, tile_of_block, ub_c >> 7)
+    np.maximum.at(gmax, tile_of_block, ub_c >> 7)
+    g0t = np.where(g0t == 2**31, 0, g0t)
+    ngw = max(int((gmax - g0t).max()) + 1, 1)
+    if ngw > max_ngw:
+        raise ValueError(
+            f"WBELL window needs {ngw} groups > max_ngw={max_ngw}; "
+            "this matrix/ordering has no bounded-window tiling")
+    nt = ng_real + ngw                # pad groups keep windows in bounds
+    g0t = np.minimum(g0t, nt - ngw)
+
+    # -- pack slot planes -------------------------------------------------
+    plane = pstart[tile_of_block] + rank          # per block
+    lane = ub_r & 127
+    values = np.zeros((p_real + 1, 8, 8, 128), np.float32)  # +1 zero plane
+    lcp = np.zeros((p_real + 1, 1, 128), np.int32)
+    np.add.at(values, (plane[inv], row & 7, col & 7, lane[inv]), val)
+    lcp[plane, 0, lane] = (ub_c - (g0t[tile_of_block] << 7)).astype(np.int32)
+
+    # -- virtual tiles ------------------------------------------------------
+    if wbcap <= 0:
+        wbcap = _best_wbcap(wbt, wb_hard_max=64)
+    nv = -(-wbt // wbcap)                          # splits per real tile
+    outg = np.repeat(np.arange(ng_real, dtype=np.int64), nv)
+    vidx = np.arange(len(outg)) - np.repeat(
+        np.concatenate([[0], np.cumsum(nv[:-1])]), nv)
+    ps_v = pstart[outg] + vidx * wbcap
+    wb_v = np.minimum(wbcap, wbt[outg] - vidx * wbcap)
+    zi_v = (vidx == 0).astype(np.int64)
+    g0_v = g0t[outg]
+    # Window-start chain: group g's first tile starts group g+1's window.
+    g0_full = np.concatenate([g0t, np.zeros(ngw, np.int64)])  # pad groups
+    gn_v = np.where(outg + 1 < nt, g0_full[np.minimum(outg + 1, nt - 1)], -1)
+
+    # Pad groups: one virtual tile each, pointing at the zero plane.
+    pg = np.arange(ng_real, nt, dtype=np.int64)
+    outg = np.concatenate([outg, pg])
+    ps_v = np.concatenate([ps_v, np.full(ngw, p_real)])
+    wb_v = np.concatenate([wb_v, np.ones(ngw, np.int64)])
+    zi_v = np.concatenate([zi_v, np.ones(ngw, np.int64)])
+    g0_v = np.concatenate([g0_v, np.zeros(ngw, np.int64)])
+    gn_v = np.concatenate([gn_v, np.where(pg + 1 < nt, 0, -1)])
+
+    # -- diagonal + transforms ---------------------------------------------
+    diag = np.zeros(nt * 1024, np.float32)
+    dp = ap.diagonal().astype(np.float32)
+    # internal index of permuted row r = 1024*g + 128*e + l, r = 8b+e,
+    # b = 128g+l  →  idx = 1024*(b>>7) + 128*(r&7) + (b&127)
+    r_all = np.arange(n, dtype=np.int64)
+    b_all = r_all >> 3
+    internal_idx = ((b_all >> 7) << 10) + ((r_all & 7) << 7) + (b_all & 127)
+    diag[internal_idx] = dp
+    iperm = np.empty(n, np.int64)
+    iperm[perm] = np.arange(n)
+
+    f32 = jnp.float32
+    return WBELLMatrix(
+        values=jnp.asarray(values, f32),
+        lc=jnp.asarray(lcp, jnp.int32),
+        outg=jnp.asarray(outg, jnp.int32),
+        ps=jnp.asarray(ps_v, jnp.int32),
+        wb=jnp.asarray(wb_v, jnp.int32),
+        zi=jnp.asarray(zi_v, jnp.int32),
+        g0=jnp.asarray(g0_v, jnp.int32),
+        gn=jnp.asarray(gn_v, jnp.int32),
+        perm=jnp.asarray(perm, jnp.int32),
+        iperm=jnp.asarray(iperm, jnp.int32),
+        diag_internal=jnp.asarray(diag.reshape(nt, 8, 128)),
+        shape=(n, n),
+        ng_real=int(ng_real),
+        nt=int(nt),
+        ngw=int(ngw),
+        wbcap=int(wbcap),
+    )

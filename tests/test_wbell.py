@@ -1,0 +1,154 @@
+"""WBELL (windowed block-ELL) unstructured-sparsity engine tests.
+
+The general-sparsity hot kernel (SURVEY.md §2.1 #4; reference anchor
+``mv_mult``, ``mv_ops.c:160-201``) — correctness vs scipy ground truth,
+layout round-trips, virtual-tile splitting, and CG-through-WBELL parity
+with the CSR path.  Runs in Pallas interpret mode on the CPU mesh.
+"""
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import jax.numpy as jnp
+
+from cgx.sparse.wbell import WBELLMatrix, wbell_from_csr
+from cgx.kernels.wbell import wbell_matvec, wbell_spmv
+
+
+def _random_spd(n, density, seed):
+    a = sp.random(n, n, density=density, random_state=seed, format="csr")
+    a = (a + a.T) + sp.eye(n) * (2.0 + density * n)
+    return sp.csr_matrix(a)
+
+
+@pytest.mark.parametrize("n,density,order", [
+    (700, 0.01, "rcm"),
+    (1025, 0.004, "rcm"),     # crosses a group boundary (n > 1024)
+    (300, 0.05, "natural"),
+    (130, 0.1, "rcm"),        # single group, fat tiles
+])
+def test_wbell_spmv_matches_scipy(n, density, order):
+    a = _random_spd(n, density, seed=n)
+    w = wbell_from_csr(a, order=order)
+    x = np.random.default_rng(n).standard_normal(n).astype(np.float32)
+    y = np.asarray(wbell_matvec(w, jnp.asarray(x)))
+    y_ref = a @ x
+    np.testing.assert_allclose(y, y_ref, rtol=2e-5, atol=1e-4)
+
+
+def test_wbell_delaunay_standin():
+    """thermal2-class unstructured FEM sparsity (the target workload)."""
+    from cgx.io.suitesparse import standin
+    a = standin("thermal2", scale=0.004)     # ~4.9 k rows
+    asp = sp.csr_matrix(
+        (np.asarray(a.values), np.asarray(a.col_indices),
+         np.asarray(a.indptr)), shape=a.shape)
+    w = wbell_from_csr(a)
+    x = np.random.default_rng(0).standard_normal(a.shape[0])
+    x = x.astype(np.float32)
+    y = np.asarray(wbell_matvec(w, jnp.asarray(x)))
+    np.testing.assert_allclose(y, asp @ x, rtol=2e-5, atol=1e-4)
+    # RCM keeps thermal2-class windows narrow — that is the design premise.
+    assert w.ngw <= 8
+
+
+def test_wbell_layout_round_trip():
+    a = _random_spd(900, 0.01, seed=3)
+    w = wbell_from_csr(a)
+    v = np.random.default_rng(1).standard_normal(900).astype(np.float32)
+    back = np.asarray(w.from_internal(w.to_internal(jnp.asarray(v))))
+    np.testing.assert_array_equal(back, v)
+    # Pad lanes of the internal layout are zero (CG invariant).
+    vi = np.asarray(w.to_internal(jnp.asarray(v)))
+    assert vi.shape == (w.nt, 8, 128)
+    taken = np.zeros((w.nt, 8, 128), bool)
+    r_all = np.arange(900)
+    b_all = r_all >> 3
+    taken[b_all >> 7, r_all & 7, b_all & 127] = True
+    assert np.all(vi[~taken] == 0.0)
+
+
+def test_wbell_diagonal_internal():
+    a = _random_spd(500, 0.02, seed=7)
+    w = wbell_from_csr(a)
+    d_int = np.asarray(w.diagonal())
+    ones = jnp.ones((500,), jnp.float32)
+    # from_internal(diag_internal) must equal the matrix diagonal.
+    d = np.asarray(w.from_internal(jnp.asarray(d_int)))
+    np.testing.assert_allclose(d, a.diagonal(), rtol=1e-6)
+    del ones
+
+
+def test_wbell_wbcap_split():
+    """Forcing tiny virtual tiles (wbcap) must not change the product."""
+    a = _random_spd(600, 0.03, seed=11)
+    x = np.random.default_rng(2).standard_normal(600).astype(np.float32)
+    w_auto = wbell_from_csr(a)
+    w_split = wbell_from_csr(a, wbcap=2)
+    y0 = np.asarray(wbell_matvec(w_auto, jnp.asarray(x)))
+    y1 = np.asarray(wbell_matvec(w_split, jnp.asarray(x)))
+    np.testing.assert_allclose(y0, y1, rtol=1e-6, atol=1e-6)
+
+
+def test_wbell_window_reject():
+    """A dense-ish random matrix under natural order with a tiny window
+    budget has no bounded-window tiling → explicit ValueError."""
+    rng = np.random.default_rng(5)
+    n = 4096
+    # One far-off-diagonal entry per early row blows the window under
+    # natural ordering.
+    i = np.arange(64)
+    a = sp.coo_matrix(
+        (np.ones(64), (i, n - 1 - i)), shape=(n, n)).tocsr()
+    a = a + a.T + sp.eye(n)
+    with pytest.raises(ValueError, match="max_ngw"):
+        wbell_from_csr(sp.csr_matrix(a), order="natural", max_ngw=1)
+
+
+def test_wbell_spmv_dispatch_and_internal_shape_check():
+    from cgx.ops.spmv import spmv
+    a = _random_spd(400, 0.02, seed=13)
+    w = wbell_from_csr(a)
+    x = np.random.default_rng(3).standard_normal(400).astype(np.float32)
+    xi = w.to_internal(jnp.asarray(x))
+    y = np.asarray(w.from_internal(spmv(w, xi)))
+    np.testing.assert_allclose(y, a @ x, rtol=2e-5, atol=1e-4)
+    with pytest.raises(ValueError, match="internal layout"):
+        wbell_spmv(w, jnp.asarray(x), interpret=True)
+
+
+def test_wbell_cg_matches_csr():
+    """CG in the internal layout == CSR cg_solve (same operator)."""
+    from cgx.solve.cg import cg_solve
+    from cgx.solve.wbell import wbell_cg_solve
+    from cgx.sparse.types import csr_from_scipy
+
+    a = _random_spd(800, 0.008, seed=17)
+    b = np.random.default_rng(4).standard_normal(800).astype(np.float32)
+    ref = cg_solve(csr_from_scipy(a.astype(np.float32)), jnp.asarray(b),
+                   tol=1e-6, maxiter=300)
+    w = wbell_from_csr(a)
+    res = wbell_cg_solve(w, jnp.asarray(b), tol=1e-6, maxiter=300)
+    assert res.x.shape == (800,)
+    rel = np.linalg.norm(a @ np.asarray(res.x, np.float64) - b) \
+        / np.linalg.norm(b)
+    assert rel <= 2e-6
+    # Same operator, same Krylov space — iteration counts agree.
+    assert abs(int(res.iterations) - int(ref.iterations)) <= 1
+
+
+def test_wbell_pcg_jacobi():
+    from cgx.solve.wbell import wbell_cg_solve
+    a = _random_spd(800, 0.008, seed=19)
+    d = a.diagonal().copy()
+    d *= np.exp(np.random.default_rng(6).normal(0, 1.5, 800))
+    a = a + sp.diags(d)          # badly scaled diagonal — Jacobi's regime
+    b = np.random.default_rng(5).standard_normal(800).astype(np.float32)
+    w = wbell_from_csr(sp.csr_matrix(a))
+    plain = wbell_cg_solve(w, jnp.asarray(b), tol=1e-6, maxiter=2000)
+    pcg = wbell_cg_solve(w, jnp.asarray(b), tol=1e-6, maxiter=2000,
+                         jacobi=True)
+    assert int(pcg.iterations) < int(plain.iterations)
+    rel = np.linalg.norm(a @ np.asarray(pcg.x, np.float64) - b) \
+        / np.linalg.norm(b)
+    assert rel <= 2e-6
