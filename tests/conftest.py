@@ -12,6 +12,18 @@ import sys
 # Repo root on sys.path so `import cgx` works without installation.
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Cap the CPU codegen ISA below FMA3.  XLA:CPU duplicates cheap multiplies
+# into consumer fusions and LLVM then contracts mul+add/sub pairs into FMAs
+# — an inconsistent re-rounding of the SAME product that silently destroys
+# error-free transformations (two_sum/two_prod, cgx.ops.df64).  The real
+# TPU backend preserves them exactly (verified on-chip: 0/1024 mismatches);
+# graph-level guards (optimization_barrier, bitcast roundtrips) are erased
+# by the algebraic simplifier before fusion, and no fast-math flag disables
+# the contraction — capping the ISA is the one reliable off switch.  All
+# arithmetic stays IEEE; FMA-less is the strictly-safer configuration.
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_cpu_max_isa=AVX").strip()
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
