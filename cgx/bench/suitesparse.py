@@ -20,7 +20,7 @@ import time
 
 def bench_matrix(name: str, a, is_standin: bool, *, tol: float = 1e-6,
                  maxiter: int = 8000, reps: int = 2, dtype="float32",
-                 fmt: str = "auto", chunk: int = 150):
+                 fmt: str = "auto", chunk: int = 150, preconds=None):
     """One matrix across the preconditioner set; returns result dicts.
 
     ``fmt``: solve-operator storage.  ``"ell"`` is row-padded ELLPACK
@@ -30,8 +30,16 @@ def bench_matrix(name: str, a, is_standin: bool, *, tol: float = 1e-6,
     count, which is the whole cost on TPU (thermal2 stand-in: 3.4x
     padding, ELL 227 ms/iter vs CSR 137 — same-process interleaved;
     reordering does not help, the gather is locality-independent).
-    ``"auto"`` picks ELL when padding waste ≤ 1.5x, else CSR.  The
-    preconditioners are always built from the exact CSR data.
+    ``"wbell"`` is the windowed block-ELL Pallas engine
+    (:mod:`cgx.sparse.wbell` — measured 21.8x over the CSR gather path
+    on the thermal2-class stand-in); its host-side build (RCM +
+    supervariable blocking, ~30 s at 1.2 M rows) is reported as
+    ``setup_s`` and it serves the none/jacobi rows — ic0/block-jacobi
+    applies are standard-order gathers that would forfeit the layout, so
+    those rows keep the CSR operator (reported per row).  ``"auto"``
+    picks ELL when padding waste ≤ 1.5x, else WBELL on TPU for
+    ≥ 200 k-row irregular matrices, else CSR.  The preconditioners are
+    always built from the exact CSR data.
 
     ``chunk``: iterations per device dispatch
     (:func:`cgx.utils.checkpoint.cg_solve_checkpointed` without a
@@ -60,7 +68,20 @@ def bench_matrix(name: str, a, is_standin: bool, *, tol: float = 1e-6,
         w = -(-int(deg.max()) // 8) * 8
         waste = float(w * a.shape[0]) / max(int(a.nnz), 1)
         fmt = "ell" if waste <= 1.5 else "csr"
+        if (fmt == "csr" and a.shape[0] >= 200_000
+                and jax.default_backend() == "tpu"):
+            fmt = "wbell"  # gather wall — the windowed Pallas engine
     a32 = a.astype(jnp.dtype(dtype))
+    wb, wbell_setup_s = None, None
+    if fmt == "wbell":
+        from cgx.sparse.wbell import wbell_from_csr
+        try:
+            t0 = time.perf_counter()
+            wb = wbell_from_csr(a)
+            jax.block_until_ready(wb.values)
+            wbell_setup_s = time.perf_counter() - t0
+        except ValueError:
+            fmt = "csr"    # no bounded-window tiling for this matrix
     if fmt == "ell":
         from cgx.sparse.types import ell_from_csr
         a32 = ell_from_csr(a, width_multiple=8).astype(jnp.dtype(dtype))
@@ -69,25 +90,42 @@ def bench_matrix(name: str, a, is_standin: bool, *, tol: float = 1e-6,
     base = rng.standard_normal(n).astype(dtype)
 
     # Preconditioners build from the exact CSR data (a32 may be ELL).
-    preconds = {"none": None,
-                "jacobi": cgx.JacobiPrecond(
-                    inv_diag=(1.0 / a.diagonal()).astype(jnp.dtype(dtype)))}
-    try:
-        t0 = time.perf_counter()
-        preconds["ic0"] = cgx.IC0Precond.from_matrix(a, dtype=np.dtype(dtype))
-        ic0_setup_s = time.perf_counter() - t0
-    except np.linalg.LinAlgError as exc:   # IC(0) breakdown is a real
-        preconds["ic0"] = exc              # property of the matrix: report
-        ic0_setup_s = None
-    # 3 dof/node for the stiffness set; 8 otherwise.
-    bs = 3 if name.startswith("bcsstk") and n % 3 == 0 else 8
-    preconds["block_jacobi"] = cgx.BlockJacobiPrecond.from_matrix(a, bs)
+    wanted = (None if preconds is None
+              else [p.strip() for p in preconds.split(",")]
+              if isinstance(preconds, str) else list(preconds))
+
+    def want(p):
+        return wanted is None or p in wanted
+
+    preconds = {}
+    ic0_setup_s = None
+    if want("none"):
+        preconds["none"] = None
+    if want("jacobi"):
+        preconds["jacobi"] = cgx.JacobiPrecond(
+            inv_diag=(1.0 / a.diagonal()).astype(jnp.dtype(dtype)))
+    if want("ic0"):
+        try:
+            t0 = time.perf_counter()
+            preconds["ic0"] = cgx.IC0Precond.from_matrix(
+                a, dtype=np.dtype(dtype))
+            ic0_setup_s = time.perf_counter() - t0
+        except np.linalg.LinAlgError as exc:  # IC(0) breakdown is a real
+            preconds["ic0"] = exc             # property of the matrix
+    if want("block_jacobi"):
+        # 3 dof/node for the stiffness set; 8 otherwise.
+        bs = 3 if name.startswith("bcsstk") and n % 3 == 0 else 8
+        preconds["block_jacobi"] = cgx.BlockJacobiPrecond.from_matrix(a, bs)
 
     out = []
     for pname, m in preconds.items():
+        # WBELL serves the none/jacobi rows (in-layout whole solve);
+        # ic0/block-jacobi applies are standard-order — CSR operator.
+        use_wbell = wb is not None and pname in ("none", "jacobi")
+        row_fmt = "csr" if (fmt == "wbell" and not use_wbell) else fmt
         rec = {"matrix": name, "standin": bool(is_standin), "n": n,
                "nnz": int(a.nnz), "precond": pname, "dtype": dtype,
-               "tol": tol, "format": fmt}
+               "tol": tol, "format": row_fmt}
         if isinstance(m, Exception):
             rec["error"] = f"IC(0) breakdown: {m}"
             out.append(rec)
@@ -95,14 +133,25 @@ def bench_matrix(name: str, a, is_standin: bool, *, tol: float = 1e-6,
 
         # One compiled chunk step per (matrix, preconditioner): the timed
         # reps reuse it — no per-call retrace (ADVICE r2 medium).
-        solve = make_checkpointed_solver(
-            a32, tol=tol, maxiter=maxiter, preconditioner=m, chunk=chunk)
+        if use_wbell:
+            mi_ = m if m is None else cgx.JacobiPrecond(
+                inv_diag=wb.to_internal(m.inv_diag))
+            solve = make_checkpointed_solver(
+                wb, tol=tol, maxiter=maxiter, preconditioner=mi_,
+                chunk=chunk)
+            to_b = wb.to_internal
+            rec["setup_s"] = round(wbell_setup_s, 2)
+        else:
+            solve = make_checkpointed_solver(
+                a32, tol=tol, maxiter=maxiter, preconditioner=m,
+                chunk=chunk)
+            to_b = jnp.asarray
 
-        res = jax.block_until_ready(solve(jnp.asarray(base)))   # compile
+        res = jax.block_until_ready(solve(to_b(jnp.asarray(base))))
         best = None
         n_reps = reps if bool(res.converged) else 1
         for i in range(n_reps):
-            b = jnp.asarray(base * (1 + 0.001 * (i + 1)))
+            b = to_b(jnp.asarray(base * (1 + 0.001 * (i + 1))))
             jax.block_until_ready(b)
             t0 = time.perf_counter()
             res = jax.block_until_ready(solve(b))
@@ -130,9 +179,12 @@ def main(argv=None) -> int:
     ap.add_argument("--chunk", type=int, default=150,
                     help="iterations per device dispatch (tunnel-safe)")
     ap.add_argument("--format", default="auto",
-                    choices=["auto", "ell", "csr"])
+                    choices=["auto", "ell", "csr", "wbell"])
     ap.add_argument("--dir", default=None,
                     help="directory with real .mtx artifacts")
+    ap.add_argument("--preconds", default=None,
+                    help="comma-separated preconditioner subset "
+                         "(none,jacobi,ic0,block_jacobi); default all")
     args = ap.parse_args(argv)
 
     from cgx.io.suitesparse import load_or_standin
@@ -141,7 +193,8 @@ def main(argv=None) -> int:
         a, standin = load_or_standin(name, args.dir, scale=args.scale)
         for rec in bench_matrix(name, a, standin, tol=args.tol,
                                 maxiter=args.maxiter, reps=args.reps,
-                                fmt=args.format, chunk=args.chunk):
+                                fmt=args.format, chunk=args.chunk,
+                                preconds=args.preconds):
             print(json.dumps(rec), flush=True)
     return 0
 

@@ -53,8 +53,8 @@ def _sr_tier(a):
 def select_backend(a, b, preconditioner=None) -> str:
     """The backend :func:`auto_solve` would route this problem to:
     ``"resident_stencil"`` | ``"resident_dia"`` | ``"sr_stencil"`` |
-    ``"sr_dia"`` | ``"fused_stencil"`` | ``"fused_dia"`` | ``"padded"``
-    | ``"xla"``.
+    ``"sr_dia"`` | ``"fused_stencil"`` | ``"fused_dia"`` | ``"wbell"`` |
+    ``"padded"`` | ``"xla"``.
 
     Call OUTSIDE jit with concrete data (the DIA wrap-entry check is
     data-dependent); pass the result to ``auto_solve(backend=...)`` when
@@ -65,7 +65,15 @@ def select_backend(a, b, preconditioner=None) -> str:
                                           wrap_entries_zero_or_none)
     from cgx.kernels.fused_resident import resident_supported
     from cgx.solve.precond import JacobiPrecond
+    from cgx.sparse.wbell import WBELLMatrix
 
+    if isinstance(a, WBELLMatrix):
+        # The caller already paid the host-side WBELL build (RCM +
+        # supervariable blocking — seconds at 1 M rows, amortized over
+        # repeated solves): the whole solve runs in the internal layout
+        # through the windowed Pallas SpMV (measured 21.8x over the XLA
+        # gather path on the thermal2-class stand-in).
+        return "wbell"
     n = b.shape[0]
     on_tpu = jax.default_backend() == "tpu"
     jac = isinstance(preconditioner, JacobiPrecond)
@@ -164,6 +172,21 @@ def auto_solve(
                               backend=mb)
     if backend is None:
         backend = select_backend(a, b, preconditioner)
+    if backend == "wbell":
+        from cgx.solve.precond import JacobiPrecond as _JP
+        from cgx.solve.wbell import wbell_cg_solve
+        if preconditioner is not None and not isinstance(preconditioner,
+                                                         _JP):
+            raise ValueError("wbell backend supports preconditioner=None "
+                             "or JacobiPrecond (diagonal scaling in the "
+                             "internal layout) only")
+        inv_diag = (preconditioner.inv_diag
+                    if isinstance(preconditioner, _JP) else None)
+        return wbell_cg_solve(a, b, x0, tol=tol, atol=atol,
+                              maxiter=maxiter,
+                              jacobi=preconditioner is not None,
+                              inv_diag=inv_diag,
+                              track_history=track_history)
     n = b.shape[0]
     mi = int(maxiter) if maxiter is not None else n
     if mixed_precision and not track_history and n >= FUSED_MIN_ROWS \

@@ -30,11 +30,14 @@ def wbell_cg_solve(
     atol: float = 0.0,
     maxiter: Optional[int] = None,
     jacobi: bool = False,
+    inv_diag: Optional[jnp.ndarray] = None,
     track_history: bool = False,
 ) -> CGResult:
     """Solve ``A x = b`` by (Jacobi-preconditioned) CG through the WBELL
     Pallas SpMV.  ``b``/``x0`` are standard-order ``(n,)`` vectors; the
-    returned ``CGResult.x`` is too.
+    returned ``CGResult.x`` is too.  ``inv_diag`` (standard order) overrides
+    the matrix diagonal for the Jacobi scaling (exact-trajectory parity
+    with a caller-supplied :class:`~cgx.solve.precond.JacobiPrecond`).
     """
     from cgx.ops.spmv import spmv
 
@@ -45,8 +48,9 @@ def wbell_cg_solve(
     xi0 = a.to_internal(x0) if x0 is not None else None
     precond = None
     if jacobi:
-        inv_diag = blas.safe_recip(a.diag_internal)
-        precond = lambda r: r * inv_diag           # noqa: E731
+        idi = (a.to_internal(inv_diag) if inv_diag is not None
+               else blas.safe_recip(a.diag_internal))
+        precond = lambda r: r * idi                # noqa: E731
     res = cg_solve(lambda v: spmv(a, v), bi, xi0, tol=tol, atol=atol,
                    maxiter=maxiter, preconditioner=precond,
                    track_history=track_history)

@@ -92,13 +92,23 @@ def make_checkpointed_solver(
     # (r0 = z0 = p0 = b when x0 is None), so donate_argnums=1 would donate
     # one buffer several times; XLA's while_loop already updates the carried
     # state in place inside each chunk, which is where the traffic is.
-    # `a` is closed over (it may be a matvec callable — not a JAX type) and
     # `iters` is traced (only the while_loop cond uses it), so every chunk —
-    # including a short final one — reuses one compilation.
-    @jax.jit
-    def step(s, b, iters):
-        return cg_chunk(a, s, iters, b=b, tol=tol, atol=atol,
-                        preconditioner=preconditioner)
+    # including a short final one — reuses one compilation.  A matrix pytree
+    # rides as a traced ARGUMENT, not a closure constant: closed-over arrays
+    # are baked into the compile payload, which the remote-TPU tunnel rejects
+    # outright past a few hundred MB (HTTP 413 on WBELL's densified planes).
+    if callable(a):
+        @jax.jit
+        def step(a_unused, s, b, iters):
+            return cg_chunk(a, s, iters, b=b, tol=tol, atol=atol,
+                            preconditioner=preconditioner)
+        a_arg = None
+    else:
+        @jax.jit
+        def step(a_, s, b, iters):
+            return cg_chunk(a_, s, iters, b=b, tol=tol, atol=atol,
+                            preconditioner=preconditioner)
+        a_arg = a
 
     def solve(b, x0=None, *, checkpoint_path: Optional[str] = None,
               on_chunk: Optional[Callable[[CGState], None]] = None
@@ -112,7 +122,8 @@ def make_checkpointed_solver(
 
         while int(state.k) < mi and float(state.rr) > float(tol_sq):
             iters = min(chunk, mi - int(state.k))
-            state = jax.block_until_ready(step(state, b, jnp.int32(iters)))
+            state = jax.block_until_ready(
+                step(a_arg, state, b, jnp.int32(iters)))
             if checkpoint_path:
                 save_state(checkpoint_path, state)
             if on_chunk is not None:
