@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from cgx.solve.cg import CGResult
 
 __all__ = ["ResidentGeometry", "make_resident_geometry", "resident_cg",
-           "resident_vmem_bytes", "supports_resident",
+           "resident_cg_call", "resident_vmem_bytes", "supports_resident",
            "resident_stencil_cg", "resident_dia_cg",
            "resident_supported"]
 
@@ -119,11 +119,14 @@ def _kernel(*refs, g: ResidentGeometry, coeffs, sym: bool,
     refs = list(refs)
     _tol = refs.pop(0)
     _maxit = refs.pop(0)
+    _res = refs.pop(0)          # (1, 1) int32: 1 = resume from (x, r, p)
+    _rz_in = refs.pop(0)        # (1, 2) f32: snapshot (rz, rw) on resume
     x0_in = refs.pop(0)         # aliased to x_ref on hardware
-    b_in = refs.pop(0)          # aliased to r_ref on hardware
+    b_in = refs.pop(0)          # aliased to r_ref; carries r on resume
+    p_in = refs.pop(0)          # aliased to p_ref; carries p on resume
     planes_ref = refs.pop(0) if variable else None
     w_ref = refs.pop(0) if weighted else None
-    x_ref, r_ref, k_out, rz_out, p_ref = refs
+    x_ref, r_ref, p_ref, k_out, rz_out = refs
 
     nxl, sl, lp = g.nx, g.sl, g.l_pad
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, lp), 1)
@@ -187,14 +190,28 @@ def _kernel(*refs, g: ResidentGeometry, coeffs, sym: bool,
     # negligible); reading the INPUT refs — rather than relying on the
     # aliased outputs' pre-image — is required for the TPU interpreter,
     # which does not seed aliased outputs (NaN-fills them instead).
+    resume = _res[0, 0] == 1
     x_ref[...] = x0_in[...]
     r_ref[...] = b_in[...]
-    # r0 = b − A·x0.
-    r0 = region(r_ref) - matvec(x_ref[...])
-    r_ref[1:1 + nxl, sl:sl + lp] = r0
-    p_ref[...] = jnp.zeros(p_ref.shape, p_ref.dtype)
-    p_ref[1:1 + nxl, sl:sl + lp] = r0
-    rz0, rw0 = sums(r0)
+    p_ref[...] = p_in[...]
+
+    @pl.when(jnp.logical_not(resume))
+    def _():
+        # Fresh solve: r0 = b − A·x0, p0 = r0 (b_in carries b; the p_in
+        # seed above is discarded).  On resume b_in/p_in carry the
+        # snapshot's r/p and this init is skipped entirely.
+        r0 = region(r_ref) - matvec(x_ref[...])
+        r_ref[1:1 + nxl, sl:sl + lp] = r0
+        p_ref[...] = jnp.zeros(p_ref.shape, p_ref.dtype)
+        p_ref[1:1 + nxl, sl:sl + lp] = r0
+
+    # Fresh: Σr₀² (and the weighted sum) from the just-written r; resume:
+    # the snapshot's carried (rz, rw) verbatim — adopting whatever the
+    # snapshotting backend computed keeps cross-backend resumes on the
+    # exact recurrence (reduction orders differ between backends).
+    rz_c, rw_c = sums(region(r_ref))
+    rz0 = jnp.where(resume, _rz_in[0, 0], rz_c)
+    rw0 = jnp.where(resume, _rz_in[0, 1], rw_c)
 
     def cond(c):
         k, rz, rw = c
@@ -234,10 +251,10 @@ def _build_call(g: ResidentGeometry, coeffs, sym: bool, weighted: bool,
 
     vm = pl.BlockSpec(memory_space=pltpu.VMEM)
     sm = pl.BlockSpec(memory_space=pltpu.SMEM)
-    in_specs = [sm, sm, vm, vm] + ([vm] if variable else []) \
+    in_specs = [sm, sm, sm, sm, vm, vm, vm] + ([vm] if variable else []) \
         + ([vm] if weighted else [])
     vshape = jax.ShapeDtypeStruct((g.rows8, g.total), dtype)
-    out_shape = (vshape, vshape,
+    out_shape = (vshape, vshape, vshape,
                  jax.ShapeDtypeStruct((1, 1), jnp.int32),
                  jax.ShapeDtypeStruct((1, 2), jnp.float32))
     vmem_need = resident_vmem_bytes(
@@ -249,34 +266,36 @@ def _build_call(g: ResidentGeometry, coeffs, sym: bool, weighted: bool,
             vmem_limit_bytes=min(int(vmem_need * 1.6) + (8 << 20),
                                  127 << 20)))
 
-    def call(tol_sq, maxit, x0_l, b_l, *extra):
+    def call(tol_sq, maxit, res_flag, rz_in, x0_l, b_l, p_l, *extra):
         return pl.pallas_call(
             kernel,
             in_specs=in_specs,
-            out_specs=(vm, vm, sm, sm),
+            out_specs=(vm, vm, vm, sm, sm),
             out_shape=out_shape,
-            input_output_aliases={2: 0, 3: 1},
-            scratch_shapes=[pltpu.VMEM((g.rows8, g.total), dtype)],
+            input_output_aliases={4: 0, 5: 1, 6: 2},
             interpret=interpret,
             **params,
-        )(tol_sq, maxit, x0_l, b_l, *extra)
+        )(tol_sq, maxit, res_flag, rz_in, x0_l, b_l, p_l, *extra)
 
     return call
 
 
-def resident_cg(g: ResidentGeometry, b: jnp.ndarray, x0=None, *,
-                coeffs, planes=None, weight=None,
-                tol: float = 1e-6, atol: float = 0.0, maxiter: int = 1000,
-                sym: bool = False, interpret: bool = False,
-                plane_dtype=None) -> CGResult:
-    """Run the whole-solve kernel.  ``b``/``x0``/``weight`` flat (n,);
-    ``planes`` (n_planes, n) in tap order for ``None`` coeff slots (the
-    caller applies any diagonal scaling — semantics match
-    :meth:`cgx.kernels.fused_engine.FusedCG.solve`)."""
+def resident_cg_call(g: ResidentGeometry, b: jnp.ndarray, x0=None, *,
+                     coeffs, planes=None, weight=None,
+                     tol: float = 1e-6, atol: float = 0.0,
+                     maxiter: int = 1000, sym: bool = False,
+                     interpret: bool = False, plane_dtype=None,
+                     resume=None):
+    """Low-level whole-solve kernel invocation; returns the LAYOUT-space
+    carried state ``(x_l, r_l, p_l, k, rz, tol_sq)`` so chunked/
+    checkpointed callers can feed it back via ``resume``.
+
+    ``resume``: ``(x_l, r_l, p_l, rz, rw)`` — layout-space arrays plus the
+    snapshot's carried scalars; skips the fresh init (r₀ = b − A·x₀,
+    p₀ = r₀) and continues the exact recurrence.  ``b`` still supplies the
+    convergence threshold's ‖b‖²."""
     dtype = b.dtype
     b_l = _to_layout(g, b.astype(dtype))
-    x0_l = (_to_layout(g, x0.astype(dtype)) if x0 is not None
-            else jnp.zeros_like(b_l))
     p_dtype = dtype if plane_dtype is None else jnp.dtype(plane_dtype)
     extra = []
     if any(c is None for c in coeffs):
@@ -293,11 +312,40 @@ def resident_cg(g: ResidentGeometry, b: jnp.ndarray, x0=None, *,
     tol_sq = jnp.maximum(jnp.asarray(tol, jnp.float32) ** 2 * bb,
                          jnp.asarray(atol, jnp.float32) ** 2)
 
+    if resume is None:
+        x0_l = (_to_layout(g, x0.astype(dtype)) if x0 is not None
+                else jnp.zeros_like(b_l))
+        p_l = jnp.zeros_like(b_l)
+        res_flag = jnp.zeros((1, 1), jnp.int32)
+        rz_in = jnp.zeros((1, 2), jnp.float32)
+    else:
+        x0_l, r_l_in, p_l, rz_s, rw_s = resume
+        b_l = r_l_in                      # the b slot carries r on resume
+        res_flag = jnp.ones((1, 1), jnp.int32)
+        rz_in = jnp.stack([jnp.asarray(rz_s, jnp.float32),
+                           jnp.asarray(rw_s, jnp.float32)]).reshape(1, 2)
+
     call = _build_call(g, tuple(coeffs), sym, weighted, dtype, interpret,
                        plane_dtype=plane_dtype)
-    x_l, r_l, k, rz = call(tol_sq.reshape(1, 1),
-                           jnp.full((1, 1), maxiter, jnp.int32),
-                           x0_l, b_l, *extra)
+    x_l, r_l, p_l, k, rz = call(tol_sq.reshape(1, 1),
+                                jnp.full((1, 1), maxiter, jnp.int32),
+                                res_flag, rz_in, x0_l, b_l, p_l, *extra)
+    return x_l, r_l, p_l, k, rz, tol_sq
+
+
+def resident_cg(g: ResidentGeometry, b: jnp.ndarray, x0=None, *,
+                coeffs, planes=None, weight=None,
+                tol: float = 1e-6, atol: float = 0.0, maxiter: int = 1000,
+                sym: bool = False, interpret: bool = False,
+                plane_dtype=None) -> CGResult:
+    """Run the whole-solve kernel.  ``b``/``x0``/``weight`` flat (n,);
+    ``planes`` (n_planes, n) in tap order for ``None`` coeff slots (the
+    caller applies any diagonal scaling — semantics match
+    :meth:`cgx.kernels.fused_engine.FusedCG.solve`)."""
+    x_l, r_l, p_l, k, rz, tol_sq = resident_cg_call(
+        g, b, x0, coeffs=coeffs, planes=planes, weight=weight, tol=tol,
+        atol=atol, maxiter=maxiter, sym=sym, interpret=interpret,
+        plane_dtype=plane_dtype)
     return CGResult(x=_from_layout(g, x_l),
                     iterations=k[0, 0],
                     residual_norm_sq=rz[0, 1],

@@ -10,8 +10,10 @@ padded operator, and therefore never perturb dots or the convergence test.
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 
 from cgx.ops import blas
@@ -19,6 +21,18 @@ from cgx.solve.cg import CGResult, cg_solve
 from cgx.sparse.wbell import WBELLMatrix
 
 __all__ = ["wbell_cg_solve"]
+
+
+# The matrix rides as a traced ARGUMENT: WBELL's densified slot planes
+# reach hundreds of MB (thermal2-class: 19.9 k planes = 652 MB) and a
+# closure would bake them into the compile payload, which the remote-TPU
+# tunnel rejects (HTTP 413) — same rule as cgx/utils/checkpoint.py.
+@partial(jax.jit, static_argnames=("tol", "atol", "maxiter",
+                                   "track_history"))
+def _wbell_cg(a, bi, xi0, idi, *, tol, atol, maxiter, track_history):
+    precond = None if idi is None else (lambda r: r * idi)
+    return cg_solve(a, bi, xi0, tol=tol, atol=atol, maxiter=maxiter,
+                    preconditioner=precond, track_history=track_history)
 
 
 def wbell_cg_solve(
@@ -39,20 +53,16 @@ def wbell_cg_solve(
     the matrix diagonal for the Jacobi scaling (exact-trajectory parity
     with a caller-supplied :class:`~cgx.solve.precond.JacobiPrecond`).
     """
-    from cgx.ops.spmv import spmv
-
     n = b.shape[0]
     if maxiter is None:
         maxiter = n
     bi = a.to_internal(b)
     xi0 = a.to_internal(x0) if x0 is not None else None
-    precond = None
+    idi = None
     if jacobi:
         idi = (a.to_internal(inv_diag) if inv_diag is not None
                else blas.safe_recip(a.diag_internal))
-        precond = lambda r: r * idi                # noqa: E731
-    res = cg_solve(lambda v: spmv(a, v), bi, xi0, tol=tol, atol=atol,
-                   maxiter=maxiter, preconditioner=precond,
-                   track_history=track_history)
+    res = _wbell_cg(a, bi, xi0, idi, tol=float(tol), atol=float(atol),
+                    maxiter=int(maxiter), track_history=track_history)
     import dataclasses
     return dataclasses.replace(res, x=a.from_internal(res.x))
