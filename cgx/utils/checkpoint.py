@@ -70,14 +70,24 @@ def make_checkpointed_solver(
     solves (bench reps, parameter sweeps) recompile nothing (the per-call
     retrace was measured at ~1.1-1.9 s on CPU; see ADVICE r2).
 
-    ``backend``: ``"xla"`` (any operator/preconditioner) or ``"fused"``
-    (the two-pass Pallas engine, fused-capable stencil/DIA operators; the
-    path :func:`~cgx.solve.auto.auto_solve` routes big problems to).
+    ``backend``: ``"xla"`` (any operator/preconditioner), ``"fused"``
+    (the two-pass Pallas engine), ``"resident"`` (the whole-solve
+    VMEM-resident kernel), or ``"sr"`` (the semi-resident residency-ladder
+    kernel) — the latter three are the paths
+    :func:`~cgx.solve.auto.auto_solve` actually routes big problems to.
     Snapshot files are backend-interchangeable — a solve checkpointed under
-    one backend can resume under the other.
+    one backend can resume under any other.
     """
     if backend == "fused":
         return _make_fused_checkpointed(
+            a, tol=tol, atol=atol, maxiter=maxiter,
+            preconditioner=preconditioner, chunk=chunk)
+    if backend == "resident":
+        return _make_resident_checkpointed(
+            a, tol=tol, atol=atol, maxiter=maxiter,
+            preconditioner=preconditioner, chunk=chunk)
+    if backend == "sr":
+        return _make_sr_checkpointed(
             a, tol=tol, atol=atol, maxiter=maxiter,
             preconditioner=preconditioner, chunk=chunk)
     if backend != "xla":
@@ -259,5 +269,167 @@ def _make_fused_checkpointed(a, *, tol, atol, maxiter, preconditioner,
         if e is not None:
             res = dataclasses.replace(res, x=e * res.x)
         return res
+
+    return solve
+
+
+def _make_resident_checkpointed(a, *, tol, atol, maxiter, preconditioner,
+                                chunk) -> Callable[..., CGResult]:
+    """Chunked whole-solve-resident solver factory (VERDICT r2 weak #1):
+    the kernel's maxiter bound becomes the chunk length, the carried
+    (x, r, p) arrays plus the (rz, rw) scalars round-trip through the
+    kernel's resume inputs, and every chunk boundary snapshots an
+    UNSCALED flat :class:`CGState` — files interoperate with every other
+    backend (same convention as the two-pass engine's ``state_to_flat``).
+    """
+    import dataclasses
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+
+    from cgx.kernels import fused_cg as _fc
+    from cgx.kernels.fused_dia_cg import (dia_prep, supports_dia,
+                                          wrap_entries_zero_or_none)
+    from cgx.kernels.fused_resident import (_from_layout, _to_layout,
+                                            make_resident_geometry,
+                                            resident_cg_call)
+    from cgx.solve.precond import JacobiPrecond
+
+    interpret = jax.default_backend() != "tpu"
+    is_stencil = _fc.supports(a)
+    if is_stencil:
+        if preconditioner is not None:
+            raise ValueError("resident stencil backend: preconditioner "
+                             "must be None (constant-diagonal operators: "
+                             "Jacobi is an exact rescaling)")
+    elif supports_dia(a) and wrap_entries_zero_or_none(a) is True:
+        if preconditioner is not None and not isinstance(preconditioner,
+                                                         JacobiPrecond):
+            raise ValueError("resident DIA backend supports only Jacobi "
+                             "preconditioning")
+    else:
+        raise ValueError("backend='resident': operator is not "
+                         "fused-capable (need a supported stencil or "
+                         "wrap-free DIA)")
+
+    cache = {}
+
+    def _built(dtype):
+        if dtype in cache:
+            return cache[dtype]
+        if is_stencil:
+            nx, ny, nz, taps, coeffs = _fc.stencil_taps(a)
+            planes = weight = e = None
+            sym = False
+        else:
+            jac = isinstance(preconditioner, JacobiPrecond)
+            nx, ny, nz, taps, coeffs, planes, e, weight, sym = dia_prep(
+                a, dtype, jacobi=jac,
+                inv_diag=preconditioner.inv_diag if jac else None)
+        g = make_resident_geometry(nx, ny, nz, taps)
+
+        # planes/weight ride as traced arguments (compile-payload rule).
+        @partial(jax.jit, static_argnames=("fresh",))
+        def step(b_s, x_l, r_l, p_l, rz, rw, pl_, w_, iters, *,
+                 fresh: bool):
+            resume = None if fresh else (x_l, r_l, p_l, rz, rw)
+            x0 = _from_layout(g, x_l) if fresh else None
+            return resident_cg_call(
+                g, b_s, x0, coeffs=coeffs, planes=pl_, weight=w_,
+                tol=tol, atol=atol, maxiter=iters, sym=sym,
+                interpret=interpret, resume=resume)
+
+        cache[dtype] = dict(g=g, planes=planes, weight=weight, e=e,
+                            step=step)
+        return cache[dtype]
+
+    def _to_flat(bt, x_l, r_l, p_l, rz, rw, k) -> CGState:
+        g, e = bt["g"], bt["e"]
+        x = _from_layout(g, x_l)
+        r = _from_layout(g, r_l)
+        p = _from_layout(g, p_l)
+        if e is not None:
+            from cgx.ops.blas import safe_recip
+            inv_e = safe_recip(e)
+            z = e * r
+            x, r, p = e * x, inv_e * r, e * p
+        else:
+            z = r
+        return CGState(x=x, r=r, z=z, p=p,
+                       rz=jnp.asarray(rz, x.dtype),
+                       rr=jnp.asarray(rw, x.dtype),
+                       k=jnp.asarray(k, jnp.int32),
+                       history=jnp.zeros((0,), x.dtype))
+
+    def _from_flat(bt, cg):
+        g, e = bt["g"], bt["e"]
+        x, r, p = cg.x, cg.r, cg.p
+        if e is not None:
+            from cgx.ops.blas import safe_recip
+            inv_e = safe_recip(e)
+            x, r, p = inv_e * x, e * r, inv_e * p
+        return (_to_layout(g, x), _to_layout(g, r), _to_layout(g, p),
+                jnp.asarray(cg.rz, jnp.float32),
+                jnp.asarray(cg.rr, jnp.float32), int(cg.k))
+
+    def solve(b, x0=None, *, checkpoint_path: Optional[str] = None,
+              on_chunk: Optional[Callable[[CGState], None]] = None
+              ) -> CGResult:
+        import jax
+        import jax.numpy as jnp
+
+        mi = int(maxiter) if maxiter is not None else b.shape[0]
+        bt = _built(b.dtype)
+        g, e = bt["g"], bt["e"]
+        b_s = e * b if e is not None else b
+        if x0 is not None and e is not None:
+            from cgx.ops.blas import safe_recip
+            x0 = x0 * safe_recip(e)
+
+        if checkpoint_path and os.path.exists(checkpoint_path):
+            x_l, r_l, p_l, rz, rw, k_tot = _from_flat(
+                bt, load_state(checkpoint_path))
+            fresh = False
+        else:
+            x_l = _to_layout(g, (x0 if x0 is not None
+                                 else jnp.zeros_like(b_s)).astype(b.dtype))
+            r_l = p_l = jnp.zeros_like(x_l)
+            rz = rw = jnp.zeros((), jnp.float32)
+            k_tot = 0
+            fresh = True
+
+        tol_sq = None
+        while True:
+            iters = min(chunk, mi - k_tot)
+            if iters <= 0:
+                break
+            x_l, r_l, p_l, k, rzv, tol_sq = jax.block_until_ready(
+                bt["step"](b_s, x_l, r_l, p_l, rz, rw, bt["planes"],
+                           bt["weight"], jnp.int32(iters), fresh=fresh))
+            fresh = False
+            k_tot += int(k[0, 0])
+            rz, rw = rzv[0, 0], rzv[0, 1]
+            if checkpoint_path or on_chunk is not None:
+                flat = _to_flat(bt, x_l, r_l, p_l, rz, rw, k_tot)
+                if checkpoint_path:
+                    save_state(checkpoint_path, flat)
+                if on_chunk is not None:
+                    on_chunk(flat)
+            if float(rw) <= float(tol_sq):
+                break
+
+        if tol_sq is None:          # resumed at/past maxiter: one probe
+            _, _, _, _, rzv, tol_sq = bt["step"](
+                b_s, x_l, r_l, p_l, rz, rw, bt["planes"], bt["weight"],
+                jnp.int32(0), fresh=False)
+            rw = rzv[0, 1]
+        x = _from_layout(g, x_l)
+        if e is not None:
+            x = e * x
+        return CGResult(x=x, iterations=jnp.int32(k_tot),
+                        residual_norm_sq=jnp.asarray(rw, jnp.float32),
+                        converged=jnp.asarray(float(rw) <= float(tol_sq)),
+                        history=jnp.zeros((0,), jnp.float32))
 
     return solve
