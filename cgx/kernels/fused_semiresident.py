@@ -60,7 +60,7 @@ import jax.numpy as jnp
 from cgx.solve.cg import CGResult
 
 __all__ = ["SRGeometry", "make_sr_geometry", "sr_mode", "sr_cg",
-           "sr_stencil_cg", "sr_dia_cg", "sr_dia_supported",
+           "sr_cg_call", "sr_stencil_cg", "sr_dia_cg", "sr_dia_supported",
            "SR_VMEM_BUDGET"]
 
 
@@ -228,12 +228,17 @@ def _kernel(*refs, g: SRGeometry, coeffs, interp: bool):
     refs = list(refs)
     tol_ref = refs.pop(0)
     maxit_ref = refs.pop(0)
-    r0_in = refs.pop(0)                     # ANY (HBM)
+    res_in = refs.pop(0)                    # (1,1) int32 SMEM: 1 = resume
+    rz_in = refs.pop(0)                     # (1,2) f32 SMEM: (rz, rzt)
+    r0_in = refs.pop(0)                     # ANY (HBM); carries r on resume
     x_in = refs.pop(0)                      # ANY (HBM), aliased to x_out
+    p0_in = refs.pop(0)                     # ANY (HBM): p seed (fresh: r0)
     planes_hbm = refs.pop(0) if g.n_planes else None  # (np, rows8, total)
     w_hbm = refs.pop(0) if g.weighted else None       # ANY (HBM)
     x_out = refs.pop(0)                     # ANY (HBM)
     r_hbm = refs.pop(0) if g.mode == "p" else None   # ANY, aliased to r0_in
+    r_out = refs.pop(0) if g.mode in ("rpq", "rp") else None  # ANY (HBM)
+    p_out = refs.pop(0)                     # ANY (HBM)
     k_out = refs.pop(0)
     rz_out = refs.pop(0)
     p_scr = refs.pop(0)
@@ -483,13 +488,16 @@ def _kernel(*refs, g: SRGeometry, coeffs, interp: bool):
                     sem_rout.at[bb % 2]).wait()
         return rz, rzt
 
-    # --- init: copy r0 into the resident arrays / leave in HBM --------
+    # --- init: copy p seed / r into the resident arrays ---------------
     def big_copy(src, dst):
         cp = pltpu.make_async_copy(src, dst, sem_big)
         cp.start()
         cp.wait()
 
-    big_copy(r0_in, p_scr)
+    # Fresh: p0_in carries r0 (p₀ = r₀); resume: the snapshot's p.  The
+    # r slot (r0_in) carries r₀ fresh / the snapshot's r on resume — the
+    # SAME copies serve both cases, so no branching is needed here.
+    big_copy(p0_in, p_scr)
     if r_scr is not None:
         big_copy(r0_in, r_scr)
     if interp:
@@ -517,8 +525,14 @@ def _kernel(*refs, g: SRGeometry, coeffs, interp: bool):
         else:
             t = s
         return rz + s, rzt + t
-    rz0, rzt0 = jax.lax.fori_loop(
+    rz0_c, rzt0_c = jax.lax.fori_loop(
         0, nb, rz_step, (jnp.zeros((), f32), jnp.zeros((), f32)))
+    # Fresh: Σr₀² over p_scr (== r₀).  Resume: the snapshot's carried
+    # (rz, rzt) verbatim — p_scr holds p ≠ r there, and adopting the
+    # stored scalars keeps cross-backend resumes on the exact recurrence.
+    resume = res_in[0, 0] == 1
+    rz0 = jnp.where(resume, rz_in[0, 0], rz0_c)
+    rzt0 = jnp.where(resume, rz_in[0, 1], rzt0_c)
     pq0, qq0 = gram_sweep()
 
     def cond(c):
@@ -540,6 +554,11 @@ def _kernel(*refs, g: SRGeometry, coeffs, interp: bool):
     k_out[0, 0] = k
     rz_out[0, 0] = rz
     rz_out[0, 1] = rzt
+    # Export the carried arrays for chunked/checkpointed callers (one
+    # O(n) HBM write per kernel CALL, not per iteration).
+    big_copy(p_scr, p_out)
+    if r_out is not None:
+        big_copy(r_scr, r_out)
 
 
 def _build_call(g: SRGeometry, coeffs, dtype, interpret: bool,
@@ -555,16 +574,21 @@ def _build_call(g: SRGeometry, coeffs, dtype, interpret: bool,
     pdt = dtype if plane_dtype is None else plane_dtype
     win = g.bl + 2 * g.sl
 
-    in_specs = [sm, sm, anyspec, anyspec]
+    in_specs = [sm, sm, sm, sm, anyspec, anyspec, anyspec]
     n_extra_in = (1 if g.n_planes else 0) + (1 if g.weighted else 0)
     in_specs += [anyspec] * n_extra_in
     out_specs = [anyspec]
     out_shape = [vshape]
-    aliases = {3: 0}                        # x_in -> x_out
+    aliases = {5: 0}                        # x_in -> x_out
     if g.mode == "p":
         out_specs.append(anyspec)
         out_shape.append(vshape)
-        aliases[2] = 1                      # r0_in -> r_hbm
+        aliases[4] = 1                      # r0_in -> r_hbm
+    else:
+        out_specs.append(anyspec)           # r_out (carried r export)
+        out_shape.append(vshape)
+    out_specs.append(anyspec)               # p_out (carried p export)
+    out_shape.append(vshape)
     out_specs += [sm, sm]
     out_shape += [jax.ShapeDtypeStruct((1, 1), jnp.int32),
                   jax.ShapeDtypeStruct((1, 2), jnp.float32)]
@@ -606,7 +630,7 @@ def _build_call(g: SRGeometry, coeffs, dtype, interpret: bool,
             vmem_limit_bytes=min(int(vmem_need * headroom) + (2 << 20),
                                  127 << 20)))
 
-    def call(tol_sq, maxit, r0_l, x0_l, *extra):
+    def call(tol_sq, maxit, res_flag, rz_in, r0_l, x0_l, p0_l, *extra):
         return pl.pallas_call(
             kernel,
             in_specs=in_specs,
@@ -616,28 +640,26 @@ def _build_call(g: SRGeometry, coeffs, dtype, interpret: bool,
             scratch_shapes=scratch,
             interpret=interpret,
             **params,
-        )(tol_sq, maxit, r0_l, x0_l, *extra)
+        )(tol_sq, maxit, res_flag, rz_in, r0_l, x0_l, p0_l, *extra)
 
     return call
 
 
-def sr_cg(g: SRGeometry, b: jnp.ndarray, *, coeffs,
-          tol: float = 1e-6, atol=0.0, maxiter: int = 1000,
-          interpret: bool = False, planes=None, w=None,
-          plane_dtype=None, b_norm_sq=None) -> CGResult:
-    """Run the semi-resident whole-solve kernel on flat ``b`` (x₀ = 0 —
-    callers with an initial guess solve for the correction, see
-    :func:`sr_stencil_cg`).  ``atol`` may be a traced scalar.
+def sr_cg_call(g: SRGeometry, b: jnp.ndarray, *, coeffs,
+               tol: float = 1e-6, atol=0.0, maxiter: int = 1000,
+               interpret: bool = False, planes=None, w=None,
+               plane_dtype=None, b_norm_sq=None, resume=None,
+               x0_l=None):
+    """Low-level semi-resident kernel invocation; returns the LAYOUT-
+    space carried state ``(x_l, r_l, p_l, k, rz, tol_sq)`` so chunked/
+    checkpointed callers can feed it back via ``resume``.
 
-    ``planes``: streamed coefficient planes, flat ``(n_planes, n)``
-    (variable DIA — geometry must carry matching ``n_planes``/``sym``).
-    ``w``: per-row weight for the TRUE-residual convergence test, flat
-    ``(n,)`` (Jacobi-as-scaling PCG — see fused_dia_cg); ``b_norm_sq``
-    overrides the ``tol``-reference norm (pass Σ w·b² for weighted
-    solves so the test matches ``cg_solve``'s true ‖b‖²)."""
+    ``resume``: ``(x_l, r_l, p_l, rz, rzt)`` — layout-space arrays plus
+    the snapshot's carried scalars; skips the fresh p₀ = r₀ seeding and
+    continues the exact recurrence (the Gram numbers pq/qq are
+    recomputed by the same gram_sweep that produced them).  ``b`` still
+    supplies the convergence threshold's ‖b‖² unless ``b_norm_sq``."""
     dtype = b.dtype
-    r0_l = _to_layout(g, b.astype(dtype))
-    x0_l = jnp.zeros((g.rows8, g.total), dtype)
     extra = []
     if g.n_planes:
         pdt = dtype if plane_dtype is None else plane_dtype
@@ -655,12 +677,48 @@ def sr_cg(g: SRGeometry, b: jnp.ndarray, *, coeffs,
           if b_norm_sq is None else b_norm_sq)
     tol_sq = jnp.maximum(jnp.asarray(tol, jnp.float32) ** 2 * bb,
                          jnp.asarray(atol, jnp.float32) ** 2)
+    if resume is None:
+        # Fresh: ``b`` carries r₀ (the caller folds any initial guess as
+        # r₀ = b − A·x₀ and passes the matching ``x0_l`` base).
+        r0_l = _to_layout(g, b.astype(dtype))
+        if x0_l is None:
+            x0_l = jnp.zeros((g.rows8, g.total), dtype)
+        p0_l = r0_l
+        res_flag = jnp.zeros((1, 1), jnp.int32)
+        rz_in = jnp.zeros((1, 2), jnp.float32)
+    else:
+        x0_l, r0_l, p0_l, rz_s, rzt_s = resume
+        res_flag = jnp.ones((1, 1), jnp.int32)
+        rz_in = jnp.stack([jnp.asarray(rz_s, jnp.float32),
+                           jnp.asarray(rzt_s, jnp.float32)]).reshape(1, 2)
     call = _build_call(g, tuple(coeffs), dtype, interpret,
                        plane_dtype=plane_dtype)
     out = call(tol_sq.reshape(1, 1),
-               jnp.full((1, 1), maxiter, jnp.int32), r0_l, x0_l, *extra)
-    x_l = out[0]
+               jnp.full((1, 1), maxiter, jnp.int32),
+               res_flag, rz_in, r0_l, x0_l, p0_l, *extra)
+    x_l, r_l, p_l = out[0], out[1], out[2]
     k, rz = out[-2], out[-1]
+    return x_l, r_l, p_l, k, rz, tol_sq
+
+
+def sr_cg(g: SRGeometry, b: jnp.ndarray, *, coeffs,
+          tol: float = 1e-6, atol=0.0, maxiter: int = 1000,
+          interpret: bool = False, planes=None, w=None,
+          plane_dtype=None, b_norm_sq=None) -> CGResult:
+    """Run the semi-resident whole-solve kernel on flat ``b`` (x₀ = 0 —
+    callers with an initial guess solve for the correction, see
+    :func:`sr_stencil_cg`).  ``atol`` may be a traced scalar.
+
+    ``planes``: streamed coefficient planes, flat ``(n_planes, n)``
+    (variable DIA — geometry must carry matching ``n_planes``/``sym``).
+    ``w``: per-row weight for the TRUE-residual convergence test, flat
+    ``(n,)`` (Jacobi-as-scaling PCG — see fused_dia_cg); ``b_norm_sq``
+    overrides the ``tol``-reference norm (pass Σ w·b² for weighted
+    solves so the test matches ``cg_solve``'s true ‖b‖²)."""
+    x_l, r_l, p_l, k, rz, tol_sq = sr_cg_call(
+        g, b, coeffs=coeffs, tol=tol, atol=atol, maxiter=maxiter,
+        interpret=interpret, planes=planes, w=w, plane_dtype=plane_dtype,
+        b_norm_sq=b_norm_sq)
     return CGResult(x=_from_layout(g, x_l),
                     iterations=k[0, 0],
                     residual_norm_sq=rz[0, 1],

@@ -433,3 +433,176 @@ def _make_resident_checkpointed(a, *, tol, atol, maxiter, preconditioner,
                         history=jnp.zeros((0,), jnp.float32))
 
     return solve
+
+
+def _make_sr_checkpointed(a, *, tol, atol, maxiter, preconditioner,
+                          chunk) -> Callable[..., CGResult]:
+    """Chunked semi-resident solver factory (VERDICT r2 weak #1, sr leg):
+    same contract as ``_make_resident_checkpointed`` on the residency-
+    ladder kernel — (x, r, p) round-trip through the kernel's resume
+    inputs/carried-state outputs, (rz, rzt) through SMEM, and the Gram
+    numbers are recomputed by the kernel's own gram_sweep (deterministic).
+    Snapshots are unscaled flat :class:`CGState` files.
+    """
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+
+    from cgx.kernels import fused_cg as _fc
+    from cgx.kernels.fused_dia_cg import (dia_prep, supports_dia,
+                                          wrap_entries_zero_or_none)
+    from cgx.kernels.fused_semiresident import (_from_layout, _to_layout,
+                                                make_sr_geometry,
+                                                sr_cg_call)
+    from cgx.solve.precond import JacobiPrecond
+
+    interpret = jax.default_backend() != "tpu"
+    is_stencil = _fc.supports(a)
+    if is_stencil:
+        if preconditioner is not None:
+            raise ValueError("sr stencil backend: preconditioner must be "
+                             "None (constant-diagonal operators: Jacobi "
+                             "is an exact rescaling)")
+    elif supports_dia(a) and wrap_entries_zero_or_none(a) is True:
+        if preconditioner is not None and not isinstance(preconditioner,
+                                                         JacobiPrecond):
+            raise ValueError("sr DIA backend supports only Jacobi "
+                             "preconditioning")
+    else:
+        raise ValueError("backend='sr': operator is not fused-capable "
+                         "(need a supported stencil or wrap-free DIA)")
+
+    cache = {}
+
+    def _built(dtype):
+        if dtype in cache:
+            return cache[dtype]
+        if is_stencil:
+            nx, ny, nz, taps, coeffs = _fc.stencil_taps(a)
+            planes = weight = e = None
+            sym = False
+            g = make_sr_geometry(nx, ny, nz, taps)
+        else:
+            jac = isinstance(preconditioner, JacobiPrecond)
+            nx, ny, nz, taps, coeffs, planes, e, weight, sym = dia_prep(
+                a, dtype, jacobi=jac,
+                inv_diag=preconditioner.inv_diag if jac else None)
+            g = make_sr_geometry(
+                nx, ny, nz, taps, n_planes=int(planes.shape[0]),
+                weighted=weight is not None, sym=sym,
+                itemsize=jnp.dtype(dtype).itemsize)
+
+        @partial(jax.jit, static_argnames=("fresh",))
+        def step(r_or_b_s, x_l, r_l, p_l, rz, rzt, pl_, w_, bb, iters, *,
+                 fresh: bool):
+            resume = None if fresh else (x_l, r_l, p_l, rz, rzt)
+            return sr_cg_call(
+                g, r_or_b_s, coeffs=coeffs, tol=tol, atol=atol,
+                maxiter=iters, interpret=interpret, planes=pl_, w=w_,
+                b_norm_sq=bb, resume=resume,
+                x0_l=x_l if fresh else None)
+
+        cache[dtype] = dict(g=g, planes=planes, weight=weight, e=e,
+                            step=step)
+        return cache[dtype]
+
+    def _to_flat(bt, x_l, r_l, p_l, rz, rzt, k) -> CGState:
+        g, e = bt["g"], bt["e"]
+        x = _from_layout(g, x_l)
+        r = _from_layout(g, r_l)
+        p = _from_layout(g, p_l)
+        if e is not None:
+            from cgx.ops.blas import safe_recip
+            inv_e = safe_recip(e)
+            z = e * r
+            x, r, p = e * x, inv_e * r, e * p
+        else:
+            z = r
+        return CGState(x=x, r=r, z=z, p=p,
+                       rz=jnp.asarray(rz, x.dtype),
+                       rr=jnp.asarray(rzt, x.dtype),
+                       k=jnp.asarray(k, jnp.int32),
+                       history=jnp.zeros((0,), x.dtype))
+
+    def _from_flat(bt, cg):
+        g, e = bt["g"], bt["e"]
+        x, r, p = cg.x, cg.r, cg.p
+        if e is not None:
+            from cgx.ops.blas import safe_recip
+            inv_e = safe_recip(e)
+            x, r, p = inv_e * x, e * r, inv_e * p
+        return (_to_layout(g, x), _to_layout(g, r), _to_layout(g, p),
+                jnp.asarray(cg.rz, jnp.float32),
+                jnp.asarray(cg.rr, jnp.float32), int(cg.k))
+
+    def solve(b, x0=None, *, checkpoint_path: Optional[str] = None,
+              on_chunk: Optional[Callable[[CGState], None]] = None
+              ) -> CGResult:
+        import jax
+        import jax.numpy as jnp
+
+        from cgx.ops.spmv import spmv
+
+        mi = int(maxiter) if maxiter is not None else b.shape[0]
+        bt = _built(b.dtype)
+        g, e = bt["g"], bt["e"]
+        bb = jnp.sum(b.astype(jnp.float32) ** 2)
+
+        if checkpoint_path and os.path.exists(checkpoint_path):
+            x_l, r_l, p_l, rz, rzt, k_tot = _from_flat(
+                bt, load_state(checkpoint_path))
+            fresh = False
+            first_arg = jnp.zeros_like(b)       # unused on resume
+        else:
+            r0 = b if x0 is None else b - spmv(a, x0)
+            r0_s = e * r0 if e is not None else r0
+            if x0 is None:
+                x_s = jnp.zeros_like(b)
+            elif e is not None:
+                from cgx.ops.blas import safe_recip
+                x_s = x0 * safe_recip(e)
+            else:
+                x_s = x0
+            x_l = _to_layout(g, x_s.astype(b.dtype))
+            r_l = p_l = jnp.zeros_like(x_l)
+            rz = rzt = jnp.zeros((), jnp.float32)
+            k_tot = 0
+            fresh = True
+            first_arg = r0_s
+
+        tol_sq = None
+        while True:
+            iters = min(chunk, mi - k_tot)
+            if iters <= 0:
+                break
+            x_l, r_l, p_l, k, rzv, tol_sq = jax.block_until_ready(
+                bt["step"](first_arg, x_l, r_l, p_l, rz, rzt,
+                           bt["planes"], bt["weight"], bb,
+                           jnp.int32(iters), fresh=fresh))
+            fresh = False
+            k_tot += int(k[0, 0])
+            rz, rzt = rzv[0, 0], rzv[0, 1]
+            if checkpoint_path or on_chunk is not None:
+                flat = _to_flat(bt, x_l, r_l, p_l, rz, rzt, k_tot)
+                if checkpoint_path:
+                    save_state(checkpoint_path, flat)
+                if on_chunk is not None:
+                    on_chunk(flat)
+            if float(rzt) <= float(tol_sq):
+                break
+
+        if tol_sq is None:          # resumed at/past maxiter: one probe
+            _, _, _, _, rzv, tol_sq = bt["step"](
+                first_arg, x_l, r_l, p_l, rz, rzt, bt["planes"],
+                bt["weight"], bb, jnp.int32(0), fresh=False)
+            rzt = rzv[0, 1]
+        x = _from_layout(g, x_l)
+        if e is not None:
+            x = e * x
+        return CGResult(x=x, iterations=jnp.int32(k_tot),
+                        residual_norm_sq=jnp.asarray(rzt, jnp.float32),
+                        converged=jnp.asarray(float(rzt) <= float(tol_sq)),
+                        history=jnp.zeros((0,), jnp.float32))
+
+    return solve

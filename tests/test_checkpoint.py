@@ -209,3 +209,230 @@ def test_fused_checkpoint_cross_backend_resume(tmp_path, rng):
     ref = cg_solve(a, b, tol=1e-6, maxiter=400, preconditioner=m)
     np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
                                rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("op_kind", ["stencil", "dia_jacobi"])
+def test_resident_resume_after_preemption_identical_trajectory(
+        tmp_path, rng, op_kind):
+    """VERDICT r2 #3: checkpoint/resume on the whole-solve RESIDENT kernel
+    — the backend auto_solve actually routes ≥200 k-row problems to.  The
+    kernel's maxiter bound is the chunk length; (x, r, p, rz, rw) round-
+    trip through its resume inputs; snapshots are flat CGState files."""
+    from cgx.io.poisson import poisson3d_dia
+    from cgx.kernels.fused_resident import (resident_dia_cg,
+                                            resident_stencil_cg)
+    from cgx.sparse.stencil import poisson3d_stencil
+
+    if op_kind == "stencil":
+        a = poisson3d_stencil(8, 7, 6)
+        m = None
+    else:
+        a = poisson3d_dia(8, 7, 6, dtype=np.float32)
+        m = JacobiPrecond.from_matrix(a)
+    n = 8 * 7 * 6
+    b = jnp.asarray(rng.standard_normal(n), jnp.float32)
+
+    ref = cg_solve_checkpointed(a, b, tol=1e-6, maxiter=400,
+                                preconditioner=m, chunk=25,
+                                backend="resident")
+    assert bool(ref.converged)
+    # Chunking only moves where the host observes the state: matches the
+    # monolithic whole-solve kernel exactly.
+    if op_kind == "stencil":
+        mono = resident_stencil_cg(a, b, tol=1e-6, maxiter=400,
+                                   interpret=True)
+    else:
+        mono = resident_dia_cg(a, b, tol=1e-6, maxiter=400,
+                               interpret=True)
+    assert int(ref.iterations) == int(mono.iterations)
+    np.testing.assert_array_equal(np.asarray(ref.x), np.asarray(mono.x))
+
+    ckpt = str(tmp_path / "res.npz")
+    seen = []
+
+    class Preempt(Exception):
+        pass
+
+    def killer(state):
+        seen.append(int(state.k))
+        if len(seen) == 2:
+            raise Preempt
+
+    try:
+        cg_solve_checkpointed(a, b, tol=1e-6, maxiter=400,
+                              preconditioner=m, chunk=25,
+                              backend="resident",
+                              checkpoint_path=ckpt, on_chunk=killer)
+        assert False, "should have been preempted"
+    except Preempt:
+        pass
+    assert os.path.exists(ckpt)
+
+    res = cg_solve_checkpointed(a, b, tol=1e-6, maxiter=400,
+                                preconditioner=m, chunk=25,
+                                backend="resident",
+                                checkpoint_path=ckpt)
+    assert bool(res.converged)
+    assert int(res.iterations) == int(ref.iterations)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_resident_checkpoint_cross_backend_resume(tmp_path, rng):
+    """A snapshot written by the resident backend resumes under the XLA
+    backend (flat CGState interop)."""
+    from cgx.io.poisson import poisson3d_dia
+
+    a = poisson3d_dia(8, 7, 6, dtype=np.float32)
+    m = JacobiPrecond.from_matrix(a)
+    n = 8 * 7 * 6
+    b = jnp.asarray(rng.standard_normal(n), jnp.float32)
+
+    ckpt = str(tmp_path / "rx.npz")
+
+    class Stop(Exception):
+        pass
+
+    def once(state):
+        raise Stop
+
+    try:
+        cg_solve_checkpointed(a, b, tol=1e-6, maxiter=400, preconditioner=m,
+                              chunk=20, backend="resident",
+                              checkpoint_path=ckpt, on_chunk=once)
+    except Stop:
+        pass
+    assert os.path.exists(ckpt)
+
+    res = cg_solve_checkpointed(a, b, tol=1e-6, maxiter=400,
+                                preconditioner=m, chunk=20, backend="xla",
+                                checkpoint_path=ckpt)
+    assert bool(res.converged)
+    ref = cg_solve(a, b, tol=1e-6, maxiter=400, preconditioner=m)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                               rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("op_kind", ["stencil", "dia_jacobi"])
+def test_sr_resume_after_preemption_identical_trajectory(
+        tmp_path, rng, op_kind):
+    """VERDICT r2 #3, sr leg: checkpoint/resume on the semi-resident
+    residency-ladder kernel."""
+    from cgx.io.poisson import poisson3d_dia
+    from cgx.kernels.fused_semiresident import sr_dia_cg, sr_stencil_cg
+    from cgx.sparse.stencil import poisson3d_stencil
+
+    if op_kind == "stencil":
+        a = poisson3d_stencil(8, 7, 6)
+        m = None
+    else:
+        a = poisson3d_dia(8, 7, 6, dtype=np.float32)
+        m = JacobiPrecond.from_matrix(a)
+    n = 8 * 7 * 6
+    b = jnp.asarray(rng.standard_normal(n), jnp.float32)
+
+    ref = cg_solve_checkpointed(a, b, tol=1e-6, maxiter=400,
+                                preconditioner=m, chunk=25, backend="sr")
+    assert bool(ref.converged)
+    if op_kind == "stencil":
+        mono = sr_stencil_cg(a, b, tol=1e-6, maxiter=400, interpret=True)
+    else:
+        mono = sr_dia_cg(a, b, tol=1e-6, maxiter=400, interpret=True)
+    assert int(ref.iterations) == int(mono.iterations)
+    np.testing.assert_array_equal(np.asarray(ref.x), np.asarray(mono.x))
+
+    ckpt = str(tmp_path / "sr.npz")
+    seen = []
+
+    class Preempt(Exception):
+        pass
+
+    def killer(state):
+        seen.append(int(state.k))
+        if len(seen) == 2:
+            raise Preempt
+
+    try:
+        cg_solve_checkpointed(a, b, tol=1e-6, maxiter=400,
+                              preconditioner=m, chunk=25, backend="sr",
+                              checkpoint_path=ckpt, on_chunk=killer)
+        assert False, "should have been preempted"
+    except Preempt:
+        pass
+    assert os.path.exists(ckpt)
+
+    res = cg_solve_checkpointed(a, b, tol=1e-6, maxiter=400,
+                                preconditioner=m, chunk=25, backend="sr",
+                                checkpoint_path=ckpt)
+    assert bool(res.converged)
+    assert int(res.iterations) == int(ref.iterations)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_sr_checkpoint_cross_backend_resume(tmp_path, rng):
+    """A snapshot written by the sr backend resumes under the XLA backend
+    (flat CGState interop), and vice versa."""
+    from cgx.io.poisson import poisson3d_dia
+
+    a = poisson3d_dia(8, 7, 6, dtype=np.float32)
+    m = JacobiPrecond.from_matrix(a)
+    n = 8 * 7 * 6
+    b = jnp.asarray(rng.standard_normal(n), jnp.float32)
+
+    ckpt = str(tmp_path / "sx.npz")
+
+    class Stop(Exception):
+        pass
+
+    def once(state):
+        raise Stop
+
+    try:
+        cg_solve_checkpointed(a, b, tol=1e-6, maxiter=400, preconditioner=m,
+                              chunk=20, backend="sr",
+                              checkpoint_path=ckpt, on_chunk=once)
+    except Stop:
+        pass
+    assert os.path.exists(ckpt)
+
+    res = cg_solve_checkpointed(a, b, tol=1e-6, maxiter=400,
+                                preconditioner=m, chunk=20, backend="xla",
+                                checkpoint_path=ckpt)
+    assert bool(res.converged)
+    ref = cg_solve(a, b, tol=1e-6, maxiter=400, preconditioner=m)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                               rtol=1e-4, atol=1e-5)
+
+    # xla snapshot -> sr resume
+    ckpt2 = str(tmp_path / "xs.npz")
+    try:
+        cg_solve_checkpointed(a, b, tol=1e-6, maxiter=400, preconditioner=m,
+                              chunk=20, backend="xla",
+                              checkpoint_path=ckpt2, on_chunk=once)
+    except Stop:
+        pass
+    res2 = cg_solve_checkpointed(a, b, tol=1e-6, maxiter=400,
+                                 preconditioner=m, chunk=20, backend="sr",
+                                 checkpoint_path=ckpt2)
+    assert bool(res2.converged)
+    np.testing.assert_allclose(np.asarray(res2.x), np.asarray(ref.x),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_sr_checkpointed_with_initial_guess(rng):
+    """x0 folds as r0 = b − A·x0 with the threshold on the ORIGINAL ‖b‖
+    (cg_solve semantics)."""
+    from cgx.io.poisson import poisson3d_dia
+
+    a = poisson3d_dia(8, 7, 6, dtype=np.float32)
+    n = 8 * 7 * 6
+    b = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    x0 = jnp.asarray(rng.standard_normal(n), jnp.float32) * 0.1
+
+    res = cg_solve_checkpointed(a, b, x0, tol=1e-6, maxiter=400,
+                                chunk=25, backend="sr")
+    ref = cg_solve(a, b, x0, tol=1e-6, maxiter=400)
+    assert bool(res.converged)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                               rtol=1e-4, atol=1e-5)
