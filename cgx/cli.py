@@ -183,11 +183,18 @@ def _solve_distributed(args, a, b, n, tol, maxiter):
     else:
         raise SystemExit(f"--devices>1 --method {method} supports csr/dia "
                          "sources (use --method fused for stencils)")
+    lam = (None, None)
+    if method == "chebyshev" and precond == "none":
+        # Tensor-product stencil operators have closed-form extreme
+        # eigenvalues — skip the distributed power iteration entirely.
+        from cgx.solve.chebyshev import analytic_bounds
+        lam = analytic_bounds(a) or (None, None)
     t0 = time.perf_counter()
     res = jax.block_until_ready(dist_cg_solve(
         part, b, mesh, tol=tol, maxiter=maxiter, preconditioner=precond,
         blocksize=args.blocksize, poly_steps=args.poly_steps,
-        nsweeps=args.sweeps, method=method))
+        nsweeps=args.sweeps, method=method,
+        lam_min=lam[0], lam_max=lam[1]))
     dt = time.perf_counter() - t0
     return res, dt, unpad_vector(np.asarray(res.x), n)
 

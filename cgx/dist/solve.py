@@ -290,7 +290,8 @@ def _cached_solver(mesh, part_key, tol, atol, maxiter, precond_kind,
                 op = mv if precond is None else (
                     lambda v: precond(mv(v)))
                 lo, hi = estimate_bounds(op, b_loc.shape[0],
-                                         axis_name=AXIS)
+                                         axis_name=AXIS,
+                                         dtype=b_loc.dtype)
             else:
                 lo, hi = lam_min, lam_max
             return chebyshev_solve(mv, b_loc, lo, hi, x0l, tol=tol,

@@ -28,24 +28,123 @@ import jax.numpy as jnp
 from cgx.ops import blas
 from cgx.solve.cg import CGResult, as_matvec, _as_apply
 
-__all__ = ["chebyshev_solve", "estimate_bounds"]
+__all__ = ["chebyshev_solve", "estimate_bounds", "analytic_bounds"]
+
+
+def analytic_bounds(a) -> Optional[Tuple[float, float]]:
+    """Closed-form (λ_min, λ_max) for axis-aligned constant-coefficient
+    Dirichlet stencils, or ``None`` when ``a`` has no such form.
+
+    For a tensor-product operator (5-point 2-D / 7-point 3-D Poisson and
+    anisotropic variants: center ``c₀``, symmetric per-axis couplings
+    ``c_ax`` at offset ±1) the eigenvalues are exactly
+
+        λ(i, j, k) = c₀ + Σ_ax 2·c_ax·cos(π·m_ax / (n_ax + 1)),
+
+    so the extreme eigenvalues are ``c₀ ∓ Σ 2|c_ax|·cos(π/(n_ax+1))`` —
+    no power iteration needed (the SURVEY §5 "spectrum known
+    analytically" case).  Returns Python floats (static under jit)."""
+    import math
+
+    from cgx.kernels.fused_cg import stencil_taps
+
+    spec = stencil_taps(a)
+    if spec is None:
+        spec = _dia_constant_taps(a)     # constant-coefficient DIA form
+    if spec is None:
+        return None
+    nx, ny, nz, taps, coeffs = spec
+    if any(c is None for c in coeffs):
+        return None                      # variable-coefficient planes
+    lens = (nx, ny, nz)
+    center = None
+    per = {}                             # axis -> {+1: c, -1: c}
+    for d, c in zip(taps, coeffs):
+        nzs = [i for i, v in enumerate(d) if v != 0]
+        if not nzs:
+            if center is not None:
+                return None
+            center = float(c)
+        elif len(nzs) == 1 and abs(d[nzs[0]]) == 1:
+            ax, sg = nzs[0], d[nzs[0]]
+            if sg in per.setdefault(ax, {}):
+                return None
+            per[ax][sg] = float(c)
+        else:
+            return None                  # diagonal tap / reach > 1
+    if center is None:
+        return None
+    lo = hi = center
+    for ax, d in per.items():
+        if set(d) != {1, -1} or d[1] != d[-1]:
+            return None                  # non-symmetric coupling
+        n_ax = lens[ax]
+        if n_ax <= 1:
+            continue                     # no neighbors along this axis
+        span = 2.0 * abs(d[1]) * math.cos(math.pi / (n_ax + 1))
+        lo -= span
+        hi += span
+    return lo, hi
+
+
+def _dia_constant_taps(a):
+    """``(nx, ny, nz, taps, coeffs)`` for a DIA operator whose every
+    diagonal is a single constant on its grid-valid slots (and zero at
+    boundary-crossing slots), or ``None``.  Host-side, concrete data."""
+    import numpy as np
+
+    from cgx.kernels.fused_dia_cg import dia_engine_spec
+
+    spec = dia_engine_spec(a)
+    if spec is None:
+        return None
+    nx, ny, nz, taps = spec
+    data = np.asarray(a.data)            # (n_diags, n): data[k, i]
+    n = data.shape[1]
+    if n != nx * ny * nz:
+        return None
+    r = np.arange(n)
+    zc = r % nz
+    yc = (r // nz) % ny
+    xc = r // (ny * nz)
+    coeffs = []
+    for t, (dx, dy, dk) in enumerate(taps):
+        valid = ((xc + dx >= 0) & (xc + dx < nx)
+                 & (yc + dy >= 0) & (yc + dy < ny)
+                 & (zc + dk >= 0) & (zc + dk < nz))
+        col = data[t]
+        if np.any(col[~valid] != 0):
+            return None                  # wrap entries — not a grid stencil
+        vals = col[valid]
+        if vals.size == 0:
+            coeffs.append(0.0)
+            continue
+        c = vals[0]
+        if np.any(vals != c):
+            return None                  # variable coefficients
+        coeffs.append(float(c))
+    return nx, ny, nz, list(map(tuple, taps)), coeffs
 
 
 def estimate_bounds(a, n: int, iters: int = 30, key=None,
                     safety: float = 1.05, min_margin: float = 2.0,
-                    axis_name: Optional[str] = None
-                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                    axis_name: Optional[str] = None,
+                    dtype=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(λ_min, λ_max) estimates for SPD ``A`` via power iteration.
 
     λ_max: power iteration × ``safety``.  λ_min: power iteration on
     ``λ_max I − A``, then ÷ ``min_margin`` — power iteration converges
     slowly into clustered small eigenvalues, and a λ_min estimate *above*
     the true minimum degrades Chebyshev badly, so err low (costs only
-    ~√min_margin extra iterations)."""
+    ~√min_margin extra iterations).
+
+    ``dtype``: start-vector dtype — pass the operand dtype so the power
+    iteration runs in the operator's own precision (defaults to fp32)."""
     matvec = as_matvec(a)
     if key is None:
         key = jax.random.PRNGKey(0)
-    v0 = jax.random.normal(key, (n,))
+    v0 = (jax.random.normal(key, (n,)) if dtype is None
+          else jax.random.normal(key, (n,), dtype))
     if axis_name is not None:
         # Same key on every shard → v0 is "unvarying" to the vma checker,
         # but the matvec output is varying; cast so the power-iteration
