@@ -43,19 +43,37 @@ def time_best(fn, reps=5):
     return best
 
 
-def time_best_fresh(fn, variants, reps=3):
-    """Best wall time of ``fn(v)`` over distinct inputs ``variants``.
+def time_samples_fresh(fn, variants, reps=3):
+    """Wall times of ``fn(v)`` over distinct inputs ``variants``.
 
     The remote-TPU dispatch layer can serve repeated *identical* calls from
     cache, so every timed rep must use fresh input content.
     """
-    best = float("inf")
+    out = []
     for i in range(reps):
         v = variants[i % len(variants)]
         t0 = time.perf_counter()
         fn(v)
-        best = min(best, time.perf_counter() - t0)
-    return best
+        out.append(time.perf_counter() - t0)
+    return out
+
+
+def stats(samples):
+    """{median, spread_pct, n_samples} — spread is (max−min)/median.
+
+    The driver artifact used to record ONE sample; the repo's own
+    PERF_NOTES documents ±25 % cross-process variance in the VMEM-resident
+    regime (the r01→r02 SpMV swing, 725→517 Gnnz/s, was exactly this), so
+    every recorded number now carries its own evidence of stability.
+    """
+    s = sorted(samples)
+    med = float(np.median(s))
+    spread = (s[-1] - s[0]) / med * 100.0 if med > 0 else 0.0
+    return dict(median=med, spread_pct=round(spread, 1), n_samples=len(s))
+
+
+def time_best_fresh(fn, variants, reps=3):
+    return min(time_samples_fresh(fn, variants, reps))
 
 
 def make_variants(b, k=3):
@@ -84,37 +102,62 @@ def bench_cgx_headline(quick):
     nnz = 7 * n - 2 * (side * side * 3)   # 7-point interior minus faces
     b = jnp.ones((n,), jnp.float32)
 
-    solve = jax.jit(lambda a, b: cgx.auto_solve(a, b, tol=1e-6, maxiter=2000))
+    # Pin WHICH engine the headline measures (select_backend needs
+    # concrete data — run it outside the jit and pass the result in).
+    engine = cgx.select_backend(a, b)
+    solve = jax.jit(lambda a, b: cgx.auto_solve(a, b, tol=1e-6,
+                                                maxiter=2000,
+                                                backend=engine))
     res = jax.block_until_ready(solve(a, b))  # compile + converge check
     iters = int(res.iterations)
     assert bool(res.converged), "headline solve did not converge"
 
-    bs = make_variants(b)
-    t = time_best_fresh(lambda v: jax.block_until_ready(solve(a, v)), bs,
-                        reps=3 if quick else 5)
+    bs = make_variants(b, k=5)
+    head = stats(time_samples_fresh(
+        lambda v: jax.block_until_ready(solve(a, v)), bs,
+        reps=3 if quick else 7))
 
     # SpMV-only throughput.  Host→device dispatch through the tunnel costs
     # ~30 ms per call, so time K chained SpMVs inside ONE jitted call and
-    # difference two loop lengths to cancel the constant overhead.
+    # difference two loop lengths to cancel the constant overhead.  The
+    # 128^3 fp32 working set (~8.4 MB/vector) sits in the VMEM-RESIDENT
+    # regime, where XLA's buffer placement varies across processes
+    # (PERF_NOTES: ±25 %) — per-iteration times are paired (t2−t1 on the
+    # same variant) and reported as median + spread.
     @partial(jax.jit, static_argnums=2)
     def spmv_loop(a, x, k):
         # /8 keeps the iterates bounded (spectral radius of A/8 <= 1).
         return jax.lax.fori_loop(
             0, k, lambda i, y: cgx.spmv(a, y) * 0.125, x)
 
-    k1, k2 = (20, 60) if quick else (50, 150)
+    # Loop bodies cost ~ms while a dispatch costs ~30 ms, so single-pair
+    # differences drown in dispatch noise; the ~30 ms floor is min-stable,
+    # so each per-iteration SAMPLE is a min-of-2 calibrated difference,
+    # and the median/spread is taken over those samples.
+    k1, k2 = (60, 240) if quick else (100, 400)
     jax.block_until_ready(spmv_loop(a, b, k1))
     jax.block_until_ready(spmv_loop(a, b, k2))
-    t1 = time_best_fresh(
-        lambda v: jax.block_until_ready(spmv_loop(a, v, k1)), bs, 3)
-    t2 = time_best_fresh(
-        lambda v: jax.block_until_ready(spmv_loop(a, v, k2)), bs, 3)
-    t_spmv = max(t2 - t1, 1e-9) / (k2 - k1)
+    per_iter = []
+    for i in range(3 if quick else 5):
+        t1 = min(time_samples_fresh(
+            lambda v: jax.block_until_ready(spmv_loop(a, v, k1)), bs[:2], 2))
+        t2 = min(time_samples_fresh(
+            lambda v: jax.block_until_ready(spmv_loop(a, v, k2)), bs[2:4], 2))
+        per_iter.append(max(t2 - t1, 1e-9) / (k2 - k1))
+    sp = stats(per_iter)
+    spmv_gnnz = stats([nnz / t / 1e9 for t in per_iter])
+    log(f"[cgx] spmv per-iter samples (us): "
+        f"{[round(t * 1e6, 1) for t in per_iter]}")
     log(f"[cgx] 3D Poisson {side}^3: n={n} nnz={nnz} iters={iters} "
-        f"time_to_tol={t*1e3:.2f} ms  spmv={nnz/t_spmv/1e9:.2f} Gnnz/s "
-        f"({t_spmv*1e6:.1f} us/spmv) on {jax.devices()[0].platform}")
-    return dict(side=side, n=n, nnz=nnz, iters=iters, seconds=t,
-                spmv_gnnz_s=nnz / t_spmv / 1e9)
+        f"time_to_tol={head['median']*1e3:.2f} ms "
+        f"(±{head['spread_pct']}% over {head['n_samples']})  "
+        f"spmv={spmv_gnnz['median']:.2f} Gnnz/s "
+        f"(±{spmv_gnnz['spread_pct']}%, {sp['median']*1e6:.1f} us/spmv) "
+        f"engine={engine} on {jax.devices()[0].platform}")
+    return dict(side=side, n=n, nnz=nnz, iters=iters, engine=engine,
+                head=head, spmv=spmv_gnnz,
+                regime=("vmem_resident" if engine.startswith("resident")
+                        else "streaming"))
 
 
 def build_reference():
@@ -192,14 +235,26 @@ def main():
     head = bench_cgx_headline(args.quick)
     speedup = bench_vs_reference(args.quick)
 
+    h = head["head"]
+    s = head["spmv"]
     print(json.dumps({
         "metric": (f"cg_time_to_1e-6_poisson3d_{head['side']}^3_fp32"
                    "_jacobi_equiv"),
-        "value": round(head["seconds"] * 1e3, 3),
+        "value": round(h["median"] * 1e3, 3),
         "unit": "ms",
         "vs_baseline": round(speedup, 1) if speedup else None,
-        "spmv_gnnz_s": round(head["spmv_gnnz_s"], 2),
+        "spread_pct": h["spread_pct"],
+        "n_samples": h["n_samples"],
+        "engine": head["engine"],
+        "regime": head["regime"],
         "iterations": head["iters"],
+        "spmv": {
+            "median_gnnz_s": round(s["median"], 2),
+            "spread_pct": s["spread_pct"],
+            "n_samples": s["n_samples"],
+            "engine": "xla_stencil_shifted_adds",
+            "regime": head["regime"],
+        },
     }), flush=True)
 
 
