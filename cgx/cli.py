@@ -168,8 +168,8 @@ def _solve_distributed(args, a, b, n, tol, maxiter):
     if method == "fused":
         if not dist_fused_supported(a, mesh):
             raise SystemExit("--method fused needs a fused-capable stencil "
-                             "or wrap-free 7-point DIA with nx divisible "
-                             "by --devices")
+                             "or wrap-free 7-point DIA (uneven nx is "
+                             "padded with decoupled planes automatically)")
         t0 = time.perf_counter()
         res = jax.block_until_ready(dist_fused_cg(
             a, b, mesh, tol=tol, maxiter=maxiter, jacobi=jacobi))

@@ -12,9 +12,15 @@ streaming cost.  This is the north-star config-5 shape (10 M-row 3-D
 Poisson across a slice, SURVEY.md §2.2 CP row); it plays the role MPI
 would have in the reference's assignment series (Makefile:20-30).
 
-Constraints: ``nx % n_devices == 0`` (whole x-planes per shard) and a
-fused-capable operator (:func:`cgx.kernels.fused_cg.supports` or a 7-point
-DIA passing :func:`cgx.kernels.fused_dia_cg.wrap_entries_zero`).
+Constraints: a fused-capable operator (:func:`cgx.kernels.fused_cg.supports`
+or a 7-point DIA passing :func:`cgx.kernels.fused_dia_cg.wrap_entries_zero`).
+Shard evenness is NOT required: when ``nx % n_devices != 0`` the operator is
+padded to whole x-planes per shard with fully DECOUPLED pad rows
+(``A' = blockdiag(A, c·I)`` — zero coupling at the real/pad boundary, so a
+zero-padded RHS keeps every pad row identically zero through the whole
+Krylov iteration and the trajectory equals the unpadded solve exactly; see
+``_pad_to_whole_planes``).  Padded stencils route through the DIA engine
+(the pad-boundary zeros make the coefficient planes non-constant).
 """
 from __future__ import annotations
 
@@ -47,15 +53,93 @@ def _interpret_default(mesh: Mesh) -> bool:
 
 
 def dist_fused_supported(a, mesh: Mesh) -> bool:
-    """Whether ``dist_fused_cg`` can run ``a`` on ``mesh``."""
-    nd = _mesh_size(mesh)
+    """Whether ``dist_fused_cg`` can run ``a`` on ``mesh`` (uneven ``nx``
+    is handled by the decoupled-pad route — see the module docstring)."""
     spec = _fc.stencil_taps(a)
     if spec is not None and _fc.supports(a):
-        return spec[0] % nd == 0
+        return True
     if supports_dia(a):
-        nx = dia_engine_spec(a)[0]
-        return nx % nd == 0 and wrap_entries_zero_or_none(a) is True
+        return wrap_entries_zero_or_none(a) is True
     return False
+
+
+def _pad_to_whole_planes(a, nd: int):
+    """``(a_pad, n, n_pad)`` — a DIA operator on the ``(⌈nx/nd⌉·nd, ny,
+    nz)`` grid equal to ``blockdiag(A, c·I)``, or ``None`` when ``nx``
+    already divides.
+
+    The pad rows carry ONLY a positive diagonal (``c_center`` for
+    stencils, 1 for DIA) and zero coupling in every tap — including the
+    real→pad x-crossing slots — so with a zero-padded RHS the pad block
+    of every CG vector stays identically zero (``q_pad = c·p_pad = 0``
+    inductively) and all dots/updates reproduce the unpadded trajectory
+    EXACTLY.  Padded stencils necessarily become variable-coefficient
+    DIA (the pad-boundary zeros break the constant-tap form).
+    """
+    import numpy as np
+
+    from cgx.sparse.types import DIAMatrix
+
+    spec = _fc.stencil_taps(a)
+    if spec is not None:
+        nx, ny, nz, taps, coeffs = spec
+        data_src = None
+    else:
+        nx, ny, nz, taps = dia_engine_spec(a)
+        coeffs = None
+        data_src = np.asarray(a.data)
+    nx_pad = -(-nx // nd) * nd
+    if nx_pad == nx:
+        return None
+    lnn = ny * nz
+    n, n_pad = nx * lnn, nx_pad * lnn
+    r = np.arange(n_pad)
+    zc, yc, xc = r % nz, (r // nz) % ny, r // lnn
+    dtype = np.dtype(jnp.dtype(a.dtype).name)
+    c_diag = (1.0 if coeffs is None else
+              (coeffs[taps.index((0, 0, 0))]
+               if (0, 0, 0) in tuple(map(tuple, taps)) else 1.0))
+    offsets, planes = [], []
+    for t, (dx, dy, dk) in enumerate(taps):
+        off = dx * lnn + dy * nz + dk
+        col = np.zeros(n_pad, dtype)
+        if data_src is not None:
+            col[:n] = data_src[t]        # real rows keep their entries;
+            #                              real→pad crossings were outside
+            #                              the matrix before → already 0
+        else:
+            valid = ((xc < nx) & (xc + dx >= 0) & (xc + dx < nx)
+                     & (yc + dy >= 0) & (yc + dy < ny)
+                     & (zc + dk >= 0) & (zc + dk < nz))
+            col[valid] = coeffs[t]
+        if (dx, dy, dk) == (0, 0, 0):
+            col[n:] = c_diag
+        offsets.append(off)
+        planes.append(col)
+    a_pad = DIAMatrix(data=jnp.asarray(np.stack(planes)),
+                      offsets=tuple(offsets), shape=(n_pad, n_pad),
+                      grid=(nx_pad, ny, nz))
+    return a_pad, n, n_pad
+
+
+def _pad_and_solve(solver, a, b, mesh, *, x0=None, **kw):
+    """Uneven-``nx`` route: pad to whole x-planes per shard with decoupled
+    rows (:func:`_pad_to_whole_planes`), zero-pad the RHS (and ``x0``),
+    solve, slice the pad block back off.  Trajectory-identical to the
+    unpadded solve by construction."""
+    import dataclasses
+
+    nd = _mesh_size(mesh)
+    a_pad, n, n_pad = _pad_to_whole_planes(a, nd)
+    zeros1 = jnp.zeros((n_pad - n,) + b.shape[1:], b.dtype)
+    b_pad = jnp.concatenate([jnp.asarray(b), zeros1])
+    x0_pad = (None if x0 is None
+              else jnp.concatenate([jnp.asarray(x0), zeros1]))
+    res = solver(a_pad, b_pad, mesh, x0=x0_pad, **kw)
+    # n is not shard-aligned (that's the whole point) — replicate before
+    # slicing the pad block off (one all-gather per SOLVE, not per iter).
+    x_full = jax.device_put(res.x, NamedSharding(mesh, P()))
+    return dataclasses.replace(res, x=x_full[:n])
 
 
 def dist_fused_cg(
@@ -96,7 +180,12 @@ def dist_fused_cg(
                              "diagonal stencils: Jacobi is an exact "
                              "rescaling — plain CG IS the PCG path)")
         if spec[0] % nd:
-            raise ValueError(f"nx={spec[0]} not divisible by mesh size {nd}")
+            return _pad_and_solve(dist_fused_cg, a, b, mesh, x0=x0,
+                                  tol=tol, atol=atol, maxiter=maxiter,
+                                  jacobi=jacobi,
+                                  track_history=track_history,
+                                  interpret=interpret,
+                                  plane_dtype=plane_dtype)
         f = _cached_stencil_solver(mesh, a, b.dtype.name, float(tol),
                                    float(atol), int(maxiter),
                                    bool(track_history), x0 is not None,
@@ -114,7 +203,10 @@ def dist_fused_cg(
                          "crossing entries — use dist_cg_solve instead")
     nx = dia_engine_spec(a)[0]
     if nx % nd:
-        raise ValueError(f"nx={nx} not divisible by mesh size {nd}")
+        return _pad_and_solve(dist_fused_cg, a, b, mesh, x0=x0, tol=tol,
+                              atol=atol, maxiter=maxiter, jacobi=jacobi,
+                              track_history=track_history,
+                              interpret=interpret, plane_dtype=plane_dtype)
 
     geom, e, planes, weight, coeffs, sym = build_fused_dia(
         a, b.dtype, jacobi=jacobi, n_shards=nd)
@@ -167,7 +259,9 @@ def dist_fused_cg_multi(
         if jacobi:
             raise ValueError("jacobi=True needs a DIA operator")
         if spec[0] % nd:
-            raise ValueError(f"nx={spec[0]} not divisible by mesh size {nd}")
+            return _pad_and_solve(dist_fused_cg_multi, a, b, mesh, x0=x0,
+                                  tol=tol, atol=atol, maxiter=maxiter,
+                                  jacobi=jacobi, interpret=interpret)
         f = _cached_multi_stencil(mesh, a, int(k), b.dtype.name, float(tol),
                                   float(atol), int(maxiter), x0 is not None,
                                   bool(interpret))
@@ -185,7 +279,9 @@ def dist_fused_cg_multi(
     nx, ny, nz, taps, coeffs, planes, e, weight, sym = dia_prep(
         a, b.dtype, jacobi=jacobi)
     if nx % nd:
-        raise ValueError(f"nx={nx} not divisible by mesh size {nd}")
+        return _pad_and_solve(dist_fused_cg_multi, a, b, mesh, x0=x0,
+                              tol=tol, atol=atol, maxiter=maxiter,
+                              jacobi=jacobi, interpret=interpret)
     n_stream = sum(1 for c in coeffs if c is None)
     isz = jnp.dtype(b.dtype).itemsize
     geom = make_geometry(

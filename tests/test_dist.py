@@ -598,3 +598,75 @@ def test_dist_fused_bf16_planes(rng):
     err = (np.linalg.norm(np.asarray(res16.x) - np.asarray(res32.x))
            / np.linalg.norm(np.asarray(res32.x)))
     assert err < 3e-2
+
+
+def test_dist_fused_uneven_nx_stencil(rng):
+    """nx % n_devices != 0 (VERDICT r2 #6): the decoupled-plane pad route
+    is trajectory-identical to the single-device solve."""
+    from cgx.dist.fused import (dist_fused_cg, dist_fused_supported,
+                                _pad_to_whole_planes)
+    from cgx.sparse.stencil import poisson3d_stencil
+    import scipy.sparse as sp
+
+    s = poisson3d_stencil(9, 6, 7)             # 9 % 8 != 0
+    assert dist_fused_supported(s, MESH)
+    n = 9 * 6 * 7
+
+    # The padded operator is exactly blockdiag(A, c*I).
+    a_pad, n_real, n_pad = _pad_to_whole_planes(s, 8)
+    assert (n_real, n_pad) == (n, 16 * 6 * 7)
+    from cgx.ops.spmv import spmv
+    v = jnp.asarray(rng.standard_normal(n_pad), jnp.float32)
+    y_pad = np.asarray(spmv(a_pad, v))
+    y_real = np.asarray(spmv(s, v[:n]))
+    np.testing.assert_allclose(y_pad[:n], y_real, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(y_pad[n:], 6.0 * np.asarray(v[n:]),
+                               rtol=1e-6)      # c_center * I on pad rows
+
+    b = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    res = dist_fused_cg(s, b, MESH, tol=1e-5, maxiter=600)
+    assert bool(res.converged)
+    assert res.x.shape == (n,)
+    xla = cg_solve(s, b, tol=1e-5, maxiter=600)
+    assert abs(int(res.iterations) - int(xla.iterations)) <= 2
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(xla.x),
+                               rtol=5e-3, atol=5e-4)
+
+
+def test_dist_fused_uneven_nx_dia_jacobi(rng):
+    """Uneven DIA with Jacobi: pad rows get a unit diagonal; trajectory
+    matches single-device PCG."""
+    import cgx
+    from cgx.dist.fused import dist_fused_cg, dist_fused_supported
+    from tests.test_kernels import _scaled_poisson3d_dia
+
+    a = _scaled_poisson3d_dia(10, 6, 7, rng).astype(jnp.float32)  # 10 % 8
+    assert dist_fused_supported(a, MESH)
+    n = a.shape[0]
+    b = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    res = dist_fused_cg(a, b, MESH, jacobi=True, tol=1e-5, maxiter=800)
+    assert bool(res.converged)
+    assert res.x.shape == (n,)
+    m = cgx.JacobiPrecond.from_matrix(a)
+    xla = cgx.cg_solve(a, b, tol=1e-5, maxiter=800, preconditioner=m)
+    assert abs(int(res.iterations) - int(xla.iterations)) <= 2
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(xla.x),
+                               rtol=5e-3, atol=5e-4)
+
+
+def test_dist_fused_uneven_nx_multi(rng):
+    """Uneven nx through the band-stacked multi-RHS engine."""
+    from cgx.dist.fused import dist_fused_cg_multi
+    from cgx.sparse.stencil import poisson3d_stencil
+
+    s = poisson3d_stencil(9, 5, 6)
+    n = 9 * 5 * 6
+    k = 3
+    b = jnp.asarray(rng.standard_normal((n, k)), jnp.float32)
+    res = dist_fused_cg_multi(s, b, MESH, tol=1e-5, maxiter=600)
+    assert res.x.shape == (n, k)
+    for j in range(k):
+        xla = cg_solve(s, b[:, j], tol=1e-5, maxiter=600)
+        np.testing.assert_allclose(np.asarray(res.x[:, j]),
+                                   np.asarray(xla.x),
+                                   rtol=5e-3, atol=5e-4)
