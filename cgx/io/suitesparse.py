@@ -30,6 +30,19 @@ Stand-in constructions:
   blocks to the 26 spatial neighbours, with a log-normal stiffness field
   (σ = 2.5) whose contrast reproduces the ~1e10 conditioning class of
   shell stiffness matrices.
+* ``ecology2`` (McRae; landscape-connectivity model; published
+  n = 999,999 ≈ 999×1001, nnz = 4,995,991 = 5/row, SPD): conductance-
+  weighted 5-point 2-D grid Laplacian with log-normal edge weights +
+  Dirichlet boundary ring — the real matrix IS this construction (circuit
+  theory over a raster landscape).
+* ``G3_circuit`` (AMD circuit simulation; published n = 1,585,478,
+  nnz = 7,660,826 ≈ 4.8/row, SPD): random-geometric-graph Laplacian at
+  matched mean degree with log-normal conductances and ~0.1 % grounded
+  nodes — the same sparse irregular node-conductance structure.
+* ``parabolic_fem`` (Wissgott; parabolic FEM, published n = 525,825,
+  nnz = 3,674,625 ≈ 7/row, SPD): Delaunay FEM diffusion + lumped mass
+  (``L + c·M`` — one implicit heat-equation step); the mass term caps the
+  conditioning the way the real time-step matrix's does.
 """
 from __future__ import annotations
 
@@ -49,6 +62,14 @@ SUITESPARSE_SPD = {
                      cond="~1.3e10"),
     "bcsstk18": dict(n=11_948, nnz=149_090, kind="nuclear power station "
                      "stiffness", cond="~6.5e11"),
+    "ecology2": dict(n=999_999, nnz=4_995_991, kind="weighted 2-D grid "
+                     "Laplacian (landscape ecology)", cond="~1e7-1e8 "
+                     "(2-D grid at h~1e-3)"),
+    "G3_circuit": dict(n=1_585_478, nnz=7_660_826, kind="circuit "
+                       "simulation graph Laplacian", cond="~1e6-1e7"),
+    "parabolic_fem": dict(n=525_825, nnz=3_674_625, kind="parabolic FEM "
+                          "(diffusion + mass)", cond="~1e5-1e6 "
+                          "(mass term caps the grid conditioning)"),
 }
 
 
@@ -160,6 +181,80 @@ def _shell_stiffness(nodes_x: int, nodes_y: int, nodes_z: int, seed: int,
     return a
 
 
+def _weighted_grid2d_laplacian(nx: int, ny: int, seed: int,
+                               sigma: float = 1.0):
+    """5-point 2-D grid Laplacian with log-normal edge conductivities and
+    a Dirichlet boundary ring (the ecology2 class: landscape-connectivity
+    models are exactly conductance-weighted grid Laplacians)."""
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(seed)
+    n = nx * ny
+    idx = np.arange(n).reshape(nx, ny)
+    rows, cols, vals = [], [], []
+    for (sa, sb) in ((idx[:-1, :].ravel(), idx[1:, :].ravel()),
+                     (idx[:, :-1].ravel(), idx[:, 1:].ravel())):
+        w = rng.lognormal(0.0, sigma, len(sa))
+        rows += [sa, sb]
+        cols += [sb, sa]
+        vals += [-w, -w]
+    a = sp.coo_matrix((np.concatenate(vals),
+                       (np.concatenate(rows), np.concatenate(cols))),
+                      shape=(n, n)).tocsr()
+    diag = -np.asarray(a.sum(axis=1)).ravel()
+    boundary = np.unique(np.concatenate(
+        [idx[0], idx[-1], idx[:, 0], idx[:, -1]]))
+    diag[boundary] += 1.0
+    return (a + sp.diags(diag)).tocsr()
+
+
+def _geometric_graph_laplacian(n_nodes: int, seed: int,
+                               avg_degree: float = 3.8):
+    """Random-geometric-graph Laplacian + grounded nodes (the G3_circuit
+    class: circuit conductance matrices are graph Laplacians over sparse
+    irregular node graphs with a few grounded terminals)."""
+    import scipy.sparse as sp
+    from scipy.spatial import cKDTree
+
+    rng = np.random.default_rng(seed)
+    pts = rng.random((n_nodes, 2))
+    # Radius for the target mean degree: E[deg] = n·π·r².
+    r = float(np.sqrt(avg_degree / (np.pi * n_nodes)))
+    tree = cKDTree(pts)
+    pairs = tree.query_pairs(r, output_type="ndarray")
+    w = rng.lognormal(0.0, 0.7, len(pairs))
+    i, j = pairs[:, 0], pairs[:, 1]
+    a = sp.coo_matrix((np.concatenate([-w, -w]),
+                       (np.concatenate([i, j]), np.concatenate([j, i]))),
+                      shape=(n_nodes, n_nodes)).tocsr()
+    diag = -np.asarray(a.sum(axis=1)).ravel()
+    # Ground ~0.1% of the nodes (supply/ground rails) — pins the global
+    # null space the way a circuit's reference node does.
+    gnd = rng.choice(n_nodes, max(1, n_nodes // 1000), replace=False)
+    diag[gnd] += 1.0
+    # Leakage conductance to ground on every node: random geometric
+    # graphs have floating subnets/isolated vertices that a real circuit
+    # does not (everything leaks to substrate); 1e-6 of the mean degree
+    # keeps them invertible at a realistic ~1e6-1e7 conditioning class.
+    diag += 1e-6 * max(float(diag.mean()), 1.0)
+    return (a + sp.diags(diag)).tocsr()
+
+
+def _fem_diffusion_mass(n_nodes: int, seed: int, c: float = 10.0):
+    """Delaunay FEM diffusion + lumped mass term ``L + c·M`` (the
+    parabolic_fem class: an implicit time step of the heat equation — the
+    mass term caps the conditioning at ~‖L‖/(c·m_min), well below the
+    pure-Laplacian class)."""
+    import scipy.sparse as sp
+
+    a = _delaunay_laplacian(n_nodes, seed)
+    rng = np.random.default_rng(seed + 1)
+    # Lumped mass ~ nodal area share (uniform points: ~1/n each, with
+    # mild variation).
+    m = rng.uniform(0.5, 1.5, n_nodes) / n_nodes
+    return (a + sp.diags(c * m)).tocsr()
+
+
 def standin(name: str, seed: int = 0, scale: float = 1.0):
     """Synthetic stand-in for a SuiteSparse SPD matrix (see module
     docstring).  ``scale < 1`` shrinks the dimension proportionally (for
@@ -169,6 +264,17 @@ def standin(name: str, seed: int = 0, scale: float = 1.0):
     if name == "thermal2":
         n = int(SUITESPARSE_SPD[name]["n"] * scale)
         return csr_from_scipy(_delaunay_laplacian(n, seed))
+    if name == "ecology2":
+        # 999,999 = 999 x 1001 grid.
+        f = scale ** 0.5
+        nx, ny = max(4, int(999 * f)), max(4, int(1001 * f))
+        return csr_from_scipy(_weighted_grid2d_laplacian(nx, ny, seed))
+    if name == "G3_circuit":
+        n = int(SUITESPARSE_SPD[name]["n"] * scale)
+        return csr_from_scipy(_geometric_graph_laplacian(n, seed))
+    if name == "parabolic_fem":
+        n = int(SUITESPARSE_SPD[name]["n"] * scale)
+        return csr_from_scipy(_fem_diffusion_mass(n, seed))
     if name in ("bcsstk17", "bcsstk18"):
         # 10,974 = 3 * 3,658 nodes; a 31 x 59 x 2 shell grid gives 3,658.
         base = dict(bcsstk17=(31, 59, 2), bcsstk18=(34, 59, 2))[name]

@@ -505,12 +505,15 @@ def fused_dia_cg_multi(d, b: jnp.ndarray, x0=None, *, tol: float = 1e-6,
                        atol: float = 0.0, maxiter: int = 1000,
                        jacobi: bool = True, inv_diag=None,
                        interpret: Optional[bool] = None,
-                       plane_dtype=None) -> CGResult:
+                       plane_dtype=None,
+                       assume_symmetric: Optional[bool] = None) -> CGResult:
     """Batched fused Jacobi-PCG on a banded DIA operator; ``b``: (n, k).
 
     ``plane_dtype=bfloat16`` streams the shared coefficient planes in
     bf16 (vectors stay ``b.dtype``) — converges to the bf16-rounded
     operator's solution; see :func:`cgx.kernels.fused_dia_cg.fused_dia_cg`.
+    ``assume_symmetric``: same jit-caller escape hatch as the single-RHS
+    engine (a traced ``d.data`` cannot be symmetry-checked).
     """
     from cgx.kernels.fused_dia_cg import (dia_prep,
                                           wrap_entries_zero_or_none)
@@ -523,7 +526,8 @@ def fused_dia_cg_multi(d, b: jnp.ndarray, x0=None, *, tol: float = 1e-6,
         raise ValueError("DIA data has nonzero x-plane-crossing entries")
     dtype = b.dtype
     nx, ny, nz, taps, coeffs, planes, e, weight, sym = dia_prep(
-        d, dtype, jacobi=jacobi, inv_diag=inv_diag)
+        d, dtype, jacobi=jacobi, inv_diag=inv_diag,
+        assume_symmetric=assume_symmetric)
     isz = jnp.dtype(dtype).itemsize
     p_isz = jnp.dtype(plane_dtype).itemsize if plane_dtype is not None \
         else isz

@@ -129,9 +129,11 @@ def _plan(nx: int, ny: int, nz: int,
     """(mode, bl) for the densest tier that fits the VMEM model, trying
     bl_req then halving; None if no tier fits.  A forced ``mode`` returns
     best-effort bl even when the model says it won't fit (interpret-mode
-    callers).  Streamed coefficient planes (``n_planes > 0``) restrict
-    the ladder to the rpq tier — the rp/p tiers re-apply the stencil in
-    the update sweep, which would double the plane traffic."""
+    callers).  With streamed coefficient planes (``n_planes > 0``) the
+    rp/p tiers re-apply the stencil in the update sweep and therefore
+    stream the planes TWICE per iteration — a measured net loss against
+    the two-pass engine on wide-tap operators (PERF_NOTES round 3), so
+    the ladder only descends past rpq when the caller forces a mode."""
     rows8 = -(-(nx + 2) // 8) * 8
     l_real = ny * nz
     reach = max([abs(dy * nz + dk) for (_, dy, dk) in taps] + [1])
@@ -155,9 +157,6 @@ def _plan(nx: int, ny: int, nz: int,
 
     tiers = ("rpq",) if n_planes else ("rpq", "rp", "p")
     if mode is not None:
-        if n_planes and mode != "rpq":
-            raise ValueError("streamed coefficient planes require the "
-                             "rpq tier (1 apply/iter)")
         return mode, (pick_bl(mode) or max(_r128(128), sl))
     for m in tiers:
         bl = pick_bl(m)
@@ -388,6 +387,12 @@ def _kernel(*refs, g: SRGeometry, coeffs, interp: bool):
             start_r_in(0, 0).start()
         if wblk is not None:
             start_w_in(0, 0).start()
+        if remat and pwin is not None:
+            # rp/p tiers with streamed coefficient planes: the remat apply
+            # needs the block's plane windows here too — the planes stream
+            # TWICE per iteration (this sweep + gram_sweep), the price of
+            # dropping q (rp) or q and r (p) from VMEM.
+            start_pwin(0, 0).start()
         if remat:
             save_scr[...] = p_scr[:, pl.ds(0, sl)]
 
@@ -411,11 +416,18 @@ def _kernel(*refs, g: SRGeometry, coeffs, interp: bool):
                 start_w_in(slot, b).wait()
 
             if remat:
+                pw = None
+                if pwin is not None:
+                    @pl.when(b + 1 < nb)
+                    def _():
+                        start_pwin(nslot, b + 1).start()
+                    start_pwin(slot, b).wait()
+                    pw = pwin[slot]
                 # Pre-update p window: saved strip + untouched right part.
                 w = jnp.concatenate(
                     [save_scr[...],
                      p_scr[:, pl.ds(b * bl + sl, bl + sl)]], axis=1)
-                q = apply_taps(w, coeff_rows(b, bl, 0))
+                q = apply_taps(w, coeff_rows(b, bl, 0), pw, b)
                 # Save the next block's left margin BEFORE updating p.
                 save_scr[...] = w[:, bl:bl + sl]
                 p_old = w[1:1 + nxl, sl:sl + bl]
@@ -796,6 +808,7 @@ def sr_dia_cg(d, b: jnp.ndarray, x0=None, *, tol: float = 1e-6,
               jacobi: bool = True, inv_diag=None,
               interpret: Optional[bool] = None,
               plane_dtype=None,
+              mode: Optional[str] = None,
               assume_symmetric: Optional[bool] = None) -> CGResult:
     """Semi-resident whole-solve Jacobi-PCG (or plain CG with
     ``jacobi=False``) on a variable-coefficient DIA operator.
@@ -832,7 +845,7 @@ def sr_dia_cg(d, b: jnp.ndarray, x0=None, *, tol: float = 1e-6,
         assume_symmetric=assume_symmetric)
     pdt = dtype if plane_dtype is None else plane_dtype
     g = make_sr_geometry(
-        nx, ny, nz, taps, n_planes=int(planes.shape[0]),
+        nx, ny, nz, taps, mode=mode, n_planes=int(planes.shape[0]),
         weighted=weight is not None, sym=sym,
         itemsize=jnp.dtype(dtype).itemsize,
         plane_isz=jnp.dtype(pdt).itemsize)

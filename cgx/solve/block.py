@@ -39,6 +39,66 @@ def _fused_multi_backend(a, b, preconditioner):
     return None
 
 
+def _narrow_band(a) -> bool:
+    """Whether a fused-capable DIA operator streams few enough coefficient
+    planes that k sequential single-RHS fused solves beat the band-stacked
+    engine (measured: 7-point sym — 3-4 streamed planes — loses 0.93x
+    through the band engine; 27-point sym — 14 planes — wins 1.79x).
+    Threshold: < 5 streamed planes = narrow."""
+    from cgx.kernels.fused_dia_cg import data_symmetric_or_none
+
+    offs = tuple(map(int, a.offsets))
+    sym = data_symmetric_or_none(a) is True
+    n_planes = (1 + sum(1 for o in offs if o > 0)) if sym else len(offs)
+    return n_planes < 5
+
+
+def _sequential_fused_multi(kind, a, b, x0, *, tol, atol, maxiter,
+                            jacobi, preconditioner) -> CGResult:
+    """k single-RHS fused solves, results stacked with the batched-result
+    axes of :func:`cg_solve_multi`.
+
+    One jitted per-column solve is built and REUSED for all k columns —
+    calling the engine eagerly per column would retrace/recompile the
+    Pallas kernels every time (measured: seconds per column on the
+    tunnel).  The DIA route passes the operator as a traced argument
+    with ``assume_symmetric`` resolved from the concrete data here,
+    outside the jit (the PERF_NOTES measurement-protocol trap: a traced
+    ``d.data`` silently falls back to the non-symmetric engine)."""
+    from cgx.kernels.fused_cg import fused_stencil_cg
+    from cgx.kernels.fused_dia_cg import data_symmetric_or_none, fused_dia_cg
+
+    interpret = jax.default_backend() != "tpu"
+    if kind == "stencil":
+        # Stencil operators are all-static pytrees — closing over is free.
+        @jax.jit
+        def sol(col, x0col):
+            return fused_stencil_cg(a, col, x0col, tol=tol, atol=atol,
+                                    maxiter=maxiter, interpret=interpret)
+
+        cols = [sol(b[:, j], None if x0 is None else x0[:, j])
+                for j in range(b.shape[1])]
+    else:
+        sym = data_symmetric_or_none(a)
+        invd = preconditioner.inv_diag if jacobi else None
+
+        @jax.jit
+        def sol(a_, invd_, col, x0col):
+            return fused_dia_cg(a_, col, x0col, tol=tol, atol=atol,
+                                maxiter=maxiter, jacobi=jacobi,
+                                inv_diag=invd_, interpret=interpret,
+                                assume_symmetric=sym)
+
+        cols = [sol(a, invd, b[:, j], None if x0 is None else x0[:, j])
+                for j in range(b.shape[1])]
+    return CGResult(
+        x=jnp.stack([c.x for c in cols], axis=1),
+        iterations=jnp.stack([c.iterations for c in cols]),
+        residual_norm_sq=jnp.stack([c.residual_norm_sq for c in cols]),
+        converged=jnp.stack([c.converged for c in cols]),
+        history=jnp.stack([c.history for c in cols]))
+
+
 def cg_solve_multi(
     a,
     b: jnp.ndarray,
@@ -56,22 +116,29 @@ def cg_solve_multi(
     whose fields carry a trailing/leading batch axis (``x``: (n, k);
     ``iterations``/``converged``/``residual_norm_sq``: (k,)).
 
-    ``backend``: ``"auto"`` routes large fused-capable problems on TPU to
-    the band-stacked Pallas engine (:mod:`cgx.kernels.fused_multi` — the
-    coefficient planes stream once for all k columns); ``"xla"`` forces
-    the vmapped while_loop; ``"fused"`` forces the engine.
+    ``backend``: ``"auto"`` routes large fused-capable problems on TPU by
+    the MEASURED winner per operator class (BASELINE round 2: the
+    band-stacked engine amortizes coefficient-plane streams k-ways, so it
+    wins 1.79x on wide-tap 27-point DIA but LOSES 0.93x on narrow-band
+    7-point DIA, where only ~3-4 shared plane streams stand against k
+    per-band vector streams): wide-tap DIA → the band-stacked Pallas
+    engine (:mod:`cgx.kernels.fused_multi`); narrow-band DIA → k
+    sequential single-RHS fused solves; constant-coefficient stencils
+    (zero plane streams, but one compiled loop for all k) → the band
+    engine.  ``"xla"`` forces the vmapped while_loop; ``"fused"`` forces
+    the band engine; ``"sequential"`` forces per-column fused solves.
     """
     if b.ndim != 2:
         raise ValueError(f"cg_solve_multi expects b of shape (n, k), "
                          f"got {b.shape}")
-    if backend not in ("auto", "xla", "fused"):
+    if backend not in ("auto", "xla", "fused", "sequential"):
         raise ValueError(f"unknown backend {backend!r}")
     if backend != "xla":
         routed = _fused_multi_backend(a, b, preconditioner)
-        if routed is not None or backend == "fused":
+        if routed is not None or backend in ("fused", "sequential"):
             if routed is None:
-                raise ValueError("backend='fused': operator/preconditioner "
-                                 "not fused-capable")
+                raise ValueError(f"backend={backend!r}: operator/"
+                                 "preconditioner not fused-capable")
             kind, jac = routed
             if backend == "auto":
                 import jax as _jax
@@ -81,6 +148,15 @@ def cg_solve_multi(
                     routed = None
             if routed is not None:
                 mi = int(maxiter) if maxiter is not None else b.shape[0]
+                mode = backend
+                if backend == "auto":
+                    mode = ("sequential"
+                            if kind == "dia" and _narrow_band(a) else
+                            "fused")
+                if mode == "sequential":
+                    return _sequential_fused_multi(
+                        kind, a, b, x0, tol=tol, atol=atol, maxiter=mi,
+                        jacobi=jac, preconditioner=preconditioner)
                 if kind == "stencil":
                     from cgx.kernels.fused_multi import fused_stencil_cg_multi
                     return fused_stencil_cg_multi(a, b, x0, tol=tol,

@@ -808,3 +808,34 @@ def test_auto_solve_multi_rhs_honors_overrides(rng):
         cgx.auto_solve(a, b, tol=1e-8, track_history=True)
     with pytest.raises(ValueError, match="mixed_precision"):
         cgx.auto_solve(a, b, tol=1e-8, mixed_precision=True)
+
+
+def test_cg_solve_multi_sequential_backend_and_routing(rng):
+    """VERDICT r2 #7: backend='sequential' matches the single-RHS fused
+    solves exactly, and the auto router classifies narrow vs wide DIA by
+    streamed-plane count (the measured winner's decision variable)."""
+    import dataclasses
+
+    from cgx.io.poisson import poisson3d_dia
+    from cgx.kernels.fused_dia_cg import fused_dia_cg
+    from cgx.solve.block import _narrow_band, cg_solve_multi
+
+    a = poisson3d_dia(8, 6, 7, dtype=np.float32)
+    assert _narrow_band(a)                      # 7-point sym: 4 planes
+    # Non-symmetric data streams ALL 7 planes -> band engine territory.
+    data = np.asarray(a.data).copy()
+    data[1] *= 1.00005
+    a_asym = dataclasses.replace(a, data=jnp.asarray(data))
+    assert not _narrow_band(a_asym)
+    n = a.shape[0]
+    b = jnp.stack([jnp.asarray(rng.standard_normal(n), jnp.float32)
+                   for _ in range(3)], axis=1)
+    res = cg_solve_multi(a, b, tol=1e-5, maxiter=500,
+                         backend="sequential")
+    assert res.x.shape == (n, 3)
+    for j in range(3):
+        ref = fused_dia_cg(a, b[:, j], tol=1e-5, maxiter=500,
+                           jacobi=False, interpret=True)
+        assert int(res.iterations[j]) == int(ref.iterations)
+        np.testing.assert_array_equal(np.asarray(res.x[:, j]),
+                                      np.asarray(ref.x))
