@@ -20,21 +20,28 @@ from cgx.solve.ic0 import IC0Precond, IC0SweepPrecond
 from cgx.solve.block import block_cg_solve, cg_solve_multi
 from cgx.solve.padded import cg_solve_padded
 from cgx.solve.auto import auto_solve, select_backend
-from cgx.solve.chebyshev import chebyshev_solve, estimate_bounds
+from cgx.solve.chebyshev import (analytic_bounds, chebyshev_solve,
+                                 estimate_bounds)
 from cgx.solve.ir import ir_cg_solve, ir_supported
+from cgx.solve.hp import df64_cg_solve, ir_df64_solve
+from cgx.solve.wbell import wbell_cg_solve
+from cgx.sparse.wbell import WBELLMatrix, wbell_from_csr
 from cgx.utils.checkpoint import cg_solve_checkpointed
 
 __version__ = "0.1.0"
 
 __all__ = [
     "BSRMatrix", "COOMatrix", "CSRMatrix", "DIAMatrix", "ELLMatrix",
+    "WBELLMatrix",
     "bsr_from_csr", "coo_from_scipy", "csr_from_scipy", "dia_from_csr",
-    "ell_from_csr", "spmv", "spmm", "blas", "CGResult", "cg_solve",
+    "ell_from_csr", "wbell_from_csr",
+    "spmv", "spmm", "blas", "CGResult", "cg_solve",
     "cg_solve_single_reduction", "cg_solve_pipelined", "cg_solve_multi",
-    "block_cg_solve",
+    "block_cg_solve", "wbell_cg_solve",
     "cg_solve_padded",
     "auto_solve", "select_backend", "cg_solve_checkpointed",
-    "chebyshev_solve", "estimate_bounds", "ir_cg_solve", "ir_supported",
+    "analytic_bounds", "chebyshev_solve", "estimate_bounds",
+    "ir_cg_solve", "ir_supported", "df64_cg_solve", "ir_df64_solve",
     "JacobiPrecond", "BlockJacobiPrecond", "PolynomialPrecond",
     "IC0Precond", "IC0SweepPrecond",
 ]

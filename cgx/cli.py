@@ -109,6 +109,25 @@ def cmd_solve(args):
 
     if args.devices > 1:
         res, dt, x = _solve_distributed(args, a, b, n, tol, maxiter)
+    elif args.accuracy == "df64":
+        # High-accuracy path (the reference computes in double throughout,
+        # mv_ops.h:19-21): fp32 PCG inner solves inside a df64
+        # true-residual iterative-refinement loop — reaches TRUE relres
+        # <= tol on kappa ~ 1e10 systems on fp32-only TPU hardware.
+        from cgx.ops.df64 import df_to_f64
+        from cgx.solve.hp import ir_df64_solve
+        m = _make_precond(args, a)
+        if not hasattr(a, "indptr"):
+            raise SystemExit("--accuracy df64 needs a CSR-loadable source "
+                             "(Matrix Market / legacy / poisson)")
+        t0 = time.perf_counter()
+        res, info = ir_df64_solve(a, np.asarray(b, np.float64), tol=tol,
+                                  inner_maxiter=maxiter or 8000,
+                                  preconditioner=m)
+        dt = time.perf_counter() - t0
+        x = df_to_f64(res.x)
+        print(f"df64 outer cycles={info['outer']} "
+              f"true_relres={info['relres']:.3e}", file=sys.stderr)
     else:
         m = _make_precond(args, a)
         # Routing decided host-side (concrete data) and pinned into the jit
@@ -345,6 +364,11 @@ def main(argv=None) -> int:
                     help="distributed solver method (with --devices>1)")
     ps.add_argument("--legacy-compat", action="store_true",
                     help="reference semantics: fixed iters, \\t%%f dump")
+    ps.add_argument("--accuracy", default="fp32",
+                    choices=["fp32", "df64"],
+                    help="df64: double-word fp32 iterative refinement to "
+                         "TRUE relres <= tol (the reference's fp64 "
+                         "envelope on fp32-only TPU; single device)")
     ps.add_argument("--mixed-precision", action="store_true",
                     help="bf16-inner iterative refinement at streaming "
                          "scale (fp32-accurate result)")
