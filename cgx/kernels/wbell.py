@@ -74,7 +74,9 @@ def _kernel(ngw: int):
                 cand = jnp.take_along_axis(xwin[buf, k], idx, axis=1)
                 g = jnp.where(lcg == k, cand, g)
             y = o_ref[0]
-            v = vals_ref[0]                                # (8, 8, 128)
+            # Blocks may be stored narrow (bf16 planes): upcast
+            # in-register so products/accumulation keep the x mantissa.
+            v = vals_ref[0].astype(o_ref.dtype)            # (8, 8, 128)
             for jj in range(8):
                 y = y + v[:, jj, :] * jnp.broadcast_to(
                     g[jj:jj + 1, :], (8, 128))
@@ -105,7 +107,7 @@ def _wbell_spmv(a: WBELLMatrix, x: jnp.ndarray, *,
                          f"({a.nt}, 8, 128), got {x.shape}")
     ntv = a.outg.shape[0]
     ngw = a.ngw
-    dtype = a.values.dtype
+    xdt = a.vector_dtype        # fp32 when the planes are stored bf16
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
@@ -125,17 +127,17 @@ def _wbell_spmv(a: WBELLMatrix, x: jnp.ndarray, *,
             (1, 8, 128),
             lambda t, j, og, ps, wb, zi, g0, gn: (og[t], 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, ngw, 8, 128), dtype),
+            pltpu.VMEM((2, ngw, 8, 128), xdt),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
         _kernel(ngw),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((a.nt, 8, 128), dtype),
+        out_shape=jax.ShapeDtypeStruct((a.nt, 8, 128), xdt),
         interpret=interpret,
     )(a.outg, a.ps, a.wb, a.zi, a.g0, a.gn, a.lc, a.values,
-      x.astype(dtype))
+      x.astype(xdt))
 
 
 def wbell_matvec(a: WBELLMatrix, v: jnp.ndarray) -> jnp.ndarray:

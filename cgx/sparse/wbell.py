@@ -78,6 +78,13 @@ class WBELLMatrix:
         return self.values.dtype
 
     @property
+    def vector_dtype(self):
+        """Dtype vectors/accumulators use: fp32 when the slot planes are
+        stored narrow (bf16), else the value dtype."""
+        return (jnp.float32 if self.values.dtype == jnp.bfloat16
+                else self.values.dtype)
+
+    @property
     def n(self) -> int:
         return self.shape[0]
 
@@ -94,7 +101,7 @@ class WBELLMatrix:
 
     def to_internal(self, v: jnp.ndarray) -> jnp.ndarray:
         """(n,) standard-order vector → (nt, 8, 128) internal layout."""
-        vp = jnp.asarray(v, self.dtype)[self.perm]
+        vp = jnp.asarray(v, self.vector_dtype)[self.perm]
         vp = jnp.pad(vp, (0, self.ng_real * 1024 - self.n))
         vi = vp.reshape(self.ng_real, 128, 8).transpose(0, 2, 1)
         return jnp.pad(vi, ((0, self.nt - self.ng_real), (0, 0), (0, 0)))
@@ -122,7 +129,7 @@ def _best_wbcap(wbt: np.ndarray, wb_hard_max: int) -> int:
 
 
 def wbell_from_csr(a, *, order: str = "rcm", max_ngw: int = 128,
-                   wbcap: int = 0) -> WBELLMatrix:
+                   wbcap: int = 0, value_dtype=None) -> WBELLMatrix:
     """Build a :class:`WBELLMatrix` from a CSR matrix (host-side).
 
     Args:
@@ -132,6 +139,13 @@ def wbell_from_csr(a, *, order: str = "rcm", max_ngw: int = 128,
       max_ngw: reject matrices whose tile windows exceed this many 128-block
         groups (the caller should fall back to the XLA CSR path).
       wbcap: virtual-tile slot cap; 0 = auto (minimizes grid work).
+      value_dtype: slot-plane storage dtype (default fp32).  ``bfloat16``
+        halves the dominant HBM stream — the kernel upcasts blocks
+        in-register and accumulates in the x dtype, so this is the
+        bf16-coefficient-planes trade (operator rounded to bf16; vectors
+        and dots stay fp32 — same caveat as the DIA ``plane_dtype``
+        path; wrap in ``ir_cg_solve``-style refinement for true-system
+        accuracy).  The Jacobi diagonal stays fp32.
 
     Raises:
       ValueError: window exceeds ``max_ngw`` — no bounded-window tiling
@@ -235,8 +249,9 @@ def wbell_from_csr(a, *, order: str = "rcm", max_ngw: int = 128,
     iperm[perm] = np.arange(n)
 
     f32 = jnp.float32
+    vdt = f32 if value_dtype is None else jnp.dtype(value_dtype)
     return WBELLMatrix(
-        values=jnp.asarray(values, f32),
+        values=jnp.asarray(values, vdt),
         lc=jnp.asarray(lcp, jnp.int32),
         outg=jnp.asarray(outg, jnp.int32),
         ps=jnp.asarray(ps_v, jnp.int32),

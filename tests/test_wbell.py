@@ -239,3 +239,45 @@ def test_suitesparse_bench_wbell_rows():
     assert byp["block_jacobi"]["format"] == "csr"
     for r in rows:
         assert r.get("converged"), r
+
+
+def test_wbell_bf16_planes(rng):
+    """bf16 slot planes (halve the dominant HBM stream): fp32 vectors and
+    accumulation, matvec within bf16-rounding of the fp32 path, CG
+    converges on the bf16-rounded operator."""
+    import scipy.sparse as sp
+
+    from cgx.sparse.wbell import wbell_from_csr
+    from cgx.kernels.wbell import wbell_matvec
+    from cgx.solve.wbell import wbell_cg_solve
+    from conftest import random_spd_csr
+    from cgx.sparse.types import csr_from_scipy
+
+    a_sp = random_spd_csr(400, 0.02, rng)
+    a = csr_from_scipy(a_sp)
+    wb32 = wbell_from_csr(a)
+    wb16 = wbell_from_csr(a, value_dtype=jnp.bfloat16)
+    assert wb16.values.dtype == jnp.bfloat16
+    assert wb16.vector_dtype == jnp.float32
+    assert wb16.diag_internal.dtype == jnp.float32
+
+    v = jnp.asarray(rng.standard_normal(400), jnp.float32)
+    y32 = np.asarray(wbell_matvec(wb32, v), np.float64)
+    y16 = np.asarray(wbell_matvec(wb16, v), np.float64)
+    assert y16.dtype == np.float64  # cast from fp32 output
+    scale = np.abs(y32).max()
+    assert np.abs(y16 - y32).max() <= 2e-2 * scale   # bf16 rounding class
+
+    b = jnp.asarray(rng.standard_normal(400), jnp.float32)
+    res = wbell_cg_solve(wb16, b, tol=1e-5, maxiter=2000, jacobi=True)
+    assert bool(res.converged)
+    # True residual of the BF16-ROUNDED operator (the system it solves).
+    rows = np.repeat(np.arange(400), np.diff(np.asarray(a.indptr)))
+    vals16 = np.asarray(np.asarray(a.values, np.float32)
+                        .astype(jnp.bfloat16), np.float64)
+    a16 = sp.csr_matrix((vals16, np.asarray(a.col_indices),
+                         np.asarray(a.indptr)), shape=a.shape)
+    x = np.asarray(res.x, np.float64)
+    rel = (np.linalg.norm(np.asarray(b) - a16 @ x)
+           / np.linalg.norm(np.asarray(b)))
+    assert rel < 1e-3
