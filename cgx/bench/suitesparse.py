@@ -147,7 +147,14 @@ def bench_matrix(name: str, a, is_standin: bool, *, tol: float = 1e-6,
                 chunk=chunk)
             to_b = jnp.asarray
 
-        res = jax.block_until_ready(solve(to_b(jnp.asarray(base))))
+        try:
+            res = jax.block_until_ready(solve(to_b(jnp.asarray(base))))
+        except Exception as exc:   # noqa: BLE001 — a failing row (e.g. a
+            # tunnel compile-payload rejection) must not kill the sweep;
+            # record it and move on.
+            rec["error"] = f"{type(exc).__name__}: {exc}"[:300]
+            out.append(rec)
+            continue
         best = None
         n_reps = reps if bool(res.converged) else 1
         for i in range(n_reps):
