@@ -25,7 +25,8 @@ from cgx.solve.chebyshev import (analytic_bounds, chebyshev_solve,
 from cgx.solve.ir import ir_cg_solve, ir_supported
 from cgx.solve.hp import df64_cg_solve, ir_df64_solve
 from cgx.solve.wbell import wbell_cg_solve
-from cgx.sparse.wbell import WBELLMatrix, wbell_from_csr
+from cgx.sparse.wbell import (WBELLMatrix, auto_format,
+                              wbell_from_csr)
 from cgx.utils.checkpoint import cg_solve_checkpointed
 
 __version__ = "0.1.0"
@@ -34,7 +35,7 @@ __all__ = [
     "BSRMatrix", "COOMatrix", "CSRMatrix", "DIAMatrix", "ELLMatrix",
     "WBELLMatrix",
     "bsr_from_csr", "coo_from_scipy", "csr_from_scipy", "dia_from_csr",
-    "ell_from_csr", "wbell_from_csr",
+    "ell_from_csr", "wbell_from_csr", "auto_format",
     "spmv", "spmm", "blas", "CGResult", "cg_solve",
     "cg_solve_single_reduction", "cg_solve_pipelined", "cg_solve_multi",
     "block_cg_solve", "wbell_cg_solve",

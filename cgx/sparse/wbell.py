@@ -45,7 +45,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["WBELLMatrix", "wbell_from_csr"]
+__all__ = ["WBELLMatrix", "wbell_from_csr", "auto_format"]
 
 
 @jax.tree_util.register_dataclass
@@ -268,3 +268,43 @@ def wbell_from_csr(a, *, order: str = "rcm", max_ngw: int = 128,
         ngw=int(ngw),
         wbcap=int(wbcap),
     )
+
+
+def auto_format(a, *, min_rows_wbell: int = 200_000,
+                ell_waste_max: float = 1.5, value_dtype=None):
+    """Pick the measured-best storage for a general CSR operator on TPU.
+
+    The decision surface (BASELINE rounds 2-3): unstructured SpMV through
+    XLA's gather+``segment_sum`` is gather-count-bound (~130 M gathers/s,
+    locality-independent), so
+
+    * near-uniform row degrees → **ELL** when the 8-padded width wastes
+      ≤ ``ell_waste_max`` gathers/nnz (static-shape gathers, no segment
+      reduce);
+    * large irregular matrices on TPU → **WBELL** (the windowed Pallas
+      engine, 22.2x over the gather path at thermal2 scale) when a
+      bounded-window tiling exists — the host-side build (RCM +
+      supervariable blocking, ~20 s at 1 M rows) amortizes over repeated
+      solves;
+    * otherwise (small, or no bounded window) → the CSR input unchanged.
+
+    Returns ``(operator, fmt)`` with ``fmt`` in ``{"ell", "wbell",
+    "csr"}``.  Callers pass the returned operator straight to
+    :func:`cgx.solve.auto.auto_solve`.
+    """
+    import jax
+
+    from cgx.sparse.types import ell_from_csr
+
+    deg = np.diff(np.asarray(a.indptr))
+    w = -(-int(deg.max()) // 8) * 8
+    waste = float(w * a.shape[0]) / max(int(np.asarray(a.nnz)), 1)
+    if waste <= ell_waste_max:
+        return ell_from_csr(a, width_multiple=8), "ell"
+    if (a.shape[0] >= min_rows_wbell
+            and jax.default_backend() == "tpu"):
+        try:
+            return wbell_from_csr(a, value_dtype=value_dtype), "wbell"
+        except ValueError:
+            pass          # no bounded-window tiling for this matrix
+    return a, "csr"

@@ -222,3 +222,17 @@ def test_solve_ic0_sweep_single_device(capsys):
          "--precond", "ic0-sweep", "--tol", "1e-8"], capsys)
     assert code == 0
     assert "converged=True" in err
+
+
+def test_solve_accuracy_df64(tmp_path, capsys):
+    """--accuracy df64 routes the iterative-refinement path and reports
+    the TRUE df64 relative residual."""
+    p = str(tmp_path / "prob.txt")
+    run_cli(["gen", "--poisson", "8x8", "--out", p], capsys)
+    code, out, err = run_cli(
+        ["solve", "--input", p, "--tol", "1e-6", "--precond", "jacobi",
+         "--accuracy", "df64"], capsys)
+    assert code == 0
+    assert "df64 outer cycles=" in err
+    assert "true_relres=" in err
+    assert "converged=True" in err

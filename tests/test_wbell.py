@@ -281,3 +281,37 @@ def test_wbell_bf16_planes(rng):
     rel = (np.linalg.norm(np.asarray(b) - a16 @ x)
            / np.linalg.norm(np.asarray(b)))
     assert rel < 1e-3
+
+
+def test_auto_format_decision_surface(rng):
+    """auto_format: uniform degrees -> ELL; big irregular (on TPU) ->
+    WBELL; small irregular -> CSR unchanged."""
+    import scipy.sparse as sp
+
+    import cgx
+    from cgx.io.poisson import poisson2d_csr_arrays
+    from cgx.sparse.types import CSRMatrix, ELLMatrix
+    from cgx.sparse.wbell import auto_format
+    from conftest import random_spd_csr
+    from cgx.sparse.types import csr_from_scipy
+
+    # 5-point grid: max degree 5 -> width 8, waste 8/5 = 1.6 > 1.5 -> not
+    # ELL; small + CPU -> CSR unchanged.
+    vals, cols, indptr, n = poisson2d_csr_arrays(12, 12, np.float32)
+    a = CSRMatrix.from_arrays(vals, cols, indptr, (n, n))
+    op, fmt = auto_format(a)
+    assert fmt == "csr" and op is a
+
+    # Near-uniform 25 nnz/row band matrix: 8-padded width 32,
+    # waste 32/25 = 1.28 <= 1.5 -> ELL.
+    dense = np.zeros((216, 216), np.float32)
+    for off in range(-12, 13):
+        if off == 0:
+            np.fill_diagonal(dense, 30.0)
+        else:
+            idx = np.arange(216 - abs(off))
+            dense[idx + max(0, -off), idx + max(0, off)] = -0.5
+    a27 = csr_from_scipy(sp.csr_matrix(dense))
+    op, fmt = auto_format(a27)
+    assert fmt == "ell"
+    assert isinstance(op, ELLMatrix)
