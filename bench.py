@@ -112,10 +112,11 @@ def bench_cgx_headline(quick):
     iters = int(res.iterations)
     assert bool(res.converged), "headline solve did not converge"
 
-    bs = make_variants(b, k=5)
+    n_head = 3 if quick else 7
+    bs = make_variants(b, k=n_head)    # one distinct input per sample —
+    # the tunnel's dispatch cache serves repeated identical calls
     head = stats(time_samples_fresh(
-        lambda v: jax.block_until_ready(solve(a, v)), bs,
-        reps=3 if quick else 7))
+        lambda v: jax.block_until_ready(solve(a, v)), bs, reps=n_head))
 
     # SpMV-only throughput.  Host→device dispatch through the tunnel costs
     # ~30 ms per call, so time K chained SpMVs inside ONE jitted call and
@@ -139,10 +140,14 @@ def bench_cgx_headline(quick):
     jax.block_until_ready(spmv_loop(a, b, k2))
     per_iter = []
     for i in range(3 if quick else 5):
+        # Fresh input CONTENT for every dispatch — across rounds too
+        # (round-scaled variants), so the dispatch cache never serves a
+        # timed call.
+        vs = make_variants(b * (1.0 + 0.01 * (i + 1)), k=4)
         t1 = min(time_samples_fresh(
-            lambda v: jax.block_until_ready(spmv_loop(a, v, k1)), bs[:2], 2))
+            lambda v: jax.block_until_ready(spmv_loop(a, v, k1)), vs[:2], 2))
         t2 = min(time_samples_fresh(
-            lambda v: jax.block_until_ready(spmv_loop(a, v, k2)), bs[2:4], 2))
+            lambda v: jax.block_until_ready(spmv_loop(a, v, k2)), vs[2:], 2))
         per_iter.append(max(t2 - t1, 1e-9) / (k2 - k1))
     sp = stats(per_iter)
     spmv_gnnz = stats([nnz / t / 1e9 for t in per_iter])

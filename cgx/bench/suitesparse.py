@@ -60,20 +60,23 @@ def bench_matrix(name: str, a, is_standin: bool, *, tol: float = 1e-6,
     import cgx
     from cgx.utils.checkpoint import make_checkpointed_solver
 
-    if fmt == "auto":
-        deg = np.diff(np.asarray(a.indptr))
-        # Waste from the width ACTUALLY used: ell_from_csr pads the row
-        # width up to a multiple of 8, so a max degree of 3-5 still costs
-        # 8 gathers/row (ADVICE r2).
-        w = -(-int(deg.max()) // 8) * 8
-        waste = float(w * a.shape[0]) / max(int(a.nnz), 1)
-        fmt = "ell" if waste <= 1.5 else "csr"
-        if (fmt == "csr" and a.shape[0] >= 200_000
-                and jax.default_backend() == "tpu"):
-            fmt = "wbell"  # gather wall — the windowed Pallas engine
     a32 = a.astype(jnp.dtype(dtype))
     wb, wbell_setup_s = None, None
-    if fmt == "wbell":
+    if fmt == "auto":
+        # The measured decision surface lives in ONE place —
+        # cgx.sparse.wbell.auto_format (ELL when the 8-padded waste is
+        # ≤ 1.5 gathers/nnz, WBELL on TPU at ≥ 200 k irregular rows when
+        # a bounded window exists, else CSR).
+        from cgx.sparse.wbell import auto_format
+        t0 = time.perf_counter()
+        op, fmt = auto_format(a)
+        if fmt == "wbell":
+            wb = op
+            jax.block_until_ready(wb.values)
+            wbell_setup_s = time.perf_counter() - t0
+        elif fmt == "ell":
+            a32 = op.astype(jnp.dtype(dtype))
+    elif fmt == "wbell":
         from cgx.sparse.wbell import wbell_from_csr
         try:
             t0 = time.perf_counter()
@@ -82,7 +85,7 @@ def bench_matrix(name: str, a, is_standin: bool, *, tol: float = 1e-6,
             wbell_setup_s = time.perf_counter() - t0
         except ValueError:
             fmt = "csr"    # no bounded-window tiling for this matrix
-    if fmt == "ell":
+    elif fmt == "ell":
         from cgx.sparse.types import ell_from_csr
         a32 = ell_from_csr(a, width_multiple=8).astype(jnp.dtype(dtype))
     n = a.shape[0]

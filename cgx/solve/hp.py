@@ -103,6 +103,25 @@ def df64_ell_spmv(a: DF64ELL, x: DF64) -> DF64:
     return _fold_axis(DF64(p, e), axis=1)
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("tol", "maxiter"))
+def _ir_inner(a_, m_, r_unit, *, tol, maxiter):
+    """One fp32 inner (P)CG solve — module-level jit, operator and
+    preconditioner as traced pytree arguments (compile-payload rule)."""
+    from cgx.solve.cg import cg_solve as _cg
+
+    res = _cg(a_, r_unit, tol=tol, maxiter=maxiter, preconditioner=m_)
+    return res.x, res.iterations
+
+
+@jax.jit
+def _ir_true_residual(a_hp, b_df, x):
+    """TRUE df64 residual b − A·x (operator/RHS as traced arguments)."""
+    return df_sub(b_df, df64_ell_spmv(a_hp, x))
+
+
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class HPCGResult:
@@ -224,16 +243,17 @@ def ir_df64_solve(a, b, *, tol: float = 1e-6, atol: float = 0.0,
     bb = float(df_dot(b_df, b_df).hi)
     tol_sq = max(tol * tol * bb, atol * atol)
 
-    @jax.jit
-    def inner(a_, r_unit):
-        res = cg_solve(a_, r_unit, tol=inner_tol,
-                       maxiter=inner_maxiter,
-                       preconditioner=preconditioner)
-        return res.x, res.iterations
+    # Operator, preconditioner, and RHS ride as traced ARGUMENTS through
+    # module-level jits — closure constants are baked into the compile
+    # payload (remote-tunnel HTTP 413 past a few hundred MB: the df64 ELL
+    # planes and IC(0) factors both reach that at ~1 M rows), and
+    # per-call inner jits would retrace on every ir_df64_solve call.
+    def inner(a_, m_, r_unit):
+        return _ir_inner(a_, m_, r_unit, tol=float(inner_tol),
+                         maxiter=int(inner_maxiter))
 
-    @jax.jit
     def true_residual(x):
-        return df_sub(b_df, df64_ell_spmv(a_hp, x))
+        return _ir_true_residual(a_hp, b_df, x)
 
     x = DF64(jnp.zeros((n,), jnp.float32), jnp.zeros((n,), jnp.float32))
     r = b_df
@@ -244,7 +264,7 @@ def ir_df64_solve(a, b, *, tol: float = 1e-6, atol: float = 0.0,
     while rr > tol_sq and outer < max_outer and strikes < 2:
         s = float(np.sqrt(rr))
         r_unit = (r.hi / np.float32(s)) + (r.lo / np.float32(s))
-        d_unit, k_in = inner(a32, r_unit)
+        d_unit, k_in = inner(a32, preconditioner, r_unit)
         x = df_add(x, df(d_unit * np.float32(s)))
         r = true_residual(x)
         rr_new = float(df_dot(r, r).hi)

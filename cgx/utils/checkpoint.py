@@ -103,27 +103,32 @@ def make_checkpointed_solver(
     # one buffer several times; XLA's while_loop already updates the carried
     # state in place inside each chunk, which is where the traffic is.
     # `iters` is traced (only the while_loop cond uses it), so every chunk —
-    # including a short final one — reuses one compilation.  A matrix pytree
-    # rides as a traced ARGUMENT, not a closure constant: closed-over arrays
-    # are baked into the compile payload, which the remote-TPU tunnel rejects
-    # outright past a few hundred MB (HTTP 413 on WBELL's densified planes).
-    if callable(a):
-        @jax.jit
-        def step(a_unused, s, b, iters):
-            return cg_chunk(a, s, iters, b=b, tol=tol, atol=atol,
-                            preconditioner=preconditioner)
-        a_arg = None
-    else:
-        @jax.jit
-        def step(a_, s, b, iters):
-            return cg_chunk(a_, s, iters, b=b, tol=tol, atol=atol,
-                            preconditioner=preconditioner)
-        a_arg = a
+    # including a short final one — reuses one compilation.  The matrix AND
+    # the preconditioner ride as traced ARGUMENTS, not closure constants:
+    # closed-over arrays are baked into the compile payload, which the
+    # remote-TPU tunnel rejects outright past a few hundred MB (HTTP 413 —
+    # first hit by WBELL's densified planes, then by IC(0) factors on a
+    # 1.6 M-row graph).  Callables (matvec closures / function
+    # preconditioners) are not JAX types and stay closed over.
+    a_arg = None if callable(a) else a
+    m_arg = (None if (preconditioner is None or callable(preconditioner)
+                      and not hasattr(preconditioner, "apply"))
+             else preconditioner)
+
+    @jax.jit
+    def step(a_, m_, s, b, iters):
+        return cg_chunk(a if a_ is None else a_, s, iters, b=b, tol=tol,
+                        atol=atol,
+                        preconditioner=(preconditioner if m_ is None
+                                        else m_))
 
     def solve(b, x0=None, *, checkpoint_path: Optional[str] = None,
               on_chunk: Optional[Callable[[CGState], None]] = None
               ) -> CGResult:
-        mi = int(maxiter) if maxiter is not None else b.shape[0]
+        # Default cap: the CG dimension bound.  b may arrive in an
+        # engine-internal layout (WBELL's (nt, 8, 128)), where shape[0]
+        # is the tile count — use the element count, a safe upper bound.
+        mi = int(maxiter) if maxiter is not None else int(np.prod(b.shape))
         if checkpoint_path and os.path.exists(checkpoint_path):
             state = load_state(checkpoint_path)
         else:
@@ -133,7 +138,7 @@ def make_checkpointed_solver(
         while int(state.k) < mi and float(state.rr) > float(tol_sq):
             iters = min(chunk, mi - int(state.k))
             state = jax.block_until_ready(
-                step(a_arg, state, b, jnp.int32(iters)))
+                step(a_arg, m_arg, state, b, jnp.int32(iters)))
             if checkpoint_path:
                 save_state(checkpoint_path, state)
             if on_chunk is not None:
@@ -419,10 +424,13 @@ def _make_resident_checkpointed(a, *, tol, atol, maxiter, preconditioner,
             if float(rw) <= float(tol_sq):
                 break
 
-        if tol_sq is None:          # resumed at/past maxiter: one probe
-            _, _, _, _, rzv, tol_sq = bt["step"](
+        if tol_sq is None:          # maxiter already exhausted: one 0-iter
+            # probe — with fresh=True when no chunk ever ran, so the
+            # kernel's init computes the TRUE r0/rz rather than adopting
+            # the all-zero seed (which would fake convergence).
+            x_l, r_l, p_l, _, rzv, tol_sq = bt["step"](
                 b_s, x_l, r_l, p_l, rz, rw, bt["planes"], bt["weight"],
-                jnp.int32(0), fresh=False)
+                jnp.int32(0), fresh=fresh)
             rw = rzv[0, 1]
         x = _from_layout(g, x_l)
         if e is not None:
@@ -592,10 +600,12 @@ def _make_sr_checkpointed(a, *, tol, atol, maxiter, preconditioner,
             if float(rzt) <= float(tol_sq):
                 break
 
-        if tol_sq is None:          # resumed at/past maxiter: one probe
-            _, _, _, _, rzv, tol_sq = bt["step"](
+        if tol_sq is None:          # maxiter already exhausted: one 0-iter
+            # probe — fresh=True when no chunk ever ran (see the resident
+            # factory's note).
+            x_l, r_l, p_l, _, rzv, tol_sq = bt["step"](
                 first_arg, x_l, r_l, p_l, rz, rzt, bt["planes"],
-                bt["weight"], bb, jnp.int32(0), fresh=False)
+                bt["weight"], bb, jnp.int32(0), fresh=fresh)
             rzt = rzv[0, 1]
         x = _from_layout(g, x_l)
         if e is not None:

@@ -436,3 +436,39 @@ def test_sr_checkpointed_with_initial_guess(rng):
     assert bool(res.converged)
     np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_resident_maxiter_zero_reports_unconverged(rng):
+    """maxiter=0 on a fresh resident/sr checkpointed solve must report the
+    TRUE initial residual, not fake convergence from the zero seed."""
+    from cgx.io.poisson import poisson3d_dia
+
+    a = poisson3d_dia(8, 7, 6, dtype=np.float32)
+    b = jnp.asarray(rng.standard_normal(8 * 7 * 6), jnp.float32)
+    for backend in ("resident", "sr"):
+        res = cg_solve_checkpointed(a, b, tol=1e-6, maxiter=0, chunk=25,
+                                    backend=backend)
+        assert not bool(res.converged), backend
+        assert int(res.iterations) == 0
+        # residual == ||b||^2 (x0 = 0)
+        np.testing.assert_allclose(float(res.residual_norm_sq),
+                                   float(jnp.sum(b * b)), rtol=1e-5)
+
+
+def test_wbell_checkpointed_default_maxiter(rng):
+    """Internal-layout RHS (WBELL (nt, 8, 128)): the default maxiter must
+    bound by element count, not shape[0] (= tile count)."""
+    from conftest import random_spd_csr
+    from cgx.sparse.types import csr_from_scipy
+    from cgx.sparse.wbell import wbell_from_csr
+    from cgx.utils.checkpoint import make_checkpointed_solver
+
+    a_sp = random_spd_csr(300, 0.03, rng)
+    a = csr_from_scipy(a_sp)
+    wb = wbell_from_csr(a)
+    assert wb.nt < 10                        # shape[0] would cap absurdly
+    b = jnp.asarray(rng.standard_normal(300), jnp.float32)
+    solve = make_checkpointed_solver(wb, tol=1e-5, chunk=50)  # no maxiter
+    res = solve(wb.to_internal(b))
+    assert bool(res.converged)
+    assert int(res.iterations) > wb.nt       # ran past the old false cap
