@@ -1,4 +1,4 @@
-"""Pallas TPU SpMV kernel for the windowed block-ELL (WBELL) format.
+"""Pallas TPU SpMV/SpMM kernel for the windowed block-ELL (WBELL) format.
 
 The unstructured-sparsity hot kernel (SURVEY.md §2.1 #4; reference anchor
 ``mv_mult``, ``mv_ops.c:160-201``).  See :mod:`cgx.sparse.wbell` for the
@@ -6,9 +6,9 @@ format and the design rationale.  Per grid step ``(t, j)`` — virtual tile t,
 slot j — the kernel:
 
 1. On the first slot of each output *group* (128 block rows): waits for the
-   group's x window (``ngw`` groups × 1024 floats, DMA'd from HBM one group
-   ahead, double-buffered), zero-initializes the output block, and starts
-   the NEXT group's window copy.
+   group's x window (``ngw`` groups × 1024 floats × nrhs, DMA'd from HBM one
+   group ahead, double-buffered), zero-initializes the output block, and
+   starts the NEXT group's window copy.
 2. Streams one slot plane — 128 dense 8×8 blocks ``(8, 8, 128)`` plus their
    window-local block columns ``(1, 128)`` — via the regular Pallas
    pipeline.
@@ -17,7 +17,12 @@ slot j — the kernel:
    tree: ``g[e, lane] = window[lcg[lane], e, lcl[lane]]``.  No per-element
    HBM gathers — the irregular access never leaves VMEM.
 4. Accumulates ``y[i, lane] += Σ_j B[i, j, lane] · g[j, lane]`` (8 fused
-   multiply-adds on (8, 128) vregs).
+   multiply-adds on (8, 128) vregs) — per RHS column.
+
+Multi-RHS (``wbell_spmm``): x carries a leading ``(nrhs, ...)`` axis; the
+slot-plane stream — the DOMINANT traffic at supervariable fill ~19x — is
+shared across every column, so extra right-hand sides cost only their own
+window DMA + FMAs.
 
 All per-tile scalars (plane start, slot count, window starts, group id)
 ride scalar prefetch; the values/lc index map clamps ``j`` so slots past a
@@ -32,10 +37,10 @@ import jax.numpy as jnp
 
 from cgx.sparse.wbell import WBELLMatrix
 
-__all__ = ["wbell_spmv", "wbell_matvec"]
+__all__ = ["wbell_spmv", "wbell_spmm", "wbell_matvec"]
 
 
-def _kernel(ngw: int):
+def _kernel(ngw: int, nrhs: int):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -48,8 +53,10 @@ def _kernel(ngw: int):
         first = (zi_r[t] == 1) & (j == 0)
 
         def window_copy(slot, start_group):
+            # x_hbm: (nrhs, nt, 8, 128) — one DMA brings every column's
+            # window slice.
             return pltpu.make_async_copy(
-                x_hbm.at[pl.ds(start_group, ngw)], xwin.at[slot],
+                x_hbm.at[:, pl.ds(start_group, ngw)], xwin.at[slot],
                 sem.at[slot])
 
         @pl.when(first)
@@ -69,18 +76,20 @@ def _kernel(ngw: int):
             l = lc_ref[0]                                  # (1, 128) int32
             idx = jnp.broadcast_to(l % 128, (8, 128))
             lcg = jnp.broadcast_to(l // 128, (8, 128))
-            g = jnp.zeros((8, 128), o_ref.dtype)
-            for k in range(ngw):
-                cand = jnp.take_along_axis(xwin[buf, k], idx, axis=1)
-                g = jnp.where(lcg == k, cand, g)
-            y = o_ref[0]
             # Blocks may be stored narrow (bf16 planes): upcast
             # in-register so products/accumulation keep the x mantissa.
             v = vals_ref[0].astype(o_ref.dtype)            # (8, 8, 128)
-            for jj in range(8):
-                y = y + v[:, jj, :] * jnp.broadcast_to(
-                    g[jj:jj + 1, :], (8, 128))
-            o_ref[0] = y
+            for c in range(nrhs):
+                g = jnp.zeros((8, 128), o_ref.dtype)
+                for k in range(ngw):
+                    cand = jnp.take_along_axis(xwin[buf, c, k], idx,
+                                               axis=1)
+                    g = jnp.where(lcg == k, cand, g)
+                y = o_ref[c, 0]
+                for jj in range(8):
+                    y = y + v[:, jj, :] * jnp.broadcast_to(
+                        g[jj:jj + 1, :], (8, 128))
+                o_ref[c, 0] = y
 
     return kernel
 
@@ -93,18 +102,29 @@ def wbell_spmv(a: WBELLMatrix, x: jnp.ndarray, *,
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    return _wbell_spmv(a, x, interpret=interpret)
+    return _wbell_call(a, x[None], interpret=interpret)[0]
+
+
+def wbell_spmm(a: WBELLMatrix, x: jnp.ndarray, *,
+               interpret: bool | None = None) -> jnp.ndarray:
+    """``Y = A @ X`` on a BATCH of internal-layout columns:
+    ``(nrhs, nt, 8, 128) → same``.  The slot-plane stream is shared
+    across columns (see the module docstring)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _wbell_call(a, x, interpret=interpret)
 
 
 @partial(jax.jit, static_argnames=("interpret",))
-def _wbell_spmv(a: WBELLMatrix, x: jnp.ndarray, *,
+def _wbell_call(a: WBELLMatrix, x: jnp.ndarray, *,
                 interpret: bool) -> jnp.ndarray:
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    if x.shape != (a.nt, 8, 128):
-        raise ValueError(f"wbell_spmv: expected internal layout "
-                         f"({a.nt}, 8, 128), got {x.shape}")
+    if x.ndim != 4 or x.shape[1:] != (a.nt, 8, 128):
+        raise ValueError(f"wbell kernel: expected batched internal layout "
+                         f"(nrhs, {a.nt}, 8, 128), got {x.shape}")
+    nrhs = x.shape[0]
     ntv = a.outg.shape[0]
     ngw = a.ngw
     xdt = a.vector_dtype        # fp32 when the planes are stored bf16
@@ -124,17 +144,17 @@ def _wbell_spmv(a: WBELLMatrix, x: jnp.ndarray, *,
             pl.BlockSpec(memory_space=pl.ANY),             # x (HBM)
         ],
         out_specs=pl.BlockSpec(
-            (1, 8, 128),
-            lambda t, j, og, ps, wb, zi, g0, gn: (og[t], 0, 0)),
+            (nrhs, 1, 8, 128),
+            lambda t, j, og, ps, wb, zi, g0, gn: (0, og[t], 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, ngw, 8, 128), xdt),
+            pltpu.VMEM((2, nrhs, ngw, 8, 128), xdt),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
-        _kernel(ngw),
+        _kernel(ngw, nrhs),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((a.nt, 8, 128), xdt),
+        out_shape=jax.ShapeDtypeStruct((nrhs, a.nt, 8, 128), xdt),
         interpret=interpret,
     )(a.outg, a.ps, a.wb, a.zi, a.g0, a.gn, a.lc, a.values,
       x.astype(xdt))

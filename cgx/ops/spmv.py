@@ -164,7 +164,11 @@ def _register_wbell():
 
     @spmm.register(WBELLMatrix)
     def _wbell_spmm(a, x: jnp.ndarray) -> jnp.ndarray:
-        return jax.vmap(lambda v: spmv(a, v), in_axes=-1, out_axes=-1)(x)
+        # Batched internal-layout columns through ONE kernel call — the
+        # slot-plane stream (the dominant traffic) is shared across all
+        # columns (cgx/kernels/wbell.py).  x: (nrhs, nt, 8, 128).
+        from cgx.kernels.wbell import wbell_spmm
+        return wbell_spmm(a, x)
 
 
 _register_wbell()

@@ -149,6 +149,21 @@ def auto_solve(
     from cgx.solve.precond import JacobiPrecond
 
     if b.ndim == 2:
+        from cgx.sparse.wbell import WBELLMatrix as _WB
+        if isinstance(a, _WB):
+            # Batched WBELL: one shared slot-plane stream for all k
+            # columns (cgx/solve/wbell.py).
+            from cgx.solve.precond import JacobiPrecond as _JP
+            from cgx.solve.wbell import wbell_cg_solve_multi
+            if preconditioner is not None and not isinstance(
+                    preconditioner, _JP):
+                raise ValueError("wbell multi-RHS supports "
+                                 "preconditioner=None or JacobiPrecond")
+            return wbell_cg_solve_multi(
+                a, b, x0, tol=tol, atol=atol, maxiter=maxiter,
+                jacobi=preconditioner is not None,
+                inv_diag=(preconditioner.inv_diag
+                          if isinstance(preconditioner, _JP) else None))
         # Multi-RHS block: route the batched solver (its own backend
         # auto-selection picks the fused SpMM engine where it pays).
         # Map this function's backend names onto cg_solve_multi's

@@ -315,3 +315,37 @@ def test_auto_format_decision_surface(rng):
     op, fmt = auto_format(a27)
     assert fmt == "ell"
     assert isinstance(op, ELLMatrix)
+
+
+def test_wbell_multi_rhs_matches_per_column(rng):
+    """wbell_cg_solve_multi: one shared slot-plane stream for k columns;
+    per-column trajectories match the single-RHS WBELL solver."""
+    from conftest import random_spd_csr
+    from cgx.solve.wbell import wbell_cg_solve, wbell_cg_solve_multi
+    from cgx.sparse.types import csr_from_scipy
+    from cgx.sparse.wbell import wbell_from_csr
+
+    a_sp = random_spd_csr(300, 0.03, rng)
+    a = csr_from_scipy(a_sp)
+    wb = wbell_from_csr(a)
+    k = 3
+    b = jnp.asarray(rng.standard_normal((300, k)), jnp.float32)
+    res = wbell_cg_solve_multi(wb, b, tol=1e-6, maxiter=600, jacobi=True)
+    assert res.x.shape == (300, k)
+    for j in range(k):
+        ref = wbell_cg_solve(wb, b[:, j], tol=1e-6, maxiter=600,
+                             jacobi=True)
+        assert bool(res.converged[j])
+        assert abs(int(res.iterations[j]) - int(ref.iterations)) <= 1
+        np.testing.assert_allclose(np.asarray(res.x[:, j]),
+                                   np.asarray(ref.x),
+                                   rtol=2e-4, atol=2e-5)
+    # auto_solve routing for 2-D b on a WBELL operator
+    import cgx
+    res2 = cgx.auto_solve(wb, b, tol=1e-6, maxiter=600,
+                          preconditioner=cgx.JacobiPrecond(
+                              inv_diag=jnp.asarray(
+                                  1.0 / np.asarray(a_sp.diagonal()),
+                                  jnp.float32)))
+    assert res2.x.shape == (300, k)
+    assert bool(np.all(np.asarray(res2.converged)))
