@@ -140,12 +140,13 @@ def wbell_from_csr(a, *, order: str = "rcm", max_ngw: int = 128,
         groups (the caller should fall back to the XLA CSR path).
       wbcap: virtual-tile slot cap; 0 = auto (minimizes grid work).
       value_dtype: slot-plane storage dtype (default fp32).  ``bfloat16``
-        halves the dominant HBM stream — the kernel upcasts blocks
-        in-register and accumulates in the x dtype, so this is the
-        bf16-coefficient-planes trade (operator rounded to bf16; vectors
-        and dots stay fp32 — same caveat as the DIA ``plane_dtype``
-        path; wrap in ``ir_cg_solve``-style refinement for true-system
-        accuracy).  The Jacobi diagonal stays fp32.
+        halves the stored bytes; the kernel upcasts blocks in-register
+        and accumulates in the x dtype.  **Measured negative result**
+        (BASELINE round 3): no speedup at thermal2 scale (1.03x — the
+        kernel is gather/select-chain-bound, not value-stream-bound) AND
+        the bf16-rounded operator can lose SPD-ness on ill-conditioned
+        classes (κ ≳ 1e6: CG diverges).  Kept for benign operators;
+        nothing auto-routes here.  The Jacobi diagonal stays fp32.
 
     Raises:
       ValueError: window exceeds ``max_ngw`` — no bounded-window tiling
