@@ -40,11 +40,11 @@ from cgx.sparse.wbell import WBELLMatrix
 __all__ = ["wbell_spmv", "wbell_spmm", "wbell_matvec"]
 
 
-def _kernel(ngw: int, nrhs: int):
+def _kernel(ngw: int, nrhs: int, span: int):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    def kernel(outg_r, ps_r, wb_r, zi_r, g0_r, gn_r,
+    def kernel(outg_r, ps_r, wb_r, zi_r, g0_r, gn_r, pgo_r,
                lc_ref, vals_ref, x_hbm, o_ref, xwin, sem):
         t = pl.program_id(0)
         j = pl.program_id(1)
@@ -75,16 +75,21 @@ def _kernel(ngw: int, nrhs: int):
         def _():
             l = lc_ref[0]                                  # (1, 128) int32
             idx = jnp.broadcast_to(l % 128, (8, 128))
-            lcg = jnp.broadcast_to(l // 128, (8, 128))
+            lcg = jnp.broadcast_to(l // 128, (8, 128))     # ∈ [0, span)
+            # Bucketed packing: every plane draws x from ≤ `span` window
+            # groups starting at its prefetched offset — the resolution
+            # chain is `span` gathers, not ngw (PERF_NOTES 3e).
+            go = pgo_r[ps_r[t] + jnp.minimum(j, wb_r[t] - 1)]
             # Blocks may be stored narrow (bf16 planes): upcast
             # in-register so products/accumulation keep the x mantissa.
             v = vals_ref[0].astype(o_ref.dtype)            # (8, 8, 128)
             for c in range(nrhs):
                 g = jnp.zeros((8, 128), o_ref.dtype)
-                for k in range(ngw):
-                    cand = jnp.take_along_axis(xwin[buf, c, k], idx,
+                for s in range(span):
+                    cand = jnp.take_along_axis(xwin[buf, c, go + s], idx,
                                                axis=1)
-                    g = jnp.where(lcg == k, cand, g)
+                    g = (cand if span == 1
+                         else jnp.where(lcg == s, cand, g))
                 y = o_ref[c, 0]
                 for jj in range(8):
                     y = y + v[:, jj, :] * jnp.broadcast_to(
@@ -130,33 +135,33 @@ def _wbell_call(a: WBELLMatrix, x: jnp.ndarray, *,
     xdt = a.vector_dtype        # fp32 when the planes are stored bf16
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
+        num_scalar_prefetch=7,
         grid=(ntv, a.wbcap),
         in_specs=[
             pl.BlockSpec(
                 (1, 1, 128),
-                lambda t, j, og, ps, wb, zi, g0, gn:
+                lambda t, j, og, ps, wb, zi, g0, gn, pgo:
                     (ps[t] + jnp.minimum(j, wb[t] - 1), 0, 0)),
             pl.BlockSpec(
                 (1, 8, 8, 128),
-                lambda t, j, og, ps, wb, zi, g0, gn:
+                lambda t, j, og, ps, wb, zi, g0, gn, pgo:
                     (ps[t] + jnp.minimum(j, wb[t] - 1), 0, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),             # x (HBM)
         ],
         out_specs=pl.BlockSpec(
             (nrhs, 1, 8, 128),
-            lambda t, j, og, ps, wb, zi, g0, gn: (0, og[t], 0, 0)),
+            lambda t, j, og, ps, wb, zi, g0, gn, pgo: (0, og[t], 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((2, nrhs, ngw, 8, 128), xdt),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
-        _kernel(ngw, nrhs),
+        _kernel(ngw, nrhs, a.span),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nrhs, a.nt, 8, 128), xdt),
         interpret=interpret,
-    )(a.outg, a.ps, a.wb, a.zi, a.g0, a.gn, a.lc, a.values,
+    )(a.outg, a.ps, a.wb, a.zi, a.g0, a.gn, a.pgo, a.lc, a.values,
       x.astype(xdt))
 
 

@@ -67,11 +67,13 @@ class WBELLMatrix:
     perm: jnp.ndarray          # (n,) int32 — RCM permutation
     iperm: jnp.ndarray         # (n,) int32 — inverse permutation
     diag_internal: jnp.ndarray  # (nt, 8, 128) fp32
+    pgo: jnp.ndarray           # (P,) int32 — per-plane window group offset
     shape: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))
     ng_real: int = dataclasses.field(metadata=dict(static=True))
     nt: int = dataclasses.field(metadata=dict(static=True))  # groups + pad
     ngw: int = dataclasses.field(metadata=dict(static=True))
     wbcap: int = dataclasses.field(metadata=dict(static=True))
+    span: int = dataclasses.field(default=1, metadata=dict(static=True))
 
     @property
     def dtype(self):
@@ -129,7 +131,8 @@ def _best_wbcap(wbt: np.ndarray, wb_hard_max: int) -> int:
 
 
 def wbell_from_csr(a, *, order: str = "rcm", max_ngw: int = 128,
-                   wbcap: int = 0, value_dtype=None) -> WBELLMatrix:
+                   wbcap: int = 0, value_dtype=None,
+                   span: int = 2) -> WBELLMatrix:
     """Build a :class:`WBELLMatrix` from a CSR matrix (host-side).
 
     Args:
@@ -139,6 +142,12 @@ def wbell_from_csr(a, *, order: str = "rcm", max_ngw: int = 128,
       max_ngw: reject matrices whose tile windows exceed this many 128-block
         groups (the caller should fall back to the XLA CSR path).
       wbcap: virtual-tile slot cap; 0 = auto (minimizes grid work).
+      span: window groups a single slot plane may draw x-operands from
+        (the kernel's per-plane gather count).  Small spans cut the
+        operand-resolution chain — the measured bottleneck (PERF_NOTES
+        3e) — at the cost of extra plane padding when a tile's lanes
+        concentrate in different buckets; 2 measured best on the
+        thermal2 class.
       value_dtype: slot-plane storage dtype (default fp32).  ``bfloat16``
         halves the stored bytes; the kernel upcasts blocks in-register
         and accumulates in the x dtype.  **Measured negative result**
@@ -181,23 +190,55 @@ def wbell_from_csr(a, *, order: str = "rcm", max_ngw: int = 128,
     ub_r, ub_c = uid // nbr, uid % nbr
     nblocks = len(uid)
 
-    counts = np.bincount(ub_r, minlength=nbr)
-    starts = np.concatenate([[0], np.cumsum(counts[:-1])])
-    rank = np.arange(nblocks, dtype=np.int64) - starts[ub_r]
-
     tile_of_block = ub_r >> 7
-    wbt = np.ones(ng_real, np.int64)
-    np.maximum.at(wbt, tile_of_block, rank + 1)
+
+    # -- bucketed plane packing (span-bounded operand resolution) --------
+    # Measured (PERF_NOTES 3e): the kernel is bound by the per-plane
+    # ngw-way dynamic-gather + select chain, NOT the value stream.  So
+    # planes are packed per (tile, BUCKET of `span` window groups): every
+    # plane's 128 blocks draw x from ≤ `span` groups, and the kernel
+    # resolves operands with `span` gathers instead of ngw (19 on the
+    # thermal2 class).  Blocks arrive sorted by (row, col), so runs per
+    # (row, bucket) are contiguous — the sub-rank is vectorized.
+    bucket = (ub_c >> 7) // span
+    chg = np.empty(nblocks, bool)
+    if nblocks:
+        chg[0] = True
+        chg[1:] = (ub_r[1:] != ub_r[:-1]) | (bucket[1:] != bucket[:-1])
+    grp_start = np.flatnonzero(chg)
+    grp_id = np.cumsum(chg) - 1
+    rank_rb = np.arange(nblocks, dtype=np.int64) - grp_start[grp_id]
+
+    NB = int(bucket.max()) + 1 if nblocks else 1
+    tb_key = tile_of_block * NB + bucket
+    tb_uid, tb_inv = np.unique(tb_key, return_inverse=True)
+    tb_tile = tb_uid // NB
+    wbt_tb = np.zeros(len(tb_uid), np.int64)
+    np.maximum.at(wbt_tb, tb_inv, rank_rb + 1)
+    pstart_tb = np.concatenate([[0], np.cumsum(wbt_tb[:-1])])
+
+    # Per-tile slot totals (empty tiles keep one zero-plane slot) and the
+    # tile-major plane layout; a tb's planes sit at its tile-local offset.
+    wbt = np.zeros(ng_real, np.int64)
+    np.add.at(wbt, tb_tile, wbt_tb)
+    wbt = np.maximum(wbt, 1)
     pstart = np.concatenate([[0], np.cumsum(wbt[:-1])])
     p_real = int(wbt.sum())
+    tile_tb0 = np.full(ng_real, np.int64(2) ** 62)
+    np.minimum.at(tile_tb0, tb_tile, pstart_tb)
+    offset_tb = pstart_tb - tile_tb0[tb_tile]     # tile-local plane offset
+    plane = (pstart[tile_of_block] + offset_tb[tb_inv]
+             + rank_rb)                           # per block
 
-    # -- windows ----------------------------------------------------------
+    # -- windows (span-aligned starts so bucket offsets stay in range) ----
     g0t = np.full(ng_real, 2**31, np.int64)
     gmax = np.zeros(ng_real, np.int64)
     np.minimum.at(g0t, tile_of_block, ub_c >> 7)
     np.maximum.at(gmax, tile_of_block, ub_c >> 7)
     g0t = np.where(g0t == 2**31, 0, g0t)
-    ngw = max(int((gmax - g0t).max()) + 1, 1)
+    g0t = (g0t // span) * span
+    end_al = -(-(gmax + 1) // span) * span
+    ngw = max(int((end_al - g0t).max()), span)
     if ngw > max_ngw:
         raise ValueError(
             f"WBELL window needs {ngw} groups > max_ngw={max_ngw}; "
@@ -206,12 +247,25 @@ def wbell_from_csr(a, *, order: str = "rcm", max_ngw: int = 128,
     g0t = np.minimum(g0t, nt - ngw)
 
     # -- pack slot planes -------------------------------------------------
-    plane = pstart[tile_of_block] + rank          # per block
     lane = ub_r & 127
     values = np.zeros((p_real + 1, 8, 8, 128), np.float32)  # +1 zero plane
     lcp = np.zeros((p_real + 1, 1, 128), np.int32)
     np.add.at(values, (plane[inv], row & 7, col & 7, lane[inv]), val)
-    lcp[plane, 0, lane] = (ub_c - (g0t[tile_of_block] << 7)).astype(np.int32)
+    # lane-local column + 128·(group − bucket·span): the within-plane
+    # group index is < span by construction.
+    lcp[plane, 0, lane] = ((ub_c & 127)
+                           + 128 * ((ub_c >> 7)
+                                    - bucket * span)).astype(np.int32)
+    # Per-plane window offset of the plane's bucket (scalar-prefetched);
+    # phantom slots (empty tiles / never-written planes) stay at 0.
+    pgo = np.zeros(p_real + 1, np.int64)          # +1: the zero plane
+    tb_planes = (pstart[tb_tile] + offset_tb)      # first plane per tb
+    plane_idx = np.repeat(tb_planes, wbt_tb) + (
+        np.arange(int(wbt_tb.sum()), dtype=np.int64)
+        - np.repeat(pstart_tb, wbt_tb))
+    pgo[plane_idx] = np.repeat((tb_uid % NB) * span - g0t[tb_tile],
+                               wbt_tb)
+    assert pgo.min() >= 0 and pgo.max() + span <= ngw
 
     # -- virtual tiles ------------------------------------------------------
     if wbcap <= 0:
@@ -263,11 +317,13 @@ def wbell_from_csr(a, *, order: str = "rcm", max_ngw: int = 128,
         perm=jnp.asarray(perm, jnp.int32),
         iperm=jnp.asarray(iperm, jnp.int32),
         diag_internal=jnp.asarray(diag.reshape(nt, 8, 128)),
+        pgo=jnp.asarray(pgo, jnp.int32),
         shape=(n, n),
         ng_real=int(ng_real),
         nt=int(nt),
         ngw=int(ngw),
         wbcap=int(wbcap),
+        span=int(span),
     )
 
 
