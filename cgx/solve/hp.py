@@ -198,10 +198,77 @@ def df64_cg_solve(a: DF64ELL, b, x0: Optional[DF64] = None, *,
                       converged=rr <= tol_sq)
 
 
+def _pick_inner_format(a_sp) -> str:
+    """``inner_format="auto"``: WBELL when the matrix is large enough to
+    amortize its host build (RCM + supervariable blocking — seconds at
+    1 M rows) AND a bounded-window tiling exists; else ELL.  Mirrors
+    :func:`cgx.sparse.wbell.auto_format`'s measured decision surface."""
+    from cgx.sparse.wbell import wbell_from_csr  # noqa: F401 (probe)
+
+    n = a_sp.shape[0]
+    if n < 200_000 or jax.default_backend() != "tpu":
+        return "ell"
+    return "wbell"
+
+
+def _make_wbell_inner(a_sp, preconditioner, *, inner_tol, inner_maxiter,
+                      inner_chunk):
+    """Build the WBELL fp32 inner-solve closure for :func:`ir_df64_solve`.
+
+    The inner operator is the fp32-ROUNDED matrix — fine for iterative
+    refinement (the inner solve only needs to contract the residual;
+    accuracy comes from the df64 TRUE residual — Higham/Carson), and it is
+    what unlocks engine speed on large unstructured systems: the inner
+    (P)CG runs entirely in WBELL's internal layout through the windowed
+    Pallas SpMV (22.2x over the XLA gather path at thermal2 scale,
+    BASELINE round 3) instead of at the gather wall.
+
+    Falls back to ELL with a clear error if no bounded-window tiling
+    exists.  ``inner_chunk`` bounds each device dispatch (tunnel-safe).
+    """
+    from cgx.solve.precond import JacobiPrecond
+    from cgx.solve.wbell import wbell_cg_solve
+    from cgx.sparse.wbell import wbell_from_csr
+
+    if preconditioner is not None and not isinstance(preconditioner,
+                                                     JacobiPrecond):
+        raise ValueError(
+            "inner_format='wbell' supports preconditioner=None or "
+            "JacobiPrecond (the WBELL internal-layout surface); for "
+            "IC(0)/block-Jacobi inners use inner_format='ell'")
+    jac = preconditioner is not None
+    ivd = preconditioner.inv_diag if jac else None
+    wb = wbell_from_csr(a_sp)
+
+    if inner_chunk is None:
+        def inner(r_unit):
+            res = wbell_cg_solve(wb, r_unit, tol=inner_tol,
+                                 maxiter=inner_maxiter, jacobi=jac,
+                                 inv_diag=ivd)
+            return res.x, res.iterations
+        return inner
+
+    from cgx.utils.checkpoint import make_checkpointed_solver
+    idi = None
+    if jac:
+        from cgx.ops import blas
+        idi = (wb.to_internal(ivd) if ivd is not None
+               else blas.safe_recip(wb.diag_internal))
+    solve = make_checkpointed_solver(
+        wb, tol=inner_tol, maxiter=inner_maxiter, chunk=int(inner_chunk),
+        preconditioner=(lambda r: r * idi) if jac else None)
+
+    def inner(r_unit):
+        res = solve(wb.to_internal(r_unit))
+        return wb.from_internal(res.x), res.iterations
+    return inner
+
+
 def ir_df64_solve(a, b, *, tol: float = 1e-6, atol: float = 0.0,
                   inner_tol: float = 1e-2, inner_maxiter: int = 2000,
                   max_outer: int = 40, preconditioner=None,
                   inner_format: str = "ell",
+                  inner_chunk: Optional[int] = None,
                   verbose: bool = False):
     """fp32 (P)CG inner solves inside a df64 iterative-refinement outer
     loop — reaches TRUE relres ≤ tol on κ ≈ 10¹⁰ systems at fp32 speed.
@@ -210,12 +277,25 @@ def ir_df64_solve(a, b, *, tol: float = 1e-6, atol: float = 0.0,
       a: host fp64 CSR (:class:`~cgx.sparse.types.CSRMatrix` or scipy).
       b: host fp64 RHS.
       preconditioner: any cgx preconditioner for the fp32 inner solves
-        (IC(0) is the measured winner on the bcsstk class).
-      inner_format: fp32 operator storage for the inner solves
-        (``"ell"`` default — static-shape gathers; or ``"csr"``).
+        (IC(0) is the measured winner on the bcsstk class).  With a
+        WBELL inner this must be ``None`` or
+        :class:`~cgx.solve.precond.JacobiPrecond` (the internal-layout
+        surface).
+      inner_format: fp32 operator storage for the inner solves —
+        ``"ell"`` (default — static-shape gathers), ``"csr"``,
+        ``"wbell"`` (the windowed-block-ELL Pallas engine: 22.2x over
+        the XLA gather path at 1 M-row unstructured scale — this is how
+        large irregular systems reach fp64-grade accuracy at engine
+        speed), or ``"auto"`` (WBELL when the matrix is big enough to
+        pay its host build and a bounded-window tiling exists, else
+        ELL).
       inner_tol: residual reduction per inner solve == the per-cycle
         contraction of the TRUE residual (κ-independent given the df64
         residual — Higham/Carson).
+      inner_chunk: run each inner solve in bounded dispatch chunks of
+        this many iterations (:mod:`cgx.utils.checkpoint`) — required
+        for multi-thousand-iteration inners through the remote tunnel's
+        dispatch kill window; trajectory-identical to monolithic.
 
     Returns ``(HPCGResult, info)``; ``info["outer"]`` is the cycle count,
     ``info["relres"]`` the final TRUE df64 relative residual, and
@@ -233,24 +313,42 @@ def ir_df64_solve(a, b, *, tol: float = 1e-6, atol: float = 0.0,
     else:
         a_sp = sp.csr_matrix(a).astype(np.float64)
 
+    was_auto = inner_format == "auto"
+    if was_auto:
+        inner_format = _pick_inner_format(a_sp)
+        if verbose:
+            print(f"[ir_df64] inner_format auto → {inner_format}")
+
     a_hp = df64_ell_from_csr(a_sp)
-    a32 = csr_from_scipy(a_sp.astype(np.float32))
-    if inner_format == "ell":
-        a32 = ell_from_csr(a32, width_multiple=8)
+    if inner_format == "wbell":
+        try:
+            inner = _make_wbell_inner(
+                a_sp, preconditioner, inner_tol=float(inner_tol),
+                inner_maxiter=int(inner_maxiter), inner_chunk=inner_chunk)
+        except ValueError:
+            if not was_auto:
+                raise          # explicit wbell request: surface the reason
+            inner_format = "ell"   # auto: no bounded-window tiling
+    if inner_format != "wbell":
+        a32 = csr_from_scipy(a_sp.astype(np.float32))
+        if inner_format == "ell":
+            a32 = ell_from_csr(a32, width_multiple=8)
+
+        # Operator, preconditioner, and RHS ride as traced ARGUMENTS
+        # through module-level jits — closure constants are baked into the
+        # compile payload (remote-tunnel HTTP 413 past a few hundred MB:
+        # the df64 ELL planes and IC(0) factors both reach that at ~1 M
+        # rows), and per-call inner jits would retrace on every
+        # ir_df64_solve call.
+        def inner(r_unit):
+            return _ir_inner(a32, preconditioner, r_unit,
+                             tol=float(inner_tol),
+                             maxiter=int(inner_maxiter))
 
     n = a_sp.shape[0]
     b_df = df_from_f64(np.asarray(b, np.float64))
     bb = float(df_dot(b_df, b_df).hi)
     tol_sq = max(tol * tol * bb, atol * atol)
-
-    # Operator, preconditioner, and RHS ride as traced ARGUMENTS through
-    # module-level jits — closure constants are baked into the compile
-    # payload (remote-tunnel HTTP 413 past a few hundred MB: the df64 ELL
-    # planes and IC(0) factors both reach that at ~1 M rows), and
-    # per-call inner jits would retrace on every ir_df64_solve call.
-    def inner(a_, m_, r_unit):
-        return _ir_inner(a_, m_, r_unit, tol=float(inner_tol),
-                         maxiter=int(inner_maxiter))
 
     def true_residual(x):
         return _ir_true_residual(a_hp, b_df, x)
@@ -264,7 +362,7 @@ def ir_df64_solve(a, b, *, tol: float = 1e-6, atol: float = 0.0,
     while rr > tol_sq and outer < max_outer and strikes < 2:
         s = float(np.sqrt(rr))
         r_unit = (r.hi / np.float32(s)) + (r.lo / np.float32(s))
-        d_unit, k_in = inner(a32, preconditioner, r_unit)
+        d_unit, k_in = inner(r_unit)
         x = df_add(x, df(d_unit * np.float32(s)))
         r = true_residual(x)
         rr_new = float(df_dot(r, r).hi)

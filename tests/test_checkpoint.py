@@ -458,14 +458,17 @@ def test_resident_maxiter_zero_reports_unconverged(rng):
 def test_wbell_checkpointed_default_maxiter(rng):
     """Internal-layout RHS (WBELL (nt, 8, 128)): the default maxiter must
     bound by element count, not shape[0] (= tile count)."""
-    from conftest import random_spd_csr
+    import scipy.sparse as sp
+
     from cgx.sparse.types import csr_from_scipy
     from cgx.sparse.wbell import wbell_from_csr
     from cgx.utils.checkpoint import make_checkpointed_solver
 
-    a_sp = random_spd_csr(300, 0.03, rng)
-    a = csr_from_scipy(a_sp)
-    wb = wbell_from_csr(a)
+    # 1-D Poisson: CG needs O(n) >> nt iterations, so a maxiter falsely
+    # capped at the tile count would return unconverged at iteration nt.
+    a_sp = sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(300, 300),
+                    format="csr", dtype=np.float64)
+    wb = wbell_from_csr(csr_from_scipy(a_sp))
     assert wb.nt < 10                        # shape[0] would cap absurdly
     b = jnp.asarray(rng.standard_normal(300), jnp.float32)
     solve = make_checkpointed_solver(wb, tol=1e-5, chunk=50)  # no maxiter

@@ -168,3 +168,67 @@ def test_ir_df64_on_bcsstk_standin_small():
                               inner_maxiter=5000, preconditioner=m)
     true_rel = np.linalg.norm(b - av @ df_to_f64(res.x)) / np.linalg.norm(b)
     assert true_rel <= 1.5e-6, (true_rel, info)
+
+
+def test_ir_df64_wbell_inner_reaches_true_tol():
+    """inner_format='wbell': the IR outer drives WBELL-engine inner solves
+    (interpret-mode kernel on CPU) to TRUE relres ≤ 1e-6 — the composition
+    that gives large unstructured systems fp64-grade accuracy at engine
+    speed (VERDICT r3 #1)."""
+    import cgx
+    from conftest import random_spd_csr
+
+    a = random_spd_csr(300, 0.03, np.random.default_rng(3))
+    # Worsen conditioning so the solve needs real work (several cycles).
+    d = sp.diags(np.logspace(0, 4, 300))
+    a = (d @ a @ d).tocsr()
+    rng = np.random.default_rng(5)
+    b = rng.standard_normal(300)
+    m = cgx.JacobiPrecond(
+        inv_diag=jnp.asarray(1.0 / a.diagonal(), jnp.float32))
+    res, info = ir_df64_solve(a, b, tol=1e-6, inner_tol=1e-2,
+                              inner_maxiter=2000, preconditioner=m,
+                              inner_format="wbell")
+    true_rel = np.linalg.norm(b - a @ df_to_f64(res.x)) / np.linalg.norm(b)
+    assert true_rel <= 1.5e-6, (true_rel, info)
+    assert bool(res.converged)
+
+
+def test_ir_df64_wbell_inner_chunked_matches():
+    """inner_chunk bounds each dispatch; the result still reaches tol."""
+    from conftest import random_spd_csr
+
+    a = random_spd_csr(256, 0.04, np.random.default_rng(9))
+    b = np.random.default_rng(10).standard_normal(256)
+    res, info = ir_df64_solve(a, b, tol=1e-8, inner_tol=1e-3,
+                              inner_format="wbell", inner_chunk=20)
+    true_rel = np.linalg.norm(b - a @ df_to_f64(res.x)) / np.linalg.norm(b)
+    assert true_rel <= 1.5e-8, (true_rel, info)
+
+
+def test_ir_df64_wbell_inner_rejects_unsupported_precond():
+    from conftest import random_spd_csr
+
+    from cgx.solve.precond import BlockJacobiPrecond
+    from cgx.sparse.types import csr_from_scipy
+
+    a = random_spd_csr(128, 0.05, np.random.default_rng(2))
+    b = np.zeros(128)
+    m = BlockJacobiPrecond.from_matrix(csr_from_scipy(a.astype(np.float32)),
+                                       blocksize=4)
+    with pytest.raises(ValueError, match="wbell"):
+        ir_df64_solve(a, b, preconditioner=m, inner_format="wbell")
+
+
+def test_ir_df64_auto_inner_format_small_is_ell():
+    """auto: small systems stay on ELL (no WBELL build cost)."""
+    from cgx.solve.hp import _pick_inner_format
+    from conftest import random_spd_csr
+
+    a = random_spd_csr(128, 0.05, np.random.default_rng(4))
+    assert _pick_inner_format(a) == "ell"
+    # And the solve itself works end-to-end through "auto".
+    b = np.random.default_rng(6).standard_normal(128)
+    res, info = ir_df64_solve(a, b, tol=1e-7, inner_format="auto")
+    true_rel = np.linalg.norm(b - a @ df_to_f64(res.x)) / np.linalg.norm(b)
+    assert true_rel <= 1.5e-7
