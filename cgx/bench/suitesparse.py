@@ -115,6 +115,8 @@ def bench_matrix(name: str, a, is_standin: bool, *, tol: float = 1e-6,
             ic0_setup_s = time.perf_counter() - t0
         except np.linalg.LinAlgError as exc:  # IC(0) breakdown is a real
             preconds["ic0"] = exc             # property of the matrix
+        except ValueError as exc:   # gather-budget guard: the exact apply
+            preconds["ic0"] = exc   # would fault the device at this scale
     if want("block_jacobi"):
         # 3 dof/node for the stiffness set; 8 otherwise.
         bs = 3 if name.startswith("bcsstk") and n % 3 == 0 else 8
@@ -130,7 +132,9 @@ def bench_matrix(name: str, a, is_standin: bool, *, tol: float = 1e-6,
                "nnz": int(a.nnz), "precond": pname, "dtype": dtype,
                "tol": tol, "format": row_fmt}
         if isinstance(m, Exception):
-            rec["error"] = f"IC(0) breakdown: {m}"
+            pre = ("IC(0) breakdown" if isinstance(m, np.linalg.LinAlgError)
+                   else "IC(0) guard")
+            rec["error"] = f"{pre}: {m}"[:300]
             out.append(rec)
             continue
 

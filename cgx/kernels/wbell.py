@@ -99,25 +99,145 @@ def _kernel(ngw: int, nrhs: int, span: int):
     return kernel
 
 
+def _kernel_resident(span: int, nrhs: int, splane: int):
+    """Resident-x plane-major kernel (PERF_NOTES round 4).
+
+    The windowed kernel above is per-grid-step LATENCY-bound: ~305 ns per
+    slot plane on v5e regardless of the gather-chain length (19-way round
+    3: 310 ns/plane at fill 19x; span-2 bucketed: 305 ns/plane at fill
+    29.8x — time scales with plane count, not VPU work or stored bytes).
+    This variant amortizes that fixed cost by (a) pinning the whole
+    internal x AND y in VMEM (v5e has ~128 MB — up to ~12 M rows
+    single-RHS) so the per-tile window DMA machinery disappears, and
+    (b) streaming ``splane`` slot planes per grid step.  Per plane it
+    slices the resident x at the plane's absolute window offset and
+    resolves operands with the same ``span`` intra-vreg dynamic gathers
+    + select tree.
+    """
+    from jax.experimental import pallas as pl
+
+    def kernel(og_r, ga_r, lc_ref, vals_ref, x_ref, o_ref):
+        j = pl.program_id(0)
+
+        @pl.when(j == 0)
+        def _():
+            o_ref[...] = jnp.zeros_like(o_ref)
+
+        for s in range(splane):
+            p = j * splane + s
+            l = lc_ref[s]                                  # (1, 128)
+            idx = jnp.broadcast_to(l % 128, (8, 128))
+            lcg = jnp.broadcast_to(l // 128, (8, 128))
+            v = vals_ref[s].astype(o_ref.dtype)            # (8, 8, 128)
+            og = og_r[p]
+            ga = ga_r[p]
+            for c in range(nrhs):
+                w = x_ref[c, pl.ds(ga, span)]              # (span, 8, 128)
+                g = jnp.zeros((8, 128), o_ref.dtype)
+                for t in range(span):
+                    cand = jnp.take_along_axis(w[t], idx, axis=1)
+                    g = (cand if span == 1
+                         else jnp.where(lcg == t, cand, g))
+                y = o_ref[c, og]
+                for jj in range(8):
+                    y = y + v[:, jj, :] * jnp.broadcast_to(
+                        g[jj:jj + 1, :], (8, 128))
+                o_ref[c, og] = y
+
+    return kernel
+
+
+# Resident-x footprint cap: x + y + the double-buffered plane stream must
+# fit comfortably under the ~128 MB v5e VMEM (Mosaic needs headroom).
+_RESIDENT_VMEM_CAP = 100 << 20
+_SPLANE = 8
+
+
+def _resident_fits(a: WBELLMatrix, nrhs: int) -> bool:
+    vec = nrhs * a.nt * 1024 * jnp.dtype(a.vector_dtype).itemsize
+    stream = 2 * _SPLANE * 65 * 128 * a.values.dtype.itemsize
+    return 2 * vec + stream <= _RESIDENT_VMEM_CAP
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _wbell_call_resident(a: WBELLMatrix, x: jnp.ndarray, *,
+                         interpret: bool) -> jnp.ndarray:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if x.ndim != 4 or x.shape[1:] != (a.nt, 8, 128):
+        raise ValueError(f"wbell kernel: expected batched internal layout "
+                         f"(nrhs, {a.nt}, 8, 128), got {x.shape}")
+    nrhs = x.shape[0]
+    xdt = a.vector_dtype
+    npl = a.values.shape[0]
+    assert npl % _SPLANE == 0, "builder pads planes to a multiple of 8"
+    nsteps = npl // _SPLANE
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nsteps,),
+        in_specs=[
+            pl.BlockSpec((_SPLANE, 1, 128),
+                         lambda j, og, ga: (j, 0, 0)),
+            pl.BlockSpec((_SPLANE, 8, 8, 128),
+                         lambda j, og, ga: (j, 0, 0, 0)),
+            pl.BlockSpec((nrhs, a.nt, 8, 128),
+                         lambda j, og, ga: (0, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((nrhs, a.nt, 8, 128),
+                               lambda j, og, ga: (0, 0, 0, 0)),
+    )
+    vec = nrhs * a.nt * 1024 * jnp.dtype(xdt).itemsize
+    stream = 2 * _SPLANE * 65 * 128 * a.values.dtype.itemsize
+    params = {} if interpret else dict(
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(int(2.2 * vec) + 2 * stream + (8 << 20),
+                                 127 << 20)))
+    return pl.pallas_call(
+        _kernel_resident(a.span, nrhs, _SPLANE),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nrhs, a.nt, 8, 128), xdt),
+        interpret=interpret,
+        **params,
+    )(a.p_og, a.p_ga, a.lc, a.values, x.astype(xdt))
+
+
 def wbell_spmv(a: WBELLMatrix, x: jnp.ndarray, *,
-               interpret: bool | None = None) -> jnp.ndarray:
+               interpret: bool | None = None,
+               backend: str = "auto") -> jnp.ndarray:
     """``y = A @ x`` on internal-layout ``x``: ``(nt, 8, 128) → same``.
 
     ``interpret=None`` auto-selects the Pallas interpreter off-TPU.
+    ``backend``: ``"auto"`` (the resident-x kernel when x + y fit VMEM —
+    the fast path), ``"resident"``, or ``"windowed"``.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    return _wbell_call(a, x[None], interpret=interpret)[0]
+    return _dispatch(a, x[None], interpret, backend)[0]
 
 
 def wbell_spmm(a: WBELLMatrix, x: jnp.ndarray, *,
-               interpret: bool | None = None) -> jnp.ndarray:
+               interpret: bool | None = None,
+               backend: str = "auto") -> jnp.ndarray:
     """``Y = A @ X`` on a BATCH of internal-layout columns:
     ``(nrhs, nt, 8, 128) → same``.  The slot-plane stream is shared
     across columns (see the module docstring)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    return _wbell_call(a, x, interpret=interpret)
+    return _dispatch(a, x, interpret, backend)
+
+
+def _dispatch(a: WBELLMatrix, x: jnp.ndarray, interpret: bool,
+              backend: str) -> jnp.ndarray:
+    if backend == "auto":
+        backend = ("resident" if _resident_fits(a, x.shape[0])
+                   else "windowed")
+    if backend == "resident":
+        return _wbell_call_resident(a, x, interpret=interpret)
+    if backend == "windowed":
+        return _wbell_call(a, x, interpret=interpret)
+    raise ValueError(f"unknown wbell backend {backend!r}")
 
 
 @partial(jax.jit, static_argnames=("interpret",))

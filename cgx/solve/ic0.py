@@ -286,8 +286,8 @@ class IC0Precond:
                                      metadata=dict(static=False))
 
     @classmethod
-    def from_matrix(cls, a, dtype=None,
-                    ordering: str = "natural") -> "IC0Precond":
+    def from_matrix(cls, a, dtype=None, ordering: str = "natural",
+                    gather_budget: int | None = 20_000_000) -> "IC0Precond":
         """Factor + level-schedule a :class:`~cgx.sparse.types.CSRMatrix`.
 
         ``ordering``: ``"natural"`` (reference IC(0) trajectory; level
@@ -297,6 +297,19 @@ class IC0Precond:
         that trades a few extra CG iterations for far fewer sequential
         sweep steps — the TPU-friendly regime when the sweep is
         latency-bound, SURVEY.md §7 'hard parts').
+
+        ``gather_budget``: refuse (``ValueError``) when the level-packed
+        apply would issue more than this many padded gathers per
+        preconditioner application (both sweeps).  The apply is
+        gather-bound at ~65 M gathers/s on v5e (BASELINE round 2), so at
+        large irregular scale it is not merely slow but UNRUNNABLE —
+        measured round 3: parabolic_fem (0.53 M rows, 4.5e7 padded
+        gathers/apply) and G3_circuit (1.59 M rows, 1.8e8) both fault
+        the device (a 150-iteration dispatch blows the remote tunnel's
+        ~60 s kill window), while ecology2 (1.0 M rows, 8.0e6) runs.
+        The default sits between the measured-good and measured-faulting
+        volumes.  Pass ``None`` to skip the guard (own-risk escape
+        hatch for local, non-tunneled devices).
         """
         import scipy.sparse as sp
 
@@ -321,6 +334,23 @@ class IC0Precond:
         diag = lv[lp[1:] - 1]                   # row-sorted: diag is last
 
         lev_f = _level_schedule(lc, lp, n)
+        if gather_budget is not None and n:
+            nl = int(lev_f.max()) + 1
+            width = int(np.bincount(lev_f, minlength=nl).max())
+            rn = max(int((np.diff(lp) - 1).max()), 1)
+            padded = 2 * nl * width * rn     # both triangular sweeps
+            if padded > gather_budget:
+                raise ValueError(
+                    f"exact IC(0) apply would issue {padded:.1e} padded "
+                    f"gathers per application (levels={nl}, width={width}, "
+                    f"row_nnz={rn}) > gather_budget={gather_budget:.1e}; at "
+                    "the measured ~65 M gathers/s this scale faults the "
+                    "device rather than running slowly (BASELINE round 3). "
+                    "Use IC0SweepPrecond (banded factors), "
+                    "cgx.dist.schwarz.SchwarzIC0 (distributed additive "
+                    "Schwarz), BlockJacobiPrecond, or the WBELL engine "
+                    "with JacobiPrecond — or pass gather_budget=None to "
+                    "override on non-tunneled hardware.")
         packed_f = _pack_levels(lv.astype(dtype), lc, lp, diag.astype(dtype),
                                 lev_f, n)
 

@@ -68,6 +68,10 @@ class WBELLMatrix:
     iperm: jnp.ndarray         # (n,) int32 — inverse permutation
     diag_internal: jnp.ndarray  # (nt, 8, 128) fp32
     pgo: jnp.ndarray           # (P,) int32 — per-plane window group offset
+    # Per-plane scalars for the resident-x kernel (plane-major grid, no
+    # window DMA): output group and ABSOLUTE window-start group.
+    p_og: jnp.ndarray          # (P,) int32
+    p_ga: jnp.ndarray          # (P,) int32
     shape: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))
     ng_real: int = dataclasses.field(metadata=dict(static=True))
     nt: int = dataclasses.field(metadata=dict(static=True))  # groups + pad
@@ -268,6 +272,26 @@ def wbell_from_csr(a, *, order: str = "rcm", max_ngw: int = 128,
                                wbt_tb)
     assert pgo.min() >= 0 and pgo.max() + span <= ngw
 
+    # -- per-plane scalars for the resident-x kernel ----------------------
+    # Plane-major grid: each plane carries its output group and ABSOLUTE
+    # window-start group; planes (incl. the zero plane and the pad below)
+    # are padded to a multiple of 8 so the kernel can stream 8-plane
+    # blocks (amortizing the measured ~305 ns/grid-step pipeline latency
+    # — PERF_NOTES round 4).
+    p_og = np.zeros(p_real + 1, np.int64)
+    p_og[:p_real] = np.repeat(np.arange(ng_real, dtype=np.int64), wbt)
+    p_ga = np.zeros(p_real + 1, np.int64)
+    p_ga[plane_idx] = np.repeat((tb_uid % NB) * span, wbt_tb)
+    assert p_ga.max() + span <= nt
+    pad_p = (-(p_real + 1)) % 8
+    if pad_p:
+        values = np.concatenate(
+            [values, np.zeros((pad_p, 8, 8, 128), np.float32)])
+        lcp = np.concatenate([lcp, np.zeros((pad_p, 1, 128), np.int32)])
+        pgo = np.concatenate([pgo, np.zeros(pad_p, np.int64)])
+        p_og = np.concatenate([p_og, np.zeros(pad_p, np.int64)])
+        p_ga = np.concatenate([p_ga, np.zeros(pad_p, np.int64)])
+
     # -- virtual tiles ------------------------------------------------------
     if wbcap <= 0:
         wbcap = _best_wbcap(wbt, wb_hard_max=64)
@@ -319,6 +343,8 @@ def wbell_from_csr(a, *, order: str = "rcm", max_ngw: int = 128,
         iperm=jnp.asarray(iperm, jnp.int32),
         diag_internal=jnp.asarray(diag.reshape(nt, 8, 128)),
         pgo=jnp.asarray(pgo, jnp.int32),
+        p_og=jnp.asarray(p_og, jnp.int32),
+        p_ga=jnp.asarray(p_ga, jnp.int32),
         shape=(n, n),
         ng_real=int(ng_real),
         nt=int(nt),

@@ -52,6 +52,27 @@ def test_wbell_delaunay_standin():
     assert w.ngw <= 8
 
 
+@pytest.mark.parametrize("n,density", [(700, 0.01), (1300, 0.004)])
+def test_wbell_resident_backend_matches_windowed(n, density):
+    """The resident-x plane-major kernel (round 4) computes bit-identical
+    results to the windowed kernel, single- and multi-RHS."""
+    from cgx.kernels.wbell import wbell_spmm
+
+    a = _random_spd(n, density, seed=n)
+    w = wbell_from_csr(a)
+    rng = np.random.default_rng(n)
+    x = w.to_internal(jnp.asarray(rng.standard_normal(n), jnp.float32))
+    yr = wbell_spmv(w, x, backend="resident")
+    yw = wbell_spmv(w, x, backend="windowed")
+    np.testing.assert_array_equal(np.asarray(yr), np.asarray(yw))
+    xs = jnp.stack([x, x * 2.0, x - 1.0])
+    np.testing.assert_array_equal(
+        np.asarray(wbell_spmm(w, xs, backend="resident")),
+        np.asarray(wbell_spmm(w, xs, backend="windowed")))
+    with pytest.raises(ValueError, match="backend"):
+        wbell_spmv(w, x, backend="nope")
+
+
 def test_wbell_layout_round_trip():
     a = _random_spd(900, 0.01, seed=3)
     w = wbell_from_csr(a)
