@@ -24,7 +24,8 @@ from cgx.solve.chebyshev import (analytic_bounds, chebyshev_solve,
                                  estimate_bounds)
 from cgx.solve.ir import ir_cg_solve, ir_supported
 from cgx.solve.hp import df64_cg_solve, ir_df64_solve
-from cgx.solve.wbell import wbell_cg_solve, wbell_cg_solve_multi
+from cgx.solve.wbell import (WBellBlockJacobiPrecond, wbell_cg_solve,
+                             wbell_cg_solve_multi)
 from cgx.sparse.wbell import (WBELLMatrix, auto_format,
                               wbell_from_csr)
 from cgx.utils.checkpoint import cg_solve_checkpointed
@@ -39,6 +40,7 @@ __all__ = [
     "spmv", "spmm", "blas", "CGResult", "cg_solve",
     "cg_solve_single_reduction", "cg_solve_pipelined", "cg_solve_multi",
     "block_cg_solve", "wbell_cg_solve", "wbell_cg_solve_multi",
+    "WBellBlockJacobiPrecond",
     "cg_solve_padded",
     "auto_solve", "select_backend", "cg_solve_checkpointed",
     "analytic_bounds", "chebyshev_solve", "estimate_bounds",

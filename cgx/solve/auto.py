@@ -189,17 +189,35 @@ def auto_solve(
         backend = select_backend(a, b, preconditioner)
     if backend == "wbell":
         from cgx.solve.precond import JacobiPrecond as _JP
-        from cgx.solve.wbell import wbell_cg_solve
-        if preconditioner is not None and not isinstance(preconditioner,
-                                                         _JP):
-            raise ValueError("wbell backend supports preconditioner=None "
-                             "or JacobiPrecond (diagonal scaling in the "
-                             "internal layout) only")
-        inv_diag = (preconditioner.inv_diag
-                    if isinstance(preconditioner, _JP) else None)
+        from cgx.solve.precond import PolynomialPrecond as _PP
+        from cgx.solve.wbell import (WBellBlockJacobiPrecond,
+                                     wbell_cg_solve)
+        m = preconditioner
+        if isinstance(m, _PP):
+            # Same polynomial (steps/omega over the matrix diagonal),
+            # applied in the internal layout through the WBELL matvec —
+            # each sweep is one slot-plane stream, no layout round-trip.
+            return wbell_cg_solve(a, b, x0, tol=tol, atol=atol,
+                                  maxiter=maxiter, precond="poly",
+                                  poly_steps=m.steps, poly_omega=m.omega,
+                                  track_history=track_history)
+        if isinstance(m, WBellBlockJacobiPrecond) or m in (
+                "block_jacobi", "poly"):
+            return wbell_cg_solve(a, b, x0, tol=tol, atol=atol,
+                                  maxiter=maxiter, precond=m,
+                                  track_history=track_history)
+        if m is not None and not isinstance(m, _JP):
+            raise ValueError(
+                "wbell backend supports preconditioner=None, "
+                "JacobiPrecond, PolynomialPrecond, 'poly', "
+                "'block_jacobi', or WBellBlockJacobiPrecond — all apply "
+                "in the internal layout (IC(0)-class appliers are "
+                "standard-order gathers that would forfeit the engine; "
+                "use format='csr' for those)")
+        inv_diag = m.inv_diag if isinstance(m, _JP) else None
         return wbell_cg_solve(a, b, x0, tol=tol, atol=atol,
                               maxiter=maxiter,
-                              jacobi=preconditioner is not None,
+                              jacobi=m is not None,
                               inv_diag=inv_diag,
                               track_history=track_history)
     n = b.shape[0]

@@ -20,7 +20,87 @@ from cgx.ops import blas
 from cgx.solve.cg import CGResult, cg_solve
 from cgx.sparse.wbell import WBELLMatrix
 
-__all__ = ["wbell_cg_solve", "wbell_cg_solve_multi"]
+__all__ = ["wbell_cg_solve", "wbell_cg_solve_multi",
+           "WBellBlockJacobiPrecond", "wbell_poly_apply"]
+
+
+import dataclasses as _dc
+
+
+@jax.tree_util.register_dataclass
+@_dc.dataclass(frozen=True)
+class WBellBlockJacobiPrecond:
+    """Supervariable block-Jacobi in WBELL's internal layout.
+
+    The TPU-shaped block preconditioner for the unstructured engine
+    (VERDICT r3 #6): the 8×8 diagonal blocks ALREADY exist densified in
+    the slot planes (RCM + supervariable blocking groups strongly coupled
+    rows into them), so the natural block-Jacobi is their exact inverse —
+    extracted and inverted host-side once, applied on device as 8 fused
+    multiply-adds over the sublane axis (``z[g,:,l] = B⁻¹[g,:,:,l]
+    r[g,:,l]``).  No gathers, no layout round-trip, SPD by construction
+    (diagonal blocks of an SPD matrix are SPD).
+    """
+
+    binv: jnp.ndarray          # (nt, 8, 8, 128) fp32 — per-block inverse
+
+    @classmethod
+    def from_wbell(cls, a: WBELLMatrix) -> "WBellBlockJacobiPrecond":
+        """Extract + invert the diagonal 8×8 blocks from the slot planes
+        (host side; no CSR needed — the planes carry every stored block)."""
+        import numpy as np
+
+        vals = np.asarray(a.values, np.float64)       # (P, 8, 8, 128)
+        lc = np.asarray(a.lc)[:, 0, :]                # (P, 128)
+        p_og = np.asarray(a.p_og)                     # (P,)
+        p_ga = np.asarray(a.p_ga)                     # (P,)
+        npl = vals.shape[0]
+        lanes = np.arange(128)
+        # Absolute block col of (plane, lane) = p_ga*128 + lc; the block
+        # row it accumulates into = p_og*128 + lane.
+        abs_bc = p_ga[:, None] * 128 + lc             # (P, 128)
+        abs_br = p_og[:, None] * 128 + lanes[None, :]
+        on_diag = abs_bc == abs_br
+        nbr = a.nt * 128
+        blocks = np.zeros((nbr, 8, 8), np.float64)
+        p_idx, l_idx = np.nonzero(on_diag)
+        # A block is stored once per (plane, lane) slot, but zero-value
+        # phantom slots (lc==0 padding) can alias block col 0 — add.at
+        # accumulates and zeros contribute nothing.
+        np.add.at(blocks, abs_br[p_idx, l_idx],
+                  vals[p_idx, :, :, l_idx])
+        # Padding block rows (beyond the matrix) have all-zero blocks;
+        # make them identity so the inverse exists and padding lanes
+        # (zero in every solve vector) stay zero.
+        zero_rows = ~blocks.any(axis=(1, 2))
+        blocks[zero_rows] = np.eye(8)
+        # Rank-deficient real blocks cannot occur for SPD input (their
+        # diagonal entries are positive), but guard padding rows inside
+        # partially-filled blocks: zero diagonal entries get 1.
+        d = np.einsum("bii->bi", blocks)
+        d[d == 0.0] = 1.0
+        binv = np.linalg.inv(blocks)                  # (nbr, 8, 8)
+        # (nt*128, 8, 8) → internal layout (nt, 8, 8, 128).
+        binv = binv.reshape(a.nt, 128, 8, 8).transpose(0, 2, 3, 1)
+        return cls(binv=jnp.asarray(binv, jnp.float32))
+
+    def apply_internal(self, r: jnp.ndarray) -> jnp.ndarray:
+        """(nt, 8, 128) internal-layout apply."""
+        return jnp.einsum("gijl,gjl->gil", self.binv.astype(r.dtype), r)
+
+
+def wbell_poly_apply(a: WBELLMatrix, r: jnp.ndarray, idi: jnp.ndarray,
+                     steps: int, omega: float) -> jnp.ndarray:
+    """m-step damped-Jacobi polynomial apply in the internal layout —
+    :class:`cgx.solve.precond.PolynomialPrecond` semantics with the WBELL
+    engine as the matvec (each sweep is one slot-plane stream + fused
+    axpys; VERDICT r3 #6)."""
+    from cgx.kernels.wbell import wbell_spmv
+
+    z = omega * idi * r
+    for _ in range(steps - 1):
+        z = z + omega * idi * (r - wbell_spmv(a, z))
+    return z
 
 
 # The matrix rides as a traced ARGUMENT: WBELL's densified slot planes
@@ -28,9 +108,20 @@ __all__ = ["wbell_cg_solve", "wbell_cg_solve_multi"]
 # closure would bake them into the compile payload, which the remote-TPU
 # tunnel rejects (HTTP 413) — same rule as cgx/utils/checkpoint.py.
 @partial(jax.jit, static_argnames=("tol", "atol", "maxiter",
-                                   "track_history"))
-def _wbell_cg(a, bi, xi0, idi, *, tol, atol, maxiter, track_history):
-    precond = None if idi is None else (lambda r: r * idi)
+                                   "track_history", "poly_steps",
+                                   "poly_omega"))
+def _wbell_cg(a, bi, xi0, idi, binv=None, *, tol, atol, maxiter,
+              track_history, poly_steps=0, poly_omega=2.0 / 3.0):
+    if poly_steps:
+        precond = (lambda r: wbell_poly_apply(a, r, idi, poly_steps,
+                                              poly_omega))
+    elif binv is not None:
+        m = WBellBlockJacobiPrecond(binv=binv)
+        precond = m.apply_internal
+    elif idi is not None:
+        precond = (lambda r: r * idi)
+    else:
+        precond = None
     return cg_solve(a, bi, xi0, tol=tol, atol=atol, maxiter=maxiter,
                     preconditioner=precond, track_history=track_history)
 
@@ -45,13 +136,25 @@ def wbell_cg_solve(
     maxiter: Optional[int] = None,
     jacobi: bool = False,
     inv_diag: Optional[jnp.ndarray] = None,
+    precond: Optional[object] = None,
+    poly_steps: int = 3,
+    poly_omega: float = 2.0 / 3.0,
     track_history: bool = False,
 ) -> CGResult:
-    """Solve ``A x = b`` by (Jacobi-preconditioned) CG through the WBELL
-    Pallas SpMV.  ``b``/``x0`` are standard-order ``(n,)`` vectors; the
-    returned ``CGResult.x`` is too.  ``inv_diag`` (standard order) overrides
-    the matrix diagonal for the Jacobi scaling (exact-trajectory parity
-    with a caller-supplied :class:`~cgx.solve.precond.JacobiPrecond`).
+    """Solve ``A x = b`` by (P)CG through the WBELL Pallas SpMV.
+
+    ``b``/``x0`` are standard-order ``(n,)`` vectors; the returned
+    ``CGResult.x`` is too.  ``inv_diag`` (standard order) overrides the
+    matrix diagonal for the Jacobi scaling (exact-trajectory parity with
+    a caller-supplied :class:`~cgx.solve.precond.JacobiPrecond`).
+
+    ``precond``: the WBELL-layout preconditioner family (VERDICT r3 #6) —
+    ``"poly"`` (``poly_steps``-step damped-Jacobi polynomial, each sweep
+    one slot-plane stream), ``"block_jacobi"`` (exact inverses of the
+    densified supervariable 8×8 blocks), a prebuilt
+    :class:`WBellBlockJacobiPrecond`, or None.  All apply in the internal
+    layout — no per-iteration gathers or layout round-trips.  Mutually
+    exclusive with ``jacobi``.
     """
     n = b.shape[0]
     if maxiter is None:
@@ -59,11 +162,28 @@ def wbell_cg_solve(
     bi = a.to_internal(b)
     xi0 = a.to_internal(x0) if x0 is not None else None
     idi = None
-    if jacobi:
+    binv = None
+    steps = 0
+    if precond is not None and jacobi:
+        raise ValueError("pass either jacobi=True or precond=, not both")
+    if precond == "poly":
+        idi = blas.safe_recip(a.diag_internal)
+        steps = int(poly_steps)
+    elif precond == "block_jacobi":
+        binv = WBellBlockJacobiPrecond.from_wbell(a).binv
+    elif isinstance(precond, WBellBlockJacobiPrecond):
+        binv = precond.binv
+    elif precond is not None:
+        raise ValueError(f"unknown wbell precond {precond!r}; expected "
+                         "'poly', 'block_jacobi', or a "
+                         "WBellBlockJacobiPrecond")
+    elif jacobi:
         idi = (a.to_internal(inv_diag) if inv_diag is not None
                else blas.safe_recip(a.diag_internal))
-    res = _wbell_cg(a, bi, xi0, idi, tol=float(tol), atol=float(atol),
-                    maxiter=int(maxiter), track_history=track_history)
+    res = _wbell_cg(a, bi, xi0, idi, binv, tol=float(tol),
+                    atol=float(atol), maxiter=int(maxiter),
+                    track_history=track_history, poly_steps=steps,
+                    poly_omega=float(poly_omega))
     import dataclasses
     return dataclasses.replace(res, x=a.from_internal(res.x))
 

@@ -137,7 +137,7 @@ def _best_wbcap(wbt: np.ndarray, wb_hard_max: int) -> int:
 
 def wbell_from_csr(a, *, order: str = "rcm", max_ngw: int = 128,
                    wbcap: int = 0, value_dtype=None,
-                   span: int = 2) -> WBELLMatrix:
+                   span: int = 16) -> WBELLMatrix:
     """Build a :class:`WBELLMatrix` from a CSR matrix (host-side).
 
     Args:
@@ -148,11 +148,16 @@ def wbell_from_csr(a, *, order: str = "rcm", max_ngw: int = 128,
         groups (the caller should fall back to the XLA CSR path).
       wbcap: virtual-tile slot cap; 0 = auto (minimizes grid work).
       span: window groups a single slot plane may draw x-operands from
-        (the kernel's per-plane gather count).  Small spans cut the
-        operand-resolution chain — the measured bottleneck (PERF_NOTES
-        3e) — at the cost of extra plane padding when a tile's lanes
-        concentrate in different buckets; 2 measured best on the
-        thermal2 class.
+        (the kernel's per-plane gather count).  Larger spans REDUCE fill
+        (coarser buckets split fewer planes) at the cost of a longer
+        per-plane gather/select chain.  Both kernels are plane-count-
+        bound, not chain-bound (PERF_NOTES round 4: the resident kernel
+        is stream-bound at ~435 GB/s effective; the windowed one is
+        latency-bound at ~305 ns/plane), so bigger is better until the
+        VPU chain finally bites: measured on the thermal2 class,
+        ms/SpMV = 2.36 (span 2, fill 29.8x) → 1.97 (4) → 1.75 (8) →
+        **1.67 (16, fill 20.7x)** → 1.91 (32, chain-bound).  16 is the
+        measured optimum and the default.
       value_dtype: slot-plane storage dtype (default fp32).  ``bfloat16``
         halves the stored bytes; the kernel upcasts blocks in-register
         and accumulates in the x dtype.  **Measured negative result**

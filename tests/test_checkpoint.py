@@ -469,7 +469,7 @@ def test_wbell_checkpointed_default_maxiter(rng):
     a_sp = sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(300, 300),
                     format="csr", dtype=np.float64)
     wb = wbell_from_csr(csr_from_scipy(a_sp))
-    assert wb.nt < 10                        # shape[0] would cap absurdly
+    assert wb.nt < 50                        # shape[0] would cap absurdly
     b = jnp.asarray(rng.standard_normal(300), jnp.float32)
     solve = make_checkpointed_solver(wb, tol=1e-5, chunk=50)  # no maxiter
     res = solve(wb.to_internal(b))
