@@ -37,7 +37,7 @@ import jax.numpy as jnp
 
 from cgx.sparse.wbell import WBELLMatrix
 
-__all__ = ["wbell_spmv", "wbell_spmm", "wbell_matvec"]
+__all__ = ["wbell_spmv", "wbell_spmm", "wbell_matvec", "wbell_resident_raw"]
 
 
 def _kernel(ngw: int, nrhs: int, span: int):
@@ -159,18 +159,21 @@ def _resident_fits(a: WBELLMatrix, nrhs: int) -> bool:
     return 2 * vec + stream <= _RESIDENT_VMEM_CAP
 
 
-@partial(jax.jit, static_argnames=("interpret",))
-def _wbell_call_resident(a: WBELLMatrix, x: jnp.ndarray, *,
-                         interpret: bool) -> jnp.ndarray:
+def wbell_resident_raw(p_og: jnp.ndarray, p_ga: jnp.ndarray,
+                       lc: jnp.ndarray, values: jnp.ndarray,
+                       x: jnp.ndarray, *, span: int,
+                       interpret: bool,
+                       axis_name: str | None = None) -> jnp.ndarray:
+    """The resident-x kernel on raw plane arrays (no :class:`WBELLMatrix`
+    wrapper) — the form :mod:`cgx.dist.wbell` calls inside ``shard_map``
+    with locally-rebased ``p_og``/``p_ga``.  ``x``: ``(nrhs, nt, 8,
+    128)``; returns the same shape."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    if x.ndim != 4 or x.shape[1:] != (a.nt, 8, 128):
-        raise ValueError(f"wbell kernel: expected batched internal layout "
-                         f"(nrhs, {a.nt}, 8, 128), got {x.shape}")
-    nrhs = x.shape[0]
-    xdt = a.vector_dtype
-    npl = a.values.shape[0]
+    nrhs, nt = x.shape[0], x.shape[1]
+    xdt = x.dtype
+    npl = values.shape[0]
     assert npl % _SPLANE == 0, "builder pads planes to a multiple of 8"
     nsteps = npl // _SPLANE
 
@@ -182,25 +185,41 @@ def _wbell_call_resident(a: WBELLMatrix, x: jnp.ndarray, *,
                          lambda j, og, ga: (j, 0, 0)),
             pl.BlockSpec((_SPLANE, 8, 8, 128),
                          lambda j, og, ga: (j, 0, 0, 0)),
-            pl.BlockSpec((nrhs, a.nt, 8, 128),
+            pl.BlockSpec((nrhs, nt, 8, 128),
                          lambda j, og, ga: (0, 0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((nrhs, a.nt, 8, 128),
+        out_specs=pl.BlockSpec((nrhs, nt, 8, 128),
                                lambda j, og, ga: (0, 0, 0, 0)),
     )
-    vec = nrhs * a.nt * 1024 * jnp.dtype(xdt).itemsize
-    stream = 2 * _SPLANE * 65 * 128 * a.values.dtype.itemsize
+    vec = nrhs * nt * 1024 * jnp.dtype(xdt).itemsize
+    stream = 2 * _SPLANE * 65 * 128 * values.dtype.itemsize
     params = {} if interpret else dict(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=min(int(2.2 * vec) + 2 * stream + (8 << 20),
                                  127 << 20)))
     return pl.pallas_call(
-        _kernel_resident(a.span, nrhs, _SPLANE),
+        _kernel_resident(span, nrhs, _SPLANE),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nrhs, a.nt, 8, 128), xdt),
+        # Inside shard_map the inputs/outputs vary per shard; annotate
+        # for vma checking (same pattern as fused_engine.py).
+        out_shape=jax.ShapeDtypeStruct(
+            (nrhs, nt, 8, 128), xdt,
+            vma=(frozenset() if axis_name is None
+                 else frozenset({axis_name}))),
         interpret=interpret,
         **params,
-    )(a.p_og, a.p_ga, a.lc, a.values, x.astype(xdt))
+    )(p_og, p_ga, lc, values, x)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _wbell_call_resident(a: WBELLMatrix, x: jnp.ndarray, *,
+                         interpret: bool) -> jnp.ndarray:
+    if x.ndim != 4 or x.shape[1:] != (a.nt, 8, 128):
+        raise ValueError(f"wbell kernel: expected batched internal layout "
+                         f"(nrhs, {a.nt}, 8, 128), got {x.shape}")
+    return wbell_resident_raw(a.p_og, a.p_ga, a.lc, a.values,
+                              x.astype(a.vector_dtype), span=a.span,
+                              interpret=interpret)
 
 
 def wbell_spmv(a: WBELLMatrix, x: jnp.ndarray, *,

@@ -670,3 +670,103 @@ def test_dist_fused_uneven_nx_multi(rng):
         np.testing.assert_allclose(np.asarray(res.x[:, j]),
                                    np.asarray(xla.x),
                                    rtol=5e-3, atol=5e-4)
+
+
+# ---------------------------------------------------------------------------
+# Distributed WBELL: the unstructured engine under shard_map (VERDICT r3 #3)
+# ---------------------------------------------------------------------------
+
+def _wbell_test_matrix(n=3000, density=0.004, seed=3):
+    import scipy.sparse as sp
+    a = sp.random(n, n, density=density, random_state=seed, format="csr")
+    a = sp.csr_matrix((a + a.T) + sp.eye(n) * (2.0 + density * n))
+    a.sort_indices()
+    return a
+
+
+def test_dist_wbell_matvec_matches_single_device(rng):
+    """8-shard WBELL matvec == the single-device resident kernel."""
+    from cgx.dist.wbell import (partition_wbell, local_wbell_matvec,
+                                _operator_specs)
+    from cgx.kernels.wbell import wbell_spmv
+    from cgx.sparse.wbell import wbell_from_csr
+
+    a = _wbell_test_matrix()
+    n = a.shape[0]
+    wb = wbell_from_csr(a)
+    part = partition_wbell(a, 8)
+    x = rng.standard_normal(n).astype(np.float32)
+
+    y_ref = np.asarray(wb.from_internal(
+        wbell_spmv(wb, wb.to_internal(jnp.asarray(x)))))
+
+    specs = _operator_specs(part)
+    f = jax.shard_map(
+        lambda p, xl: local_wbell_matvec(p, xl, axis_name="rows",
+                                         interpret=True),
+        mesh=MESH, in_specs=(specs, P("rows")), out_specs=P("rows"),
+        check_vma=False)
+    part_dev = jax.device_put(part, jax.tree.map(
+        lambda s: NamedSharding(MESH, s), specs,
+        is_leaf=lambda v: isinstance(v, P)))
+    xi = jax.device_put(part.to_internal(jnp.asarray(x)),
+                        NamedSharding(MESH, P("rows")))
+    y_sh = jax.device_put(f(part_dev, xi), NamedSharding(MESH, P()))
+    y = np.asarray(part.from_internal(y_sh))
+    np.testing.assert_allclose(y, y_ref, rtol=2e-5, atol=1e-4)
+
+
+@pytest.mark.parametrize("precond", ["none", "jacobi", "block_jacobi",
+                                     "poly"])
+def test_dist_wbell_cg_matches_single_device(rng, precond):
+    """8-shard WBELL (P)CG: same iteration count and solution as the
+    single-device engine with the matching preconditioner."""
+    from cgx.dist.wbell import partition_wbell, dist_wbell_cg_solve
+    from cgx.solve.wbell import wbell_cg_solve
+    from cgx.sparse.wbell import wbell_from_csr
+
+    a = _wbell_test_matrix()
+    n = a.shape[0]
+    b = rng.standard_normal(n).astype(np.float32)
+    part = partition_wbell(a, 8)
+    res = dist_wbell_cg_solve(part, jnp.asarray(b), MESH, tol=1e-6,
+                              maxiter=600, preconditioner=precond)
+    assert bool(res.converged)
+
+    wb = wbell_from_csr(a)
+    kw = dict(tol=1e-6, maxiter=600)
+    if precond == "jacobi":
+        ref = wbell_cg_solve(wb, jnp.asarray(b), jacobi=True, **kw)
+    elif precond in ("block_jacobi", "poly"):
+        ref = wbell_cg_solve(wb, jnp.asarray(b), precond=precond, **kw)
+    else:
+        ref = wbell_cg_solve(wb, jnp.asarray(b), **kw)
+    # psum reduction order differs from the single-device dots: same
+    # trajectory up to fp32 rounding.
+    assert abs(int(res.iterations) - int(ref.iterations)) <= 1
+    rel = np.linalg.norm(a @ np.asarray(res.x, np.float64) - b) \
+        / np.linalg.norm(b)
+    assert rel <= 2e-6
+
+
+def test_dist_wbell_no_allgather_hlo(rng):
+    """The distributed WBELL solve moves halo GROUP slabs by
+    collective-permute and scalars by all-reduce — never the iterate by
+    all-gather (VERDICT r3 #3 done-criterion)."""
+    from cgx.dist.wbell import (partition_wbell, _operator_specs,
+                                _cached_solver, _static_key)
+
+    a = _wbell_test_matrix(n=2200)
+    part = partition_wbell(a, 8)
+    specs = _operator_specs(part)
+    f = _cached_solver(MESH, specs, 1e-6, 0.0, 100, "jacobi", 3, False,
+                       True)
+    part_dev = jax.device_put(part, jax.tree.map(
+        lambda s: NamedSharding(MESH, s), specs,
+        is_leaf=lambda v: isinstance(v, P)))
+    bi = jax.device_put(part.to_internal(
+        jnp.ones((2200,), jnp.float32)), NamedSharding(MESH, P("rows")))
+    hlo = f.lower(part_dev, bi).compile().as_text()
+    assert "all-gather" not in hlo, "dist wbell must not all-gather x"
+    assert "collective-permute" in hlo
+    assert "all-reduce" in hlo
