@@ -90,6 +90,8 @@ def _apply_unstructured_format(args, a):
         return a
     if getattr(args, "accuracy", "fp32") == "df64":
         return a                     # ir_df64_solve owns the conversion
+    if getattr(args, "devices", 1) > 1:
+        return a                     # partition_wbell owns the conversion
     if args.dtype == "f64":
         raise SystemExit("--format wbell is fp32 storage; for fp64-grade "
                          "results use --accuracy df64 (WBELL inner solves)")
@@ -123,8 +125,18 @@ def _make_precond(args, a):
             from cgx.ops.blas import safe_recip
             return cgx.JacobiPrecond(
                 inv_diag=a.from_internal(safe_recip(a.diag_internal)))
+        if args.precond == "poly":
+            return cgx.PolynomialPrecond.from_matrix(a,
+                                                     steps=args.poly_steps)
+        if args.precond == "block-jacobi":
+            # Supervariable 8x8 block inverses in the internal layout
+            # (round 4), extracted from the slot planes themselves -
+            # built EAGERLY (host numpy; the solve jit only sees the
+            # finished inverse planes).
+            return cgx.WBellBlockJacobiPrecond.from_wbell(a)
         raise SystemExit(
-            f"--format wbell supports --precond none/jacobi (got "
+            f"--format wbell supports --precond none/jacobi/poly/"
+            f"block-jacobi (all internal-layout applies; got "
             f"{args.precond!r}); IC(0)-class applies would run the CSR "
             f"gather path and lose the engine win (BASELINE round 3)")
     if args.precond == "jacobi":
@@ -244,6 +256,31 @@ def _solve_distributed(args, a, b, n, tol, maxiter):
             a, b, mesh, tol=tol, maxiter=maxiter, jacobi=jacobi))
         dt = time.perf_counter() - t0
         return res, dt, np.asarray(res.x)
+
+    if isinstance(a, CSRMatrix) and args.format in ("wbell", "auto") \
+            and precond in ("none", "jacobi", "block_jacobi", "poly"):
+        # Distributed WBELL (round 4): row(-group)-partitioned engine
+        # under shard_map - each shard runs the resident Pallas kernel,
+        # halos move as ppermuted group slabs.
+        from cgx.dist.wbell import dist_wbell_cg_solve, partition_wbell
+        try:
+            t0 = time.perf_counter()
+            part_w = partition_wbell(a, args.devices)
+            build_s = time.perf_counter() - t0
+            print(f"format=wbell (distributed) build_s={build_s:.1f}",
+                  file=sys.stderr)
+            t0 = time.perf_counter()
+            res = jax.block_until_ready(dist_wbell_cg_solve(
+                part_w, b, mesh, tol=tol, maxiter=maxiter,
+                preconditioner=precond, poly_steps=args.poly_steps))
+            return res, time.perf_counter() - t0, np.asarray(res.x)
+        except ValueError as e:
+            if args.format == "wbell":
+                raise SystemExit(f"--format wbell: {e}")
+            # auto: no bounded-window tiling - fall through to the
+            # partitioned gather path.
+            print(f"format=auto: wbell unavailable ({e}); csr partition",
+                  file=sys.stderr)
 
     if isinstance(a, DIAMatrix):
         part = partition_dia(a, args.devices)

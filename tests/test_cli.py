@@ -295,3 +295,29 @@ def test_solve_df64_wbell_inner(tmp_path, capsys):
     assert code == 0, err
     assert "df64 outer cycles=" in err
     assert "converged=True" in err
+
+
+def test_solve_format_wbell_new_preconds(tmp_path, capsys):
+    """--format wbell now accepts poly and block-jacobi (round 4:
+    internal-layout applies), still rejects ic0."""
+    p = str(tmp_path / "prob.txt")
+    run_cli(["gen", "--poisson", "14x14", "--out", p], capsys)
+    for pc in ("poly", "block-jacobi"):
+        code, out, err = run_cli(
+            ["solve", "--input", p, "--format", "wbell", "--tol", "1e-6",
+             "--precond", pc], capsys)
+        assert code == 0, err
+        assert "converged=True" in err
+
+
+def test_solve_wbell_distributed(tmp_path, capsys):
+    """--format wbell --devices 4: the row-partitioned WBELL engine under
+    shard_map (round 4)."""
+    p = str(tmp_path / "prob.txt")
+    run_cli(["gen", "--poisson", "40x40", "--out", p], capsys)
+    code, out, err = run_cli(
+        ["solve", "--input", p, "--format", "wbell", "--devices", "4",
+         "--tol", "1e-6", "--precond", "jacobi"], capsys)
+    assert code == 0, err
+    assert "format=wbell (distributed)" in err
+    assert "converged=True" in err
