@@ -210,7 +210,7 @@ def _static_key(part: WBellPartition):
 
 @lru_cache(maxsize=32)
 def _cached_solver(mesh, op_specs, tol, atol, maxiter, precond_kind,
-                   poly_steps, has_x0, interpret):
+                   poly_steps, has_x0, interpret, method="cg"):
     vec = P(AXIS)
     rep = P()
     out_specs = CGResult(x=vec, iterations=rep, residual_norm_sq=rep,
@@ -242,6 +242,31 @@ def _cached_solver(mesh, op_specs, tol, atol, maxiter, precond_kind,
         else:
             precond = None
         x0l = rest[0] if rest else None
+        if method == "single_reduction":
+            from cgx.solve.cg import cg_solve_single_reduction
+            return cg_solve_single_reduction(
+                mv, b_loc, x0l, tol=tol, atol=atol, maxiter=maxiter,
+                preconditioner=precond, axis_name=AXIS)
+        if method == "pipelined":
+            from cgx.solve.cg import cg_solve_pipelined
+            return cg_solve_pipelined(
+                mv, b_loc, x0l, tol=tol, atol=atol, maxiter=maxiter,
+                preconditioner=precond, axis_name=AXIS)
+        if method == "chebyshev":
+            from cgx.solve.chebyshev import chebyshev_solve, estimate_bounds
+            op = mv if precond is None else (lambda v: precond(mv(v)))
+            # Padding lanes (diag == 0) are outside the operator's range:
+            # mask the power-iteration start vector or the λ_min estimate
+            # collapses onto the padding eigenspace.
+            key = jax.random.PRNGKey(0)
+            v0 = jax.random.normal(key, b_loc.shape, b_loc.dtype)
+            v0 = jax.lax.pcast(v0, AXIS, to="varying") \
+                * (part.diag_internal != 0)
+            lo, hi = estimate_bounds(op, b_loc.shape, axis_name=AXIS,
+                                     dtype=b_loc.dtype, v0=v0)
+            return chebyshev_solve(mv, b_loc, lo, hi, x0l, tol=tol,
+                                   maxiter=maxiter, preconditioner=precond,
+                                   axis_name=AXIS)
         return cg_solve(mv, b_loc, x0l, tol=tol, atol=atol,
                         maxiter=maxiter, preconditioner=precond,
                         axis_name=AXIS)
@@ -268,6 +293,7 @@ def dist_wbell_cg_solve(
     maxiter: Optional[int] = None,
     preconditioner: str = "none",
     poly_steps: int = 3,
+    method: str = "cg",
     interpret: Optional[bool] = None,
 ) -> CGResult:
     """Row-partitioned (P)CG through the WBELL engine over ``mesh``.
@@ -292,7 +318,7 @@ def dist_wbell_cg_solve(
     op_specs = _operator_specs(part)
     f = _cached_solver(mesh, op_specs, float(tol), float(atol),
                        int(maxiter), preconditioner, int(poly_steps),
-                       x0 is not None, bool(interpret))
+                       x0 is not None, bool(interpret), method)
     specs = jax.tree.map(lambda s: NamedSharding(mesh, s), op_specs,
                          is_leaf=lambda v: isinstance(v, P))
     args = [jax.device_put(part, specs), jax.device_put(bi, vec)]

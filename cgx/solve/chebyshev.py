@@ -129,7 +129,7 @@ def _dia_constant_taps(a):
 def estimate_bounds(a, n: int, iters: int = 30, key=None,
                     safety: float = 1.05, min_margin: float = 2.0,
                     axis_name: Optional[str] = None,
-                    dtype=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                    dtype=None, v0=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(λ_min, λ_max) estimates for SPD ``A`` via power iteration.
 
     λ_max: power iteration × ``safety``.  λ_min: power iteration on
@@ -143,8 +143,13 @@ def estimate_bounds(a, n: int, iters: int = 30, key=None,
     matvec = as_matvec(a)
     if key is None:
         key = jax.random.PRNGKey(0)
-    v0 = (jax.random.normal(key, (n,)) if dtype is None
-          else jax.random.normal(key, (n,), dtype))
+    shape = tuple(n) if isinstance(n, (tuple, list)) else (n,)
+    if v0 is None:
+        v0 = (jax.random.normal(key, shape) if dtype is None
+              else jax.random.normal(key, shape, dtype))
+    # ``v0``: callers with PADDED layouts must mask padding slots to zero
+    # — the operator is zero there, so the shifted power iteration for
+    # λ_min otherwise locks onto the padding eigenspace and returns ~0.
     if axis_name is not None:
         # Same key on every shard → v0 is "unvarying" to the vma checker,
         # but the matvec output is varying; cast so the power-iteration

@@ -38,7 +38,8 @@ from cgx.ops.df64 import (DF64, df, df_add, df_axpy, df_div, df_dot,
                           two_prod, quick_two_sum, _fold_axis)
 
 __all__ = ["DF64ELL", "df64_ell_from_csr", "df64_ell_spmv",
-           "HPCGResult", "df64_cg_solve", "ir_df64_solve"]
+           "HPCGResult", "df64_cg_solve", "ir_df64_solve",
+           "make_ir_df64_solver"]
 
 
 @jax.tree_util.register_dataclass
@@ -264,14 +265,23 @@ def _make_wbell_inner(a_sp, preconditioner, *, inner_tol, inner_maxiter,
     return inner
 
 
-def ir_df64_solve(a, b, *, tol: float = 1e-6, atol: float = 0.0,
-                  inner_tol: float = 1e-2, inner_maxiter: int = 2000,
-                  max_outer: int = 40, preconditioner=None,
-                  inner_format: str = "ell",
-                  inner_chunk: Optional[int] = None,
-                  verbose: bool = False):
-    """fp32 (P)CG inner solves inside a df64 iterative-refinement outer
-    loop — reaches TRUE relres ≤ tol on κ ≈ 10¹⁰ systems at fp32 speed.
+def make_ir_df64_solver(a, *, tol: float = 1e-6, atol: float = 0.0,
+                        inner_tol: float = 1e-2, inner_maxiter: int = 2000,
+                        max_outer: int = 40, preconditioner=None,
+                        inner_format: str = "ell",
+                        inner_chunk: Optional[int] = None,
+                        verbose: bool = False):
+    """Factory for fp32 (P)CG inner solves inside a df64 iterative-
+    refinement outer loop — reaches TRUE relres ≤ tol on κ ≈ 10¹⁰ systems
+    at fp32 speed.  Returns ``solve(b) -> (HPCGResult, info)``.
+
+    The host-side operator builds — WBELL RCM+pack and the df64 ELL
+    split, ~25 s at 1 M rows — are paid ONCE here; each ``solve(b)``
+    call reuses them (plus the compile cache), so repeated right-hand
+    sides run at inner-iteration speed (round 4: the thermal2 "warm"
+    69.6 s one-shot breaks down as ~25 s rebuild + ~9 s inners +
+    df64 true-residual matvecs; through the factory the rebuild term
+    disappears).
 
     Args:
       a: host fp64 CSR (:class:`~cgx.sparse.types.CSRMatrix` or scipy).
@@ -346,37 +356,52 @@ def ir_df64_solve(a, b, *, tol: float = 1e-6, atol: float = 0.0,
                              maxiter=int(inner_maxiter))
 
     n = a_sp.shape[0]
-    b_df = df_from_f64(np.asarray(b, np.float64))
-    bb = float(df_dot(b_df, b_df).hi)
-    tol_sq = max(tol * tol * bb, atol * atol)
 
-    def true_residual(x):
-        return _ir_true_residual(a_hp, b_df, x)
+    def solve(b):
+        b_df = df_from_f64(np.asarray(b, np.float64))
+        bb = float(df_dot(b_df, b_df).hi)
+        tol_sq = max(tol * tol * bb, atol * atol)
 
-    x = DF64(jnp.zeros((n,), jnp.float32), jnp.zeros((n,), jnp.float32))
-    r = b_df
-    rr = bb
-    total = 0
-    outer = 0
-    strikes = 0
-    while rr > tol_sq and outer < max_outer and strikes < 2:
-        s = float(np.sqrt(rr))
-        r_unit = (r.hi / np.float32(s)) + (r.lo / np.float32(s))
-        d_unit, k_in = inner(r_unit)
-        x = df_add(x, df(d_unit * np.float32(s)))
-        r = true_residual(x)
-        rr_new = float(df_dot(r, r).hi)
-        strikes = 0 if rr_new < rr else strikes + 1
-        rr = rr_new
-        total += int(k_in)
-        outer += 1
-        if verbose:
-            print(f"[ir_df64] cycle {outer}: true relres "
-                  f"{np.sqrt(rr_new / bb):.3e} (+{int(k_in)} inner)")
+        x = DF64(jnp.zeros((n,), jnp.float32), jnp.zeros((n,), jnp.float32))
+        r = b_df
+        rr = bb
+        total = 0
+        outer = 0
+        strikes = 0
+        while rr > tol_sq and outer < max_outer and strikes < 2:
+            s = float(np.sqrt(rr))
+            r_unit = (r.hi / np.float32(s)) + (r.lo / np.float32(s))
+            d_unit, k_in = inner(r_unit)
+            x = df_add(x, df(d_unit * np.float32(s)))
+            r = _ir_true_residual(a_hp, b_df, x)
+            rr_new = float(df_dot(r, r).hi)
+            strikes = 0 if rr_new < rr else strikes + 1
+            rr = rr_new
+            total += int(k_in)
+            outer += 1
+            if verbose:
+                print(f"[ir_df64] cycle {outer}: true relres "
+                      f"{np.sqrt(rr_new / bb):.3e} (+{int(k_in)} inner)")
 
-    res = HPCGResult(x=x, iterations=jnp.int32(total),
-                     residual_norm_sq=jnp.float32(rr),
-                     converged=jnp.asarray(rr <= tol_sq))
-    info = dict(outer=outer, relres=float(np.sqrt(rr / bb)),
-                inner_iterations=total)
-    return res, info
+        res = HPCGResult(x=x, iterations=jnp.int32(total),
+                         residual_norm_sq=jnp.float32(rr),
+                         converged=jnp.asarray(rr <= tol_sq))
+        info = dict(outer=outer, relres=float(np.sqrt(rr / bb)),
+                    inner_iterations=total)
+        return res, info
+
+    return solve
+
+
+def ir_df64_solve(a, b, *, tol: float = 1e-6, atol: float = 0.0,
+                  inner_tol: float = 1e-2, inner_maxiter: int = 2000,
+                  max_outer: int = 40, preconditioner=None,
+                  inner_format: str = "ell",
+                  inner_chunk: Optional[int] = None,
+                  verbose: bool = False):
+    """One-shot form of :func:`make_ir_df64_solver` (see its docstring)."""
+    return make_ir_df64_solver(
+        a, tol=tol, atol=atol, inner_tol=inner_tol,
+        inner_maxiter=inner_maxiter, max_outer=max_outer,
+        preconditioner=preconditioner, inner_format=inner_format,
+        inner_chunk=inner_chunk, verbose=verbose)(b)

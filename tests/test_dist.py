@@ -770,3 +770,23 @@ def test_dist_wbell_no_allgather_hlo(rng):
     assert "all-gather" not in hlo, "dist wbell must not all-gather x"
     assert "collective-permute" in hlo
     assert "all-reduce" in hlo
+
+
+@pytest.mark.parametrize("method", ["single_reduction", "pipelined",
+                                    "chebyshev"])
+def test_dist_wbell_methods(rng, method):
+    """Latency-optimized methods through the distributed WBELL engine:
+    1 fused psum/iter (single_reduction), overlapped reduction
+    (pipelined), zero reductions/iter (chebyshev)."""
+    from cgx.dist.wbell import partition_wbell, dist_wbell_cg_solve
+
+    a = _wbell_test_matrix(n=2200)
+    b = rng.standard_normal(2200).astype(np.float32)
+    part = partition_wbell(a, 8)
+    res = dist_wbell_cg_solve(part, jnp.asarray(b), MESH, tol=1e-5,
+                              maxiter=800, preconditioner="jacobi",
+                              method=method)
+    assert bool(res.converged), method
+    rel = np.linalg.norm(a @ np.asarray(res.x, np.float64) - b) \
+        / np.linalg.norm(b)
+    assert rel <= 5e-5, method

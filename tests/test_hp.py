@@ -232,3 +232,18 @@ def test_ir_df64_auto_inner_format_small_is_ell():
     res, info = ir_df64_solve(a, b, tol=1e-7, inner_format="auto")
     true_rel = np.linalg.norm(b - a @ df_to_f64(res.x)) / np.linalg.norm(b)
     assert true_rel <= 1.5e-7
+
+
+def test_make_ir_df64_solver_reuses_build(rng):
+    """The factory form: one operator build, repeated right-hand sides
+    (round 4 — the one-shot form rebuilt WBELL + df64 ELL per call)."""
+    from cgx.solve.hp import make_ir_df64_solver
+
+    a, _ = _ill_conditioned_spd(n=200, kappa=1e6)
+    solve = make_ir_df64_solver(a, tol=1e-8, inner_tol=1e-2,
+                                inner_maxiter=2000)
+    for i in range(2):
+        b = rng.standard_normal(200)
+        res, info = solve(b)
+        assert bool(res.converged)
+        assert info["relres"] <= 1e-8
