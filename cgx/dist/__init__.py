@@ -14,8 +14,11 @@ from cgx.dist.halo import halo_exchange, local_matvec
 from cgx.dist.solve import (AXIS, dist_cg_solve, make_row_mesh,
                             operator_specs)
 from cgx.dist.schwarz import IC0SweepBlocks, ic0_sweep_blocks
+from cgx.dist.wbell import (WBellPartition, dist_wbell_cg_solve,
+                            partition_wbell)
 
 __all__ = [
+    "WBellPartition", "partition_wbell", "dist_wbell_cg_solve",
     "Partition", "partition_csr", "partition_dia", "pad_vector",
     "unpad_vector", "halo_exchange", "local_matvec", "AXIS",
     "dist_cg_solve", "make_row_mesh", "operator_specs",

@@ -163,7 +163,8 @@ def wbell_resident_raw(p_og: jnp.ndarray, p_ga: jnp.ndarray,
                        lc: jnp.ndarray, values: jnp.ndarray,
                        x: jnp.ndarray, *, span: int,
                        interpret: bool,
-                       axis_name: str | None = None) -> jnp.ndarray:
+                       axis_name: str | None = None,
+                       splane: int = _SPLANE) -> jnp.ndarray:
     """The resident-x kernel on raw plane arrays (no :class:`WBELLMatrix`
     wrapper) — the form :mod:`cgx.dist.wbell` calls inside ``shard_map``
     with locally-rebased ``p_og``/``p_ga``.  ``x``: ``(nrhs, nt, 8,
@@ -174,16 +175,16 @@ def wbell_resident_raw(p_og: jnp.ndarray, p_ga: jnp.ndarray,
     nrhs, nt = x.shape[0], x.shape[1]
     xdt = x.dtype
     npl = values.shape[0]
-    assert npl % _SPLANE == 0, "builder pads planes to a multiple of 8"
-    nsteps = npl // _SPLANE
+    assert npl % splane == 0, "builder pads planes to a multiple of 16"
+    nsteps = npl // splane
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nsteps,),
         in_specs=[
-            pl.BlockSpec((_SPLANE, 1, 128),
+            pl.BlockSpec((splane, 1, 128),
                          lambda j, og, ga: (j, 0, 0)),
-            pl.BlockSpec((_SPLANE, 8, 8, 128),
+            pl.BlockSpec((splane, 8, 8, 128),
                          lambda j, og, ga: (j, 0, 0, 0)),
             pl.BlockSpec((nrhs, nt, 8, 128),
                          lambda j, og, ga: (0, 0, 0, 0)),
@@ -192,13 +193,13 @@ def wbell_resident_raw(p_og: jnp.ndarray, p_ga: jnp.ndarray,
                                lambda j, og, ga: (0, 0, 0, 0)),
     )
     vec = nrhs * nt * 1024 * jnp.dtype(xdt).itemsize
-    stream = 2 * _SPLANE * 65 * 128 * values.dtype.itemsize
+    stream = 2 * splane * 65 * 128 * values.dtype.itemsize
     params = {} if interpret else dict(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=min(int(2.2 * vec) + 2 * stream + (8 << 20),
                                  127 << 20)))
     return pl.pallas_call(
-        _kernel_resident(span, nrhs, _SPLANE),
+        _kernel_resident(span, nrhs, splane),
         grid_spec=grid_spec,
         # Inside shard_map the inputs/outputs vary per shard; annotate
         # for vma checking (same pattern as fused_engine.py).

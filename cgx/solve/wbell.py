@@ -88,6 +88,11 @@ class WBellBlockJacobiPrecond:
         """(nt, 8, 128) internal-layout apply."""
         return jnp.einsum("gijl,gjl->gil", self.binv.astype(r.dtype), r)
 
+    # Generic-solver protocol name: lets the object ride as a traced
+    # argument through cg_solve / make_checkpointed_solver (its binv
+    # planes must not be baked into the compile payload — HTTP 413 rule).
+    apply = apply_internal
+
 
 def wbell_poly_apply(a: WBELLMatrix, r: jnp.ndarray, idi: jnp.ndarray,
                      steps: int, omega: float) -> jnp.ndarray:

@@ -111,16 +111,38 @@ def make_checkpointed_solver(
     # 1.6 M-row graph).  Callables (matvec closures / function
     # preconditioners) are not JAX types and stay closed over.
     a_arg = None if callable(a) else a
+    # ("poly", steps, omega) on a WBELL operator: the polynomial apply
+    # needs the MATRIX (its slot planes) — build it from the traced
+    # operator inside the jit, never from a closure (HTTP 413).
+    poly_spec = None
+    if (isinstance(preconditioner, tuple) and preconditioner
+            and preconditioner[0] == "poly"):
+        from cgx.sparse.wbell import WBELLMatrix
+        if not isinstance(a, WBELLMatrix):
+            raise ValueError("preconditioner=('poly', ...) is the WBELL "
+                             "internal-layout spec; pass a callable or "
+                             "PolynomialPrecond for other operators")
+        poly_spec = (int(preconditioner[1]),
+                     float(preconditioner[2]) if len(preconditioner) > 2
+                     else 2.0 / 3.0)
+
+        def _poly_of(a_mat):
+            from cgx.ops.blas import safe_recip
+            from cgx.solve.wbell import wbell_poly_apply
+            idi = safe_recip(a_mat.diag_internal)
+            return lambda r: wbell_poly_apply(a_mat, r, idi,
+                                              poly_spec[0], poly_spec[1])
+        preconditioner = _poly_of(a)      # eager init uses the concrete a
     m_arg = (None if (preconditioner is None or callable(preconditioner)
                       and not hasattr(preconditioner, "apply"))
              else preconditioner)
 
     @jax.jit
     def step(a_, m_, s, b, iters):
+        m_step = (_poly_of(a_) if poly_spec is not None
+                  else (preconditioner if m_ is None else m_))
         return cg_chunk(a if a_ is None else a_, s, iters, b=b, tol=tol,
-                        atol=atol,
-                        preconditioner=(preconditioner if m_ is None
-                                        else m_))
+                        atol=atol, preconditioner=m_step)
 
     def solve(b, x0=None, *, checkpoint_path: Optional[str] = None,
               on_chunk: Optional[Callable[[CGState], None]] = None

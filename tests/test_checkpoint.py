@@ -475,3 +475,36 @@ def test_wbell_checkpointed_default_maxiter(rng):
     res = solve(wb.to_internal(b))
     assert bool(res.converged)
     assert int(res.iterations) > wb.nt       # ran past the old false cap
+
+
+def test_wbell_checkpointed_precond_specs(rng):
+    """Payload-safe WBELL preconditioners through the chunked solver
+    (round 4): ('poly', steps) builds the apply from the TRACED operator
+    inside each chunk jit, and WBellBlockJacobiPrecond rides as a traced
+    argument via its .apply alias — neither bakes the slot planes into
+    the compile payload (the HTTP 413 rule)."""
+    import scipy.sparse as sp
+
+    from cgx.sparse.wbell import wbell_from_csr
+    from cgx.solve.wbell import WBellBlockJacobiPrecond, wbell_cg_solve
+    from cgx.utils.checkpoint import make_checkpointed_solver
+
+    a = sp.random(600, 600, density=0.02, random_state=3, format="csr")
+    a = sp.csr_matrix((a + a.T) + sp.eye(600) * 14.0)
+    wb = wbell_from_csr(a)
+    b = jnp.asarray(rng.standard_normal(600), jnp.float32)
+
+    ref = wbell_cg_solve(wb, b, tol=1e-6, maxiter=500, precond="poly")
+    solve = make_checkpointed_solver(wb, tol=1e-6, maxiter=500, chunk=20,
+                                     preconditioner=("poly", 3))
+    res = solve(wb.to_internal(b))
+    assert bool(res.converged)
+    assert int(res.iterations) == int(ref.iterations)
+
+    m = WBellBlockJacobiPrecond.from_wbell(wb)
+    ref2 = wbell_cg_solve(wb, b, tol=1e-6, maxiter=500, precond=m)
+    solve2 = make_checkpointed_solver(wb, tol=1e-6, maxiter=500, chunk=20,
+                                      preconditioner=m)
+    res2 = solve2(wb.to_internal(b))
+    assert bool(res2.converged)
+    assert int(res2.iterations) == int(ref2.iterations)
