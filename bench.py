@@ -137,7 +137,11 @@ def bench_cgx_headline(quick):
     # differences drown in dispatch noise; the ~30 ms floor is min-stable,
     # so each per-iteration SAMPLE is a min-of-2 calibrated difference,
     # and the median/spread is taken over those samples.
-    k1, k2 = (60, 240) if quick else (100, 400)
+    # The Pallas kernel runs ~7 us (64^3) / ~22 us (128^3) per SpMV — a
+    # few hundred differenced iterations would drown in the ~30 ms
+    # dispatch jitter (measured: 0-6 us/iter garbage).  Size the loops so
+    # the differenced signal is tens of ms.
+    k1, k2 = (500, 3500) if quick else (300, 1500)
     jax.block_until_ready(spmv_loop(a_pl, b, k1))
     jax.block_until_ready(spmv_loop(a_pl, b, k2))
     per_iter = []
