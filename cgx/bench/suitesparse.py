@@ -124,9 +124,12 @@ def bench_matrix(name: str, a, is_standin: bool, *, tol: float = 1e-6,
 
     out = []
     for pname, m in preconds.items():
-        # WBELL serves the none/jacobi rows (in-layout whole solve);
-        # ic0/block-jacobi applies are standard-order — CSR operator.
-        use_wbell = wb is not None and pname in ("none", "jacobi")
+        # WBELL serves the none/jacobi/block_jacobi rows (in-layout whole
+        # solve; round 4 adds the supervariable 8x8 block-Jacobi extracted
+        # from the slot planes).  ic0-class applies are standard-order
+        # gathers - those rows keep the CSR operator.
+        use_wbell = wb is not None and pname in ("none", "jacobi",
+                                                 "block_jacobi")
         row_fmt = "csr" if (fmt == "wbell" and not use_wbell) else fmt
         rec = {"matrix": name, "standin": bool(is_standin), "n": n,
                "nnz": int(a.nnz), "precond": pname, "dtype": dtype,
@@ -141,8 +144,16 @@ def bench_matrix(name: str, a, is_standin: bool, *, tol: float = 1e-6,
         # One compiled chunk step per (matrix, preconditioner): the timed
         # reps reuse it — no per-call retrace (ADVICE r2 medium).
         if use_wbell:
-            mi_ = m if m is None else cgx.JacobiPrecond(
-                inv_diag=wb.to_internal(m.inv_diag))
+            if pname == "block_jacobi":
+                from cgx.solve.wbell import WBellBlockJacobiPrecond
+                t0 = time.perf_counter()
+                mi_ = WBellBlockJacobiPrecond.from_wbell(wb)
+                rec["bj_setup_s"] = round(time.perf_counter() - t0, 2)
+            elif m is None:
+                mi_ = None
+            else:
+                mi_ = cgx.JacobiPrecond(
+                    inv_diag=wb.to_internal(m.inv_diag))
             solve = make_checkpointed_solver(
                 wb, tol=tol, maxiter=maxiter, preconditioner=mi_,
                 chunk=chunk)

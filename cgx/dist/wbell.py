@@ -113,13 +113,10 @@ def partition_wbell(a, n_shards: int, *, span: int = 16,
     p_ga = np.asarray(wb.p_ga, np.int64)
     vals = np.asarray(wb.values)
     lc = np.asarray(wb.lc)
-    npl = vals.shape[0]
 
-    # Real planes only (zero/pad planes at the tail carry og=0 but zero
-    # values — they are re-padded per shard below).  A plane is real iff
-    # it has any nonzero value OR its lc is nonzero; simplest robust rule:
-    # keep every plane, assign by owner group, and let all-zero planes
-    # land wherever their og says (they add zero).
+    # Every plane (including the global build's zero/pad planes, which
+    # carry og=0 and zero values) is assigned by its output group; all-
+    # zero planes land on shard 0 and contribute nothing.
     owner = np.minimum(p_og // gs, nd - 1)
 
     # Shard halo extents in GROUP units, from the planes each shard owns.
@@ -142,7 +139,7 @@ def partition_wbell(a, n_shards: int, *, span: int = 16,
 
     counts = np.bincount(owner, minlength=nd)
     pmax = int(counts.max())
-    pmax = -(-max(pmax, 1) // 8) * 8          # splane-block padding
+    pmax = -(-max(pmax, 1) // 64) * 64        # splane-block padding (8..64)
 
     sv = np.zeros((nd, pmax, 8, 8, 128), vals.dtype)
     slc = np.zeros((nd, pmax, 1, 128), lc.dtype)

@@ -150,7 +150,7 @@ def _kernel_resident(span: int, nrhs: int, splane: int):
 # Resident-x footprint cap: x + y + the double-buffered plane stream must
 # fit comfortably under the ~128 MB v5e VMEM (Mosaic needs headroom).
 _RESIDENT_VMEM_CAP = 100 << 20
-_SPLANE = 8
+_SPLANE = 64
 
 
 def _resident_fits(a: WBELLMatrix, nrhs: int) -> bool:
@@ -175,7 +175,7 @@ def wbell_resident_raw(p_og: jnp.ndarray, p_ga: jnp.ndarray,
     nrhs, nt = x.shape[0], x.shape[1]
     xdt = x.dtype
     npl = values.shape[0]
-    assert npl % splane == 0, "builder pads planes to a multiple of 16"
+    assert npl % splane == 0, "builder pads planes to a multiple of 64"
     nsteps = npl // splane
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -288,7 +288,7 @@ def wbell_from_csr(a, *, order: str = "rcm", max_ngw: int = 128,
     p_ga = np.zeros(p_real + 1, np.int64)
     p_ga[plane_idx] = np.repeat((tb_uid % NB) * span, wbt_tb)
     assert p_ga.max() + span <= nt
-    pad_p = (-(p_real + 1)) % 16     # multiple of both 8- and 16-plane steps
+    pad_p = (-(p_real + 1)) % 64     # multiple of the 8..64-plane steps
     if pad_p:
         values = np.concatenate(
             [values, np.zeros((pad_p, 8, 8, 128), np.float32)])

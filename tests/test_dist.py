@@ -790,3 +790,21 @@ def test_dist_wbell_methods(rng, method):
     rel = np.linalg.norm(a @ np.asarray(res.x, np.float64) - b) \
         / np.linalg.norm(b)
     assert rel <= 5e-5, method
+
+
+@pytest.mark.parametrize("n", [9000, 3500])
+def test_dist_wbell_uneven_and_degenerate_shards(rng, n):
+    """ng_real not divisible by the shard count (9000 rows → 9 groups on
+    8 shards) and fewer real groups than shards (3500 rows → 4 groups on
+    8 shards: empty shards carry only pad planes)."""
+    from cgx.dist.wbell import partition_wbell, dist_wbell_cg_solve
+
+    a = _wbell_test_matrix(n=n, density=0.002, seed=n)
+    b = rng.standard_normal(n).astype(np.float32)
+    part = partition_wbell(a, 8)
+    res = dist_wbell_cg_solve(part, jnp.asarray(b), MESH, tol=1e-6,
+                              maxiter=800, preconditioner="jacobi")
+    assert bool(res.converged)
+    rel = np.linalg.norm(a @ np.asarray(res.x, np.float64) - b) \
+        / np.linalg.norm(b)
+    assert rel <= 2e-6

@@ -322,8 +322,9 @@ def test_wbell_checkpointed_resume_identical(tmp_path):
 
 
 def test_suitesparse_bench_wbell_rows():
-    """bench_matrix(fmt="wbell"): none/jacobi rows run the WBELL engine,
-    ic0/block-jacobi rows fall back to CSR; all converge."""
+    """bench_matrix(fmt="wbell"): none/jacobi/block-jacobi rows run the
+    WBELL engine (block-jacobi = the supervariable 8×8 inverses, round
+    4), ic0 rows fall back to CSR; all converge."""
     from cgx.bench.suitesparse import bench_matrix
     from cgx.io.suitesparse import standin
 
@@ -335,7 +336,8 @@ def test_suitesparse_bench_wbell_rows():
     assert byp["jacobi"]["format"] == "wbell"
     assert "setup_s" in byp["none"]
     assert byp["ic0"]["format"] == "csr"
-    assert byp["block_jacobi"]["format"] == "csr"
+    assert byp["block_jacobi"]["format"] == "wbell"
+    assert "bj_setup_s" in byp["block_jacobi"]
     for r in rows:
         assert r.get("converged"), r
 
