@@ -164,7 +164,7 @@ def wbell_resident_raw(p_og: jnp.ndarray, p_ga: jnp.ndarray,
                        x: jnp.ndarray, *, span: int,
                        interpret: bool,
                        axis_name: str | None = None,
-                       splane: int = _SPLANE) -> jnp.ndarray:
+                       splane: int | None = None) -> jnp.ndarray:
     """The resident-x kernel on raw plane arrays (no :class:`WBELLMatrix`
     wrapper) — the form :mod:`cgx.dist.wbell` calls inside ``shard_map``
     with locally-rebased ``p_og``/``p_ga``.  ``x``: ``(nrhs, nt, 8,
@@ -175,6 +175,11 @@ def wbell_resident_raw(p_og: jnp.ndarray, p_ga: jnp.ndarray,
     nrhs, nt = x.shape[0], x.shape[1]
     xdt = x.dtype
     npl = values.shape[0]
+    if splane is None:
+        # The 64-plane unrolled body is a pure win on hardware but blows
+        # up the interpreter (one HLO per unrolled plane, ~8x the memory
+        # across a test session) — interpret mode is correctness-only.
+        splane = 8 if interpret else _SPLANE
     assert npl % splane == 0, "builder pads planes to a multiple of 64"
     nsteps = npl // splane
 

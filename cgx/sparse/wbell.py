@@ -125,6 +125,38 @@ def _rcm(a_csr):
                       dtype=np.int64)
 
 
+def _balance_blocks(a, perm: np.ndarray, window: int) -> np.ndarray:
+    """Refine ``perm`` with a within-window stable sort of BLOCK-ROWS
+    (8-row units) by block count.
+
+    The slot planes are ELL-packed per (tile, bucket): a 128-lane group
+    pays the MAX block count over its lanes, so count-heterogeneous
+    groups waste planes — measured 1.65-1.8x over the raw block fill on
+    the thermal2 class (PERF_NOTES 4e).  Sorting whole 8-row chunks
+    keeps the block structure intact (a symmetric block-level permutation
+    maps blocks 1:1) and the window bound keeps RCM's column locality,
+    so only the group COMPOSITION changes: groups become count-
+    homogeneous and the per-group max approaches the mean.  Measured:
+    fill 20.7 → 17.5x at window=1024 block rows on thermal2 (larger
+    windows scatter columns across buckets and LOSE — 25.8x at 4096).
+    """
+    n = a.shape[0]
+    ap = a[perm][:, perm].tocoo()
+    br = ap.row.astype(np.int64) >> 3
+    bc = ap.col.astype(np.int64) >> 3
+    nbr = -(-n // 8)
+    uid = np.unique(br * nbr + bc)
+    cnt = np.bincount(uid // nbr, minlength=nbr)
+    sigma = np.empty(nbr, np.int64)
+    for w0 in range(0, nbr, window):
+        w1 = min(w0 + window, nbr)
+        idx = np.arange(w0, w1)
+        sigma[w0:w1] = idx[np.argsort(cnt[w0:w1], kind="stable")]
+    rp = (sigma[:, None] * 8 + np.arange(8)[None, :]).reshape(-1)
+    rp = rp[rp < n]
+    return perm[rp]
+
+
 def _best_wbcap(wbt: np.ndarray, wb_hard_max: int) -> int:
     """Pick the slot cap minimizing grid work ``ntv(w) * w``."""
     best, best_cost = int(wbt.max()), None
@@ -137,7 +169,8 @@ def _best_wbcap(wbt: np.ndarray, wb_hard_max: int) -> int:
 
 def wbell_from_csr(a, *, order: str = "rcm", max_ngw: int = 128,
                    wbcap: int = 0, value_dtype=None,
-                   span: int = 16) -> WBELLMatrix:
+                   span: int = 16,
+                   balance_window: int = 1024) -> WBELLMatrix:
     """Build a :class:`WBELLMatrix` from a CSR matrix (host-side).
 
     Args:
@@ -158,6 +191,9 @@ def wbell_from_csr(a, *, order: str = "rcm", max_ngw: int = 128,
         ms/SpMV = 2.36 (span 2, fill 29.8x) → 1.97 (4) → 1.75 (8) →
         **1.67 (16, fill 20.7x)** → 1.91 (32, chain-bound).  16 is the
         measured optimum and the default.
+      balance_window: block-row window for the count-balancing
+        refinement of the ordering (:func:`_balance_blocks` — measured
+        fill 20.7 → 17.5x on the thermal2 class); 0 disables.
       value_dtype: slot-plane storage dtype (default fp32).  ``bfloat16``
         halves the stored bytes; the kernel upcasts blocks in-register
         and accumulates in the x dtype.  **Measured negative result**
@@ -183,6 +219,8 @@ def wbell_from_csr(a, *, order: str = "rcm", max_ngw: int = 128,
         raise ValueError("wbell_from_csr needs a square matrix")
 
     perm = _rcm(a) if order == "rcm" else np.arange(n, dtype=np.int64)
+    if balance_window:
+        perm = _balance_blocks(a, perm, int(balance_window))
     ap = a[perm][:, perm].tocsr()
     ap.sort_indices()
     coo = ap.tocoo()
