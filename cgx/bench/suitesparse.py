@@ -31,7 +31,7 @@ def bench_matrix(name: str, a, is_standin: bool, *, tol: float = 1e-6,
     padding, ELL 227 ms/iter vs CSR 137 — same-process interleaved;
     reordering does not help, the gather is locality-independent).
     ``"wbell"`` is the windowed block-ELL Pallas engine
-    (:mod:`cgx.sparse.wbell` — measured 22.2x over the CSR gather path
+    (:mod:`cgx.sparse.wbell` — measured ~150x over the CSR gather path
     on the thermal2-class stand-in); its host-side build (RCM +
     supervariable blocking, ~30 s at 1.2 M rows) is reported as
     ``setup_s`` and it serves the none/jacobi rows — ic0/block-jacobi

@@ -71,7 +71,7 @@ def select_backend(a, b, preconditioner=None) -> str:
         # The caller already paid the host-side WBELL build (RCM +
         # supervariable blocking — seconds at 1 M rows, amortized over
         # repeated solves): the whole solve runs in the internal layout
-        # through the windowed Pallas SpMV (measured 22.2x over the XLA
+        # through the resident-x Pallas SpMV (measured ~150x over the XLA
         # gather path on the thermal2-class stand-in).
         return "wbell"
     n = b.shape[0]

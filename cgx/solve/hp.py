@@ -221,7 +221,7 @@ def _make_wbell_inner(a_sp, preconditioner, *, inner_tol, inner_maxiter,
     accuracy comes from the df64 TRUE residual — Higham/Carson), and it is
     what unlocks engine speed on large unstructured systems: the inner
     (P)CG runs entirely in WBELL's internal layout through the windowed
-    Pallas SpMV (22.2x over the XLA gather path at thermal2 scale,
+    Pallas SpMV (~150x over the XLA gather path at thermal2 scale,
     BASELINE round 3) instead of at the gather wall.
 
     Falls back to ELL with a clear error if no bounded-window tiling
@@ -293,7 +293,7 @@ def make_ir_df64_solver(a, *, tol: float = 1e-6, atol: float = 0.0,
         surface).
       inner_format: fp32 operator storage for the inner solves —
         ``"ell"`` (default — static-shape gathers), ``"csr"``,
-        ``"wbell"`` (the windowed-block-ELL Pallas engine: 22.2x over
+        ``"wbell"`` (the windowed-block-ELL Pallas engine: ~150x over
         the XLA gather path at 1 M-row unstructured scale — this is how
         large irregular systems reach fp64-grade accuracy at engine
         speed), or ``"auto"`` (WBELL when the matrix is big enough to

@@ -410,7 +410,8 @@ def auto_format(a, *, min_rows_wbell: int = 200_000,
       ≤ ``ell_waste_max`` gathers/nnz (static-shape gathers, no segment
       reduce);
     * large irregular matrices on TPU → **WBELL** (the windowed Pallas
-      engine, 22.2x over the gather path at thermal2 scale) when a
+      engine, ~150x over the gather path at thermal2 scale — BASELINE
+      round 4) when a
       bounded-window tiling exists — the host-side build (RCM +
       supervariable blocking, ~20 s at 1 M rows) amortizes over repeated
       solves;
