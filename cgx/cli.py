@@ -31,6 +31,22 @@ def _build_matrix(args):
                  bf16=jnp.bfloat16)[args.dtype]
 
     if args.input:
+        if args.input.endswith(".npz"):
+            # Native container — may hold a prebuilt WBELL engine
+            # operator (skips the RCM+pack host build entirely).
+            from cgx.io.native_format import load_matrix
+            a, b = load_matrix(args.input)
+            if b is None:
+                b = jnp.ones((a.shape[0],))
+            import cgx as _cgx
+            if not isinstance(a, _cgx.WBELLMatrix):
+                a = a.astype(dtype)
+            else:
+                print("format=wbell (prebuilt)", file=sys.stderr)
+            b = jnp.asarray(b, dtype)
+            if not isinstance(a, _cgx.WBELLMatrix):
+                a = _apply_unstructured_format(args, a)
+            return a, b, a.shape[0]
         if args.input.endswith((".mtx", ".mtx.gz")):
             from cgx.io.matrix_market import read_matrix_market
             a = read_matrix_market(args.input, dtype=np.float64)
@@ -159,6 +175,13 @@ def cmd_solve(args):
     import cgx
 
     a, b, n = _build_matrix(args)
+    if getattr(args, "save_operator", None):
+        if not isinstance(a, cgx.WBELLMatrix):
+            raise SystemExit("--save-operator persists a built WBELL "
+                             "operator; pass --format wbell|auto")
+        from cgx.io.native_format import save_matrix
+        save_matrix(args.save_operator, a, b)
+        print(f"operator saved: {args.save_operator}", file=sys.stderr)
     maxiter = args.maxiter
     tol = args.tol
     if args.legacy_compat:
@@ -469,6 +492,10 @@ def main(argv=None) -> int:
     ps.add_argument("--mixed-precision", action="store_true",
                     help="bf16-inner iterative refinement at streaming "
                          "scale (fp32-accurate result)")
+    ps.add_argument("--save-operator", default=None, metavar="OP.npz",
+                    help="after building a WBELL operator, persist it so "
+                         "later runs (--input OP.npz) skip the host "
+                         "build entirely")
     ps.set_defaults(fn=cmd_solve)
 
     pg = sub.add_parser("gen", help="generate a problem file")

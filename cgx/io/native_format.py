@@ -48,6 +48,17 @@ def save_matrix(path: str, a, b=None) -> None:
     elif isinstance(a, stencil.Stencil2D):
         arrays = dict(kind="stencil2d", dims=np.asarray([a.nx, a.ny]),
                       coeffs=np.asarray([a.c_center, a.c_x, a.c_y]))
+    elif type(a).__name__ == "WBELLMatrix":
+        # Persist the BUILT engine operator: the host-side build (RCM +
+        # balance sort + supervariable packing, 10-35 s at 1 M rows)
+        # amortizes across processes, not just within one (round 4).
+        arrays = dict(kind="wbell", shape=np.asarray(a.shape),
+                      statics=np.asarray([a.ng_real, a.nt, a.ngw,
+                                          a.wbcap, a.span, a.nnz]))
+        for f in ("values", "lc", "outg", "ps", "wb", "zi", "g0", "gn",
+                  "perm", "iperm", "diag_internal", "pgo", "p_og",
+                  "p_ga"):
+            arrays[f] = np.asarray(getattr(a, f))
     else:
         raise TypeError(f"save_matrix: unsupported type {type(a)!r}")
     if b is not None:
@@ -107,6 +118,17 @@ def load_matrix(path: str):
             c = z["coeffs"]
             a = stencil.Stencil2D(int(d[0]), int(d[1]), float(c[0]),
                                   float(c[1]), float(c[2]))
+        elif kind == "wbell":
+            from cgx.sparse.wbell import WBELLMatrix
+            st = z["statics"]
+            a = WBELLMatrix(
+                **{f: jnp.asarray(z[f])
+                   for f in ("values", "lc", "outg", "ps", "wb", "zi",
+                             "g0", "gn", "perm", "iperm",
+                             "diag_internal", "pgo", "p_og", "p_ga")},
+                shape=tuple(int(v) for v in z["shape"]),
+                ng_real=int(st[0]), nt=int(st[1]), ngw=int(st[2]),
+                wbcap=int(st[3]), span=int(st[4]), nnz=int(st[5]))
         else:
             raise ValueError(f"unknown format kind {kind!r}")
     return a, b

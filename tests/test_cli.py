@@ -321,3 +321,41 @@ def test_solve_wbell_distributed(tmp_path, capsys):
     assert code == 0, err
     assert "format=wbell (distributed)" in err
     assert "converged=True" in err
+
+
+def test_solve_prebuilt_wbell_npz(tmp_path, capsys):
+    """A prebuilt WBELL operator loads from .npz and solves directly -
+    no rebuild (round 4: the host build amortizes across processes)."""
+    import scipy.sparse as sp
+    import cgx
+    from cgx.io.native_format import save_matrix
+
+    rng = np.random.default_rng(0)
+    a = sp.random(500, 500, density=0.02, random_state=3, format="csr")
+    a = sp.csr_matrix((a + a.T) + sp.eye(500) * 12.0)
+    w = cgx.wbell_from_csr(a)
+    p = str(tmp_path / "op.npz")
+    save_matrix(p, w)
+    code, out, err = run_cli(
+        ["solve", "--input", p, "--tol", "1e-6", "--precond", "jacobi"],
+        capsys)
+    assert code == 0, err
+    assert "format=wbell (prebuilt)" in err
+    assert "converged=True" in err
+
+
+def test_solve_save_operator_roundtrip(tmp_path, capsys):
+    """--save-operator persists the built WBELL; a second run loads it."""
+    p = str(tmp_path / "prob.txt")
+    op = str(tmp_path / "op.npz")
+    run_cli(["gen", "--poisson", "20x20", "--out", p], capsys)
+    code, out, err = run_cli(
+        ["solve", "--input", p, "--format", "wbell", "--tol", "1e-6",
+         "--save-operator", op], capsys)
+    assert code == 0, err
+    assert "operator saved" in err
+    code, out, err = run_cli(
+        ["solve", "--input", op, "--tol", "1e-6", "--precond", "jacobi"],
+        capsys)
+    assert code == 0, err
+    assert "format=wbell (prebuilt)" in err and "converged=True" in err

@@ -450,3 +450,22 @@ def test_wbell_multi_rhs_matches_per_column(rng):
                                   jnp.float32)))
     assert res2.x.shape == (300, k)
     assert bool(np.all(np.asarray(res2.converged)))
+
+
+def test_wbell_save_load_roundtrip(tmp_path):
+    """The BUILT engine operator persists bit-exactly through the native
+    .npz container (round 4 — amortize the host build across processes)."""
+    from cgx.io.native_format import load_matrix, save_matrix
+
+    a = _random_spd(700, 0.01, seed=41)
+    w = wbell_from_csr(a)
+    p = str(tmp_path / "op.npz")
+    save_matrix(p, w)
+    w2, b = load_matrix(p)
+    assert b is None
+    assert (w2.shape, w2.nt, w2.ngw, w2.span, w2.nnz) == \
+        (w.shape, w.nt, w.ngw, w.span, w.nnz)
+    x = np.random.default_rng(0).standard_normal(700).astype(np.float32)
+    y1 = np.asarray(wbell_matvec(w, jnp.asarray(x)))
+    y2 = np.asarray(wbell_matvec(w2, jnp.asarray(x)))
+    np.testing.assert_array_equal(y1, y2)
