@@ -116,7 +116,7 @@ def _kernel_resident(span: int, nrhs: int, splane: int):
     """
     from jax.experimental import pallas as pl
 
-    def kernel(og_r, ga_r, lc_ref, vals_ref, x_ref, o_ref):
+    def kernel(pg_r, lc_ref, vals_ref, x_ref, o_ref):
         j = pl.program_id(0)
 
         @pl.when(j == 0)
@@ -129,8 +129,13 @@ def _kernel_resident(span: int, nrhs: int, splane: int):
             idx = jnp.broadcast_to(l % 128, (8, 128))
             lcg = jnp.broadcast_to(l // 128, (8, 128))
             v = vals_ref[s].astype(o_ref.dtype)            # (8, 8, 128)
-            og = og_r[p]
-            ga = ga_r[p]
+            # Per-plane (output group, window start) packed 16/16 into
+            # ONE int32 prefetch array: two separate arrays blow the
+            # 1 MB SMEM budget past ~128 k planes (measured at 8 M rows
+            # — "Ran out of memory in memory space smem").
+            pg = pg_r[p]
+            og = pg >> 16
+            ga = pg & 0xFFFF
             for c in range(nrhs):
                 w = x_ref[c, pl.ds(ga, span)]              # (span, 8, 128)
                 g = jnp.zeros((8, 128), o_ref.dtype)
@@ -183,19 +188,21 @@ def wbell_resident_raw(p_og: jnp.ndarray, p_ga: jnp.ndarray,
     assert npl % splane == 0, "builder pads planes to a multiple of 64"
     nsteps = npl // splane
 
+    assert nt < (1 << 16), "packed og/ga prefetch caps groups at 65535"
+    packed = (p_og.astype(jnp.int32) << 16) | p_ga.astype(jnp.int32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=1,
         grid=(nsteps,),
         in_specs=[
             pl.BlockSpec((splane, 1, 128),
-                         lambda j, og, ga: (j, 0, 0)),
+                         lambda j, pg: (j, 0, 0)),
             pl.BlockSpec((splane, 8, 8, 128),
-                         lambda j, og, ga: (j, 0, 0, 0)),
+                         lambda j, pg: (j, 0, 0, 0)),
             pl.BlockSpec((nrhs, nt, 8, 128),
-                         lambda j, og, ga: (0, 0, 0, 0)),
+                         lambda j, pg: (0, 0, 0, 0)),
         ],
         out_specs=pl.BlockSpec((nrhs, nt, 8, 128),
-                               lambda j, og, ga: (0, 0, 0, 0)),
+                               lambda j, pg: (0, 0, 0, 0)),
     )
     vec = nrhs * nt * 1024 * jnp.dtype(xdt).itemsize
     stream = 2 * splane * 65 * 128 * values.dtype.itemsize
@@ -214,7 +221,7 @@ def wbell_resident_raw(p_og: jnp.ndarray, p_ga: jnp.ndarray,
                  else frozenset({axis_name}))),
         interpret=interpret,
         **params,
-    )(p_og, p_ga, lc, values, x)
+    )(packed, lc, values, x)
 
 
 @partial(jax.jit, static_argnames=("interpret",))
