@@ -20,7 +20,7 @@ test-fast:
 # Kernel tests through the TPU interpreter (TPU-shaped semantics without
 # hardware; catches what plain interpret=True hides).
 test-tpu-interpret:
-	CGX_TPU_INTERPRET=1 $(PY) -m pytest tests/test_kernels.py tests/test_ir.py tests/test_semiresident.py -q
+	CGX_TPU_INTERPRET=1 $(PY) -m pytest tests/test_kernels.py tests/test_ir.py tests/test_semiresident.py tests/test_wbell.py -q
 
 bench:
 	$(PY) bench.py

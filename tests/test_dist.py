@@ -808,3 +808,33 @@ def test_dist_wbell_uneven_and_degenerate_shards(rng, n):
     rel = np.linalg.norm(a @ np.asarray(res.x, np.float64) - b) \
         / np.linalg.norm(b)
     assert rel <= 2e-6
+
+
+def test_dist_wbell_elastic_restart_from_snapshot(rng):
+    """SURVEY §5.c elastic recovery, distributed WBELL form: a preempted
+    solve resumes from the last iterate snapshot (x0 warm start) and
+    finishes in far fewer iterations than from scratch — the launch
+    wrapper's documented recovery story (cgx/dist/launch.py)."""
+    from cgx.dist.wbell import partition_wbell, dist_wbell_cg_solve
+
+    a = _wbell_test_matrix(n=3000)
+    b = rng.standard_normal(3000).astype(np.float32)
+    part = partition_wbell(a, 8)
+    full = dist_wbell_cg_solve(part, jnp.asarray(b), MESH, tol=1e-6,
+                               maxiter=600, preconditioner="jacobi")
+    assert bool(full.converged)
+
+    # "Preemption": stop early, snapshot the iterate (this is what
+    # cgx.utils.checkpoint persists), relaunch, resume from x0.
+    partial = dist_wbell_cg_solve(part, jnp.asarray(b), MESH, tol=1e-6,
+                                  maxiter=max(2, int(full.iterations) // 2),
+                                  preconditioner="jacobi")
+    snap_x = np.asarray(partial.x)                      # persisted iterate
+    resumed = dist_wbell_cg_solve(part, jnp.asarray(b), MESH,
+                                  x0=jnp.asarray(snap_x), tol=1e-6,
+                                  maxiter=600, preconditioner="jacobi")
+    assert bool(resumed.converged)
+    assert int(resumed.iterations) < int(full.iterations)
+    rel = np.linalg.norm(a @ np.asarray(resumed.x, np.float64) - b) \
+        / np.linalg.norm(b)
+    assert rel <= 2e-6
