@@ -268,10 +268,12 @@ def wbell_cg_solve_multi(
 
     ``b``: standard-order ``(n, k)``; results carry
     :func:`cgx.solve.block.cg_solve_multi`'s batch axes (``x``: (n, k);
-    scalars (k,)).  The matrix stream — ~95 % of per-iteration traffic at
-    supervariable fill — is shared by all k columns, so additional RHS
-    are nearly free (the multi-RHS analogue of the DIA band engine, but
-    with an even stronger amortization ratio).
+    scalars (k,)).  The slot-plane stream is shared by all k columns;
+    measured amortization is 1.7x at k=4 (1.0 ms/RHS·iter at thermal2
+    scale, PERF_NOTES 4d) — bounded by the per-plane gather/select
+    chain, which scales with ``span × k``.  For multi-RHS-heavy
+    workloads build the operator with a smaller span
+    (``wbell_from_csr(a, span=4)``): more fill, shorter chain.
     """
     import dataclasses
 
