@@ -23,7 +23,8 @@ from cgx.solve.auto import auto_solve, select_backend
 from cgx.solve.chebyshev import (analytic_bounds, chebyshev_solve,
                                  estimate_bounds)
 from cgx.solve.ir import ir_cg_solve, ir_supported
-from cgx.solve.hp import df64_cg_solve, ir_df64_solve
+from cgx.solve.hp import (df64_cg_solve, ir_df64_solve,
+                          make_ir_df64_solver)
 from cgx.solve.wbell import (WBellBlockJacobiPrecond, wbell_cg_solve,
                              wbell_cg_solve_multi)
 from cgx.sparse.wbell import (WBELLMatrix, auto_format,
@@ -45,6 +46,7 @@ __all__ = [
     "auto_solve", "select_backend", "cg_solve_checkpointed",
     "analytic_bounds", "chebyshev_solve", "estimate_bounds",
     "ir_cg_solve", "ir_supported", "df64_cg_solve", "ir_df64_solve",
+    "make_ir_df64_solver",
     "JacobiPrecond", "BlockJacobiPrecond", "PolynomialPrecond",
     "IC0Precond", "IC0SweepPrecond",
 ]
