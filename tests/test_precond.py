@@ -103,7 +103,8 @@ def test_ic0_gather_budget_guard(rng):
     a = csr_from_scipy(random_spd_csr(64, density=0.1, rng=rng))
     with pytest.raises(ValueError, match="IC0SweepPrecond"):
         IC0Precond.from_matrix(a, gather_budget=10)
-    m = IC0Precond.from_matrix(a, gather_budget=None)   # escape hatch
+    m = IC0Precond.from_matrix(a, dtype=np.float32,
+                               gather_budget=None)      # escape hatch
     r = jnp.asarray(rng.standard_normal(64), jnp.float32)
     assert np.all(np.isfinite(np.asarray(m.apply(r))))
 
