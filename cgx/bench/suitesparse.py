@@ -160,9 +160,15 @@ def bench_matrix(name: str, a, is_standin: bool, *, tol: float = 1e-6,
             to_b = wb.to_internal
             rec["setup_s"] = round(wbell_setup_s, 2)
         else:
+            # CSR/ELL gather-path rows run ~100x slower per iteration
+            # than the WBELL rows — an aggressive caller chunk (sized
+            # for the engine) would blow the tunnel's ~60 s dispatch
+            # window here and fault the device for the rest of the
+            # sweep (measured: ecology2 ic0 at chunk=1000 = ~123 s
+            # dispatches).  Cap the slow path at the round-3-safe 150.
             solve = make_checkpointed_solver(
                 a32, tol=tol, maxiter=maxiter, preconditioner=m,
-                chunk=chunk)
+                chunk=min(chunk, 150))
             to_b = jnp.asarray
 
         try:

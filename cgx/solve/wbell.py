@@ -47,28 +47,31 @@ class WBellBlockJacobiPrecond:
     @classmethod
     def from_wbell(cls, a: WBELLMatrix) -> "WBellBlockJacobiPrecond":
         """Extract + invert the diagonal 8×8 blocks from the slot planes
-        (host side; no CSR needed — the planes carry every stored block)."""
+        (no CSR needed — the planes carry every stored block).
+
+        The extraction runs ON DEVICE (mask + scatter-add): pulling the
+        full plane array to the host first means a multi-hundred-MB
+        device→host transfer per call, which is slow and measured flaky
+        through the remote tunnel at GB scale; only the (n_blocks, 8, 8)
+        diagonal blocks (~256 B/block) come back for the fp64 inversion.
+        """
         import numpy as np
 
-        vals = np.asarray(a.values, np.float64)       # (P, 8, 8, 128)
-        lc = np.asarray(a.lc)[:, 0, :]                # (P, 128)
-        p_og = np.asarray(a.p_og)                     # (P,)
-        p_ga = np.asarray(a.p_ga)                     # (P,)
-        npl = vals.shape[0]
-        lanes = np.arange(128)
+        lanes = jnp.arange(128, dtype=jnp.int32)
         # Absolute block col of (plane, lane) = p_ga*128 + lc; the block
         # row it accumulates into = p_og*128 + lane.
-        abs_bc = p_ga[:, None] * 128 + lc             # (P, 128)
-        abs_br = p_og[:, None] * 128 + lanes[None, :]
-        on_diag = abs_bc == abs_br
+        abs_bc = a.p_ga[:, None] * 128 + a.lc[:, 0, :]     # (P, 128)
+        abs_br = a.p_og[:, None] * 128 + lanes[None, :]
+        # Zero-value phantom slots (lc==0 padding) can alias block col 0
+        # — the scatter-ADD makes their contribution exactly zero.
+        mask = (abs_bc == abs_br).astype(a.values.dtype)
+        contrib = a.values * mask[:, None, None, :]        # (P, 8, 8, 128)
+        flat = contrib.transpose(0, 3, 1, 2).reshape(-1, 8, 8)
+        idx = abs_br.reshape(-1)
         nbr = a.nt * 128
-        blocks = np.zeros((nbr, 8, 8), np.float64)
-        p_idx, l_idx = np.nonzero(on_diag)
-        # A block is stored once per (plane, lane) slot, but zero-value
-        # phantom slots (lc==0 padding) can alias block col 0 — add.at
-        # accumulates and zeros contribute nothing.
-        np.add.at(blocks, abs_br[p_idx, l_idx],
-                  vals[p_idx, :, :, l_idx])
+        blocks_dev = jnp.zeros((nbr, 8, 8), a.values.dtype).at[idx].add(
+            flat)
+        blocks = np.asarray(blocks_dev, np.float64)
         # Padding block rows (beyond the matrix) have all-zero blocks;
         # make them identity so the inverse exists and padding lanes
         # (zero in every solve vector) stay zero.
