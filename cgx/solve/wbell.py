@@ -272,11 +272,12 @@ def wbell_cg_solve_multi(
     ``b``: standard-order ``(n, k)``; results carry
     :func:`cgx.solve.block.cg_solve_multi`'s batch axes (``x``: (n, k);
     scalars (k,)).  The slot-plane stream is shared by all k columns;
-    measured amortization is 1.7x at k=4 (1.0 ms/RHS·iter at thermal2
-    scale, PERF_NOTES 4d) — bounded by the per-plane gather/select
-    chain, which scales with ``span × k``.  For multi-RHS-heavy
-    workloads build the operator with a smaller span
-    (``wbell_from_csr(a, span=4)``): more fill, shorter chain.
+    measured at k=4 / thermal2 scale (splane-64 kernel): 3.16 ms/iter =
+    **0.789 ms/RHS·iter** — 1.15x better per RHS than the single-RHS
+    solve.  Amortization is bounded by the per-plane gather/select
+    chain (scales with ``span × k``); a smaller-span build does NOT
+    help (measured: span=4 is 1.24 ms/RHS — the balance-sorted packing
+    inflates small-span fill to 32.6x, outweighing the shorter chain).
     """
     import dataclasses
 
