@@ -398,7 +398,7 @@ def wbell_from_csr(a, *, order: str = "rcm", max_ngw: int = 128,
     )
 
 
-def auto_format(a, *, min_rows_wbell: int = 200_000,
+def auto_format(a, *, min_rows_wbell: int = 30_000,
                 ell_waste_max: float = 1.5, value_dtype=None):
     """Pick the measured-best storage for a general CSR operator on TPU.
 
@@ -409,12 +409,15 @@ def auto_format(a, *, min_rows_wbell: int = 200_000,
     * near-uniform row degrees → **ELL** when the 8-padded width wastes
       ≤ ``ell_waste_max`` gathers/nnz (static-shape gathers, no segment
       reduce);
-    * large irregular matrices on TPU → **WBELL** (the windowed Pallas
-      engine, ~150x over the gather path at thermal2 scale — BASELINE
-      round 4) when a
-      bounded-window tiling exists — the host-side build (RCM +
-      supervariable blocking, ~20 s at 1 M rows) amortizes over repeated
-      solves;
+    * irregular matrices on TPU → **WBELL** (the resident-x Pallas
+      engine: ~150x over the gather path at thermal2 scale; round-4
+      threshold measurement: 155x at 49 k rows with a 2.0 s build —
+      break-even at ~370 solver iterations, far under what this matrix
+      class needs) when a bounded-window tiling exists — the host-side
+      build (RCM + balance sort + supervariable blocking, ~13 s at 1 M
+      rows) amortizes over the solve, and
+      :func:`cgx.io.native_format.save_matrix` persists it across
+      processes;
     * otherwise (small, or no bounded window) → the CSR input unchanged.
 
     Returns ``(operator, fmt)`` with ``fmt`` in ``{"ell", "wbell",
