@@ -20,7 +20,8 @@ import time
 
 def bench_matrix(name: str, a, is_standin: bool, *, tol: float = 1e-6,
                  maxiter: int = 8000, reps: int = 2, dtype="float32",
-                 fmt: str = "auto", chunk: int = 150, preconds=None):
+                 fmt: str = "auto", chunk: int = 150, preconds=None,
+                 escalate_df64: bool = False):
     """One matrix across the preconditioner set; returns result dicts.
 
     ``fmt``: solve-operator storage.  ``"ell"`` is row-padded ELLPACK
@@ -38,8 +39,9 @@ def bench_matrix(name: str, a, is_standin: bool, *, tol: float = 1e-6,
     applies are standard-order gathers that would forfeit the layout, so
     those rows keep the CSR operator (reported per row).  ``"auto"``
     picks ELL when padding waste ≤ 1.5x, else WBELL on TPU for
-    ≥ 200 k-row irregular matrices, else CSR.  The preconditioners are
-    always built from the exact CSR data.
+    irregular matrices at the measured ≥ 30 k-row break-even
+    (``cgx.sparse.wbell.WBELL_MIN_ROWS``), else CSR.  The
+    preconditioners are always built from the exact CSR data.
 
     ``chunk``: iterations per device dispatch
     (:func:`cgx.utils.checkpoint.cg_solve_checkpointed` without a
@@ -65,8 +67,8 @@ def bench_matrix(name: str, a, is_standin: bool, *, tol: float = 1e-6,
     if fmt == "auto":
         # The measured decision surface lives in ONE place —
         # cgx.sparse.wbell.auto_format (ELL when the 8-padded waste is
-        # ≤ 1.5 gathers/nnz, WBELL on TPU at ≥ 200 k irregular rows when
-        # a bounded window exists, else CSR).
+        # ≤ 1.5 gathers/nnz, WBELL on TPU at the measured ≥ 30 k-row
+        # break-even when a bounded window exists, else CSR).
         from cgx.sparse.wbell import auto_format
         t0 = time.perf_counter()
         op, fmt = auto_format(a)
@@ -123,6 +125,7 @@ def bench_matrix(name: str, a, is_standin: bool, *, tol: float = 1e-6,
         preconds["block_jacobi"] = cgx.BlockJacobiPrecond.from_matrix(a, bs)
 
     out = []
+    df64_cache = {}          # per-matrix df64 solver, shared across rows
     for pname, m in preconds.items():
         # WBELL serves the none/jacobi/block_jacobi rows (in-layout whole
         # solve; round 4 adds the supervariable 8x8 block-Jacobi extracted
@@ -195,8 +198,64 @@ def bench_matrix(name: str, a, is_standin: bool, *, tol: float = 1e-6,
                    solve_ms=round(best * 1e3, 2))
         if pname == "ic0" and ic0_setup_s is not None:
             rec["setup_s"] = round(ic0_setup_s, 2)
+        if escalate_df64 and not rec["converged"]:
+            # fp32 NOT-conv is the df64 use case, not a dead end (VERDICT
+            # r4 weak #6): record the closed number inline in the same
+            # row.  One factory per matrix, shared by every escalated
+            # preconditioner row (build + compile paid once).
+            rec["df64"] = _df64_escalation(a, base, tol=tol,
+                                           maxiter=maxiter, chunk=chunk,
+                                           cache=df64_cache)
         out.append(rec)
     return out
+
+
+def _df64_escalation(a, b, *, tol, maxiter, chunk, cache):
+    """df64 retry of a NOT-converged fp32 row: TRUE-relres iterative
+    refinement with jacobi engine inners (the BASELINE round-4 route that
+    closed the G3_circuit/ecology2 rows).  ``cache`` holds the per-matrix
+    solver so repeated escalations pay the build/compile once."""
+    import time
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    import cgx
+    from cgx.ops.df64 import df_to_f64
+    from cgx.solve.hp import make_ir_df64_solver
+
+    try:
+        if "solve" not in cache:
+            t0 = time.perf_counter()
+            m = cgx.JacobiPrecond(
+                inv_diag=jnp.asarray(1.0 / a.diagonal(), jnp.float32))
+            cache["solve"] = make_ir_df64_solver(
+                a, tol=tol, inner_tol=1e-2, inner_maxiter=maxiter,
+                preconditioner=m, inner_format="auto", inner_chunk=chunk)
+            cache["build_s"] = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        res, info = cache["solve"](np.asarray(b, np.float64))
+        dt = time.perf_counter() - t0
+        x = df_to_f64(res.x)
+        b64 = np.asarray(b, np.float64)
+        true_rel = float(np.linalg.norm(b64 - _csr64(a) @ x)
+                         / np.linalg.norm(b64))
+        return {"true_relres": true_rel, "outer": info["outer"],
+                "inner_iterations": info["inner_iterations"],
+                "solve_s": round(dt, 2), "build_s": cache["build_s"],
+                "converged": bool(res.converged)}
+    except Exception as exc:   # noqa: BLE001 — escalation failure must
+        return {"error": f"{type(exc).__name__}: {exc}"[:300]}
+
+
+def _csr64(a):
+    import numpy as np
+    import scipy.sparse as sp
+    if hasattr(a, "indptr") and hasattr(a, "col_indices"):
+        return sp.csr_matrix((np.asarray(a.values, np.float64),
+                              np.asarray(a.col_indices),
+                              np.asarray(a.indptr)), shape=a.shape)
+    return sp.csr_matrix(a).astype(np.float64)
 
 
 def main(argv=None) -> int:
@@ -216,6 +275,10 @@ def main(argv=None) -> int:
     ap.add_argument("--preconds", default=None,
                     help="comma-separated preconditioner subset "
                          "(none,jacobi,ic0,block_jacobi); default all")
+    ap.add_argument("--escalate-df64", action="store_true",
+                    help="retry NOT-converged fp32 rows through the df64 "
+                         "true-residual route and record the closed "
+                         "number inline (one build per matrix)")
     args = ap.parse_args(argv)
 
     from cgx.io.suitesparse import load_or_standin
@@ -225,7 +288,8 @@ def main(argv=None) -> int:
         for rec in bench_matrix(name, a, standin, tol=args.tol,
                                 maxiter=args.maxiter, reps=args.reps,
                                 fmt=args.format, chunk=args.chunk,
-                                preconds=args.preconds):
+                                preconds=args.preconds,
+                                escalate_df64=args.escalate_df64):
             print(json.dumps(rec), flush=True)
     return 0
 

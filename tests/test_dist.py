@@ -838,3 +838,202 @@ def test_dist_wbell_elastic_restart_from_snapshot(rng):
     rel = np.linalg.norm(a @ np.asarray(resumed.x, np.float64) - b) \
         / np.linalg.norm(b)
     assert rel <= 2e-6
+
+
+# ---------------------------------------------------------------------------
+# Distributed df64: TRUE relres <= tol on a mesh (VERDICT r4 next #1)
+# ---------------------------------------------------------------------------
+
+def _kappa1e7_matrix(n=3000):
+    """Diag-scaled irregular SPD, κ ≥ 1e7: the fp32 recurrence converges
+    but LIES about the true residual (the ir_df64 use case)."""
+    import scipy.sparse as sp
+    a = _wbell_test_matrix(n=n)
+    d = sp.diags(np.logspace(0, 3.5, n))
+    a = sp.csr_matrix(d @ a @ d)
+    a.sort_indices()
+    return a
+
+
+def test_dist_ir_df64_reaches_true_tol():
+    """8-shard df64 iterative refinement over distributed WBELL inners
+    reaches TRUE relres ≤ 1e-6 on a κ ≥ 1e7 system where the fp32
+    distributed solve's 'converged' recurrence is off by ≥ 10x on the
+    true residual — accuracy AND distribution in one path (the reference
+    is double-precision at cluster ambition, mv_ops.h:19-21 +
+    Makefile:26-27)."""
+    from cgx.dist.hp import dist_ir_df64_solve
+    from cgx.dist.wbell import partition_wbell, dist_wbell_cg_solve
+    from cgx.ops.df64 import df_to_f64
+
+    n = 3000
+    a = _kappa1e7_matrix(n)
+    b = np.random.default_rng(5).standard_normal(n)
+
+    # The fp32 engine path alone: recurrence-converged, true residual
+    # above tol (this is WHY the df64 outer exists).
+    part = partition_wbell(a, 8)
+    r32 = dist_wbell_cg_solve(part, jnp.asarray(b, jnp.float32), MESH,
+                              tol=1e-6, maxiter=4000,
+                              preconditioner="jacobi")
+    t32 = np.linalg.norm(b - a @ np.asarray(r32.x, np.float64)) \
+        / np.linalg.norm(b)
+    assert t32 > 1e-6
+
+    res, info = dist_ir_df64_solve(a, b, MESH, tol=1e-6, inner_tol=1e-2,
+                                   inner_maxiter=3000)
+    true_rel = np.linalg.norm(b - a @ df_to_f64(res.x)) / np.linalg.norm(b)
+    assert true_rel <= 1.5e-6, (true_rel, info)
+    assert bool(res.converged)
+    assert info["n_shards"] == 8
+
+
+def test_dist_ir_df64_matches_single_device():
+    """Outer-cycle trajectory parity with the single-device
+    ir_df64_solve(inner_format='wbell') on the same system: same cycle
+    count (±1), both under tol, solutions agree to fp32-engine
+    accuracy."""
+    from cgx.dist.hp import dist_ir_df64_solve
+    from cgx.ops.df64 import df_to_f64
+    from cgx.solve.hp import ir_df64_solve
+    import cgx
+
+    n = 2200
+    a = _kappa1e7_matrix(n)
+    b = np.random.default_rng(7).standard_normal(n)
+
+    res_d, info_d = dist_ir_df64_solve(a, b, MESH, tol=1e-6,
+                                       inner_tol=1e-2, inner_maxiter=3000)
+    m = cgx.JacobiPrecond(
+        inv_diag=jnp.asarray(1.0 / a.diagonal(), jnp.float32))
+    res_s, info_s = ir_df64_solve(a, b, tol=1e-6, inner_tol=1e-2,
+                                  inner_maxiter=3000, preconditioner=m,
+                                  inner_format="wbell")
+    assert abs(info_d["outer"] - info_s["outer"]) <= 1, (info_d, info_s)
+    xd, xs = df_to_f64(res_d.x), df_to_f64(res_s.x)
+    bn = np.linalg.norm(b)
+    assert np.linalg.norm(b - a @ xd) / bn <= 1.5e-6
+    assert np.linalg.norm(b - a @ xs) / bn <= 1.5e-6
+    # Both iterates solve the same system to tol: difference is bounded
+    # by the residual gap through kappa — compare loosely in x.
+    assert np.linalg.norm(xd - xs) / max(np.linalg.norm(xs), 1e-30) < 1e-2
+
+
+def test_dist_ir_df64_residual_no_allgather_hlo():
+    """The sharded df64 true-residual step moves halos by
+    collective-permute and the norm by all-reduce — the df64 iterate is
+    never all-gathered."""
+    from cgx.dist.hp import (partition_df64_ell, _cached_residual)
+    from cgx.dist.wbell import partition_wbell
+    from jax.sharding import NamedSharding
+
+    n = 2200
+    a = _kappa1e7_matrix(n)
+    part = partition_wbell(a, 8)
+    opd = partition_df64_ell(a, part)
+    op_specs = jax.tree.map(lambda _: P("rows"), opd)
+    f = _cached_residual(MESH, op_specs)
+    vec = NamedSharding(MESH, P("rows"))
+    opd_dev = jax.device_put(opd, jax.tree.map(
+        lambda s: NamedSharding(MESH, s), op_specs,
+        is_leaf=lambda v: isinstance(v, P)))
+    z = jax.device_put(part.to_internal(jnp.ones((n,), jnp.float32)), vec)
+    hlo = f.lower(opd_dev, z, z, z, z).compile().as_text()
+    assert "all-gather" not in hlo
+    assert "all-reduce" in hlo
+    if opd.halo_lo or opd.halo_hi:
+        assert "collective-permute" in hlo
+
+
+def test_dist_ir_df64_inner_chunk_restart():
+    """inner_chunk bounds each inner dispatch (warm-restarted chunks);
+    the refinement still reaches TRUE tol."""
+    from cgx.dist.hp import dist_ir_df64_solve
+    from cgx.ops.df64 import df_to_f64
+
+    n = 2200
+    a = _kappa1e7_matrix(n)
+    b = np.random.default_rng(9).standard_normal(n)
+    res, info = dist_ir_df64_solve(a, b, MESH, tol=1e-6, inner_tol=1e-2,
+                                   inner_maxiter=3000, inner_chunk=7)
+    true_rel = np.linalg.norm(b - a @ df_to_f64(res.x)) / np.linalg.norm(b)
+    assert true_rel <= 1.5e-6, (true_rel, info)
+
+
+def test_dist_wbell_multi_rhs_matches_single_device(rng):
+    """8-shard multi-RHS WBELL CG == the single-device band-stacked
+    engine: per-column iteration counts (±1, psum rounding) and
+    solutions (VERDICT r4 next #8)."""
+    from cgx.dist.wbell import partition_wbell, dist_wbell_cg_solve_multi
+    from cgx.solve.wbell import wbell_cg_solve_multi
+    from cgx.sparse.wbell import wbell_from_csr
+
+    n, k = 3000, 3
+    a = _wbell_test_matrix(n=n)
+    b = rng.standard_normal((n, k)).astype(np.float32)
+    part = partition_wbell(a, 8)
+    res = dist_wbell_cg_solve_multi(part, jnp.asarray(b), MESH, tol=1e-6,
+                                    maxiter=600, jacobi=True)
+    assert bool(np.asarray(res.converged).all())
+
+    wb = wbell_from_csr(a)
+    ref = wbell_cg_solve_multi(wb, jnp.asarray(b), tol=1e-6, maxiter=600,
+                               jacobi=True)
+    it_d = np.asarray(res.iterations)
+    it_s = np.asarray(ref.iterations)
+    assert (np.abs(it_d - it_s) <= 1).all(), (it_d, it_s)
+    for j in range(k):
+        rel = np.linalg.norm(a @ np.asarray(res.x[:, j], np.float64)
+                             - b[:, j]) / np.linalg.norm(b[:, j])
+        assert rel <= 2e-6, (j, rel)
+
+
+def test_partition_wbell_per_shard_matches_global(rng):
+    """per_shard=True packs each shard from its CSR row slab without the
+    global plane array (VERDICT r4 next #9): same halos/geometry as the
+    global build, matvec identical to the global-build partition, and
+    the solve trajectory matches the single-device engine."""
+    from cgx.dist.wbell import (partition_wbell, dist_wbell_cg_solve,
+                                local_wbell_matvec, _operator_specs)
+
+    n = 3000
+    a = _wbell_test_matrix(n=n)
+    pg = partition_wbell(a, 8)
+    ps = partition_wbell(a, 8, per_shard=True)
+    # Same ordering + geometry.
+    np.testing.assert_array_equal(np.asarray(pg.perm), np.asarray(ps.perm))
+    assert (pg.gs, pg.ng_real, pg.halo_lo, pg.halo_hi, pg.span) == \
+        (ps.gs, ps.ng_real, ps.halo_lo, ps.halo_hi, ps.span)
+    np.testing.assert_allclose(np.asarray(pg.diag_internal),
+                               np.asarray(ps.diag_internal))
+
+    x = rng.standard_normal(n).astype(np.float32)
+
+    def dist_matvec(part):
+        specs = _operator_specs(part)
+        f = jax.shard_map(
+            lambda p, xl: local_wbell_matvec(p, xl, axis_name="rows",
+                                             interpret=True),
+            mesh=MESH, in_specs=(specs, P("rows")), out_specs=P("rows"),
+            check_vma=False)
+        pd = jax.device_put(part, jax.tree.map(
+            lambda s: NamedSharding(MESH, s), specs,
+            is_leaf=lambda v: isinstance(v, P)))
+        xi = jax.device_put(part.to_internal(jnp.asarray(x)),
+                            NamedSharding(MESH, P("rows")))
+        y = jax.device_put(f(pd, xi), NamedSharding(MESH, P()))
+        return np.asarray(part.from_internal(y))
+
+    y_g, y_s = dist_matvec(pg), dist_matvec(ps)
+    np.testing.assert_allclose(y_s, y_g, rtol=2e-5, atol=1e-4)
+
+    b = rng.standard_normal(n).astype(np.float32)
+    r_s = dist_wbell_cg_solve(ps, jnp.asarray(b), MESH, tol=1e-6,
+                              maxiter=600, preconditioner="jacobi")
+    r_g = dist_wbell_cg_solve(pg, jnp.asarray(b), MESH, tol=1e-6,
+                              maxiter=600, preconditioner="jacobi")
+    assert bool(r_s.converged)
+    assert abs(int(r_s.iterations) - int(r_g.iterations)) <= 1
+    rel = np.linalg.norm(a @ np.asarray(r_s.x, np.float64) - b) \
+        / np.linalg.norm(b)
+    assert rel <= 2e-6
