@@ -37,7 +37,8 @@ import jax.numpy as jnp
 
 from cgx.sparse.wbell import WBELLMatrix
 
-__all__ = ["wbell_spmv", "wbell_spmm", "wbell_matvec", "wbell_resident_raw"]
+__all__ = ["wbell_spmv", "wbell_spmm", "wbell_matvec", "wbell_resident_raw",
+           "wbell_spmm_stacked", "to_stacked", "from_stacked"]
 
 
 def _kernel(ngw: int, nrhs: int, span: int):
@@ -153,6 +154,124 @@ def _kernel_resident(span: int, nrhs: int, splane: int):
                 o_ref[c, og] = y
 
     return kernel
+
+
+def _kernel_resident_stacked(span: int, k: int, splane: int):
+    """Resident-x kernel with the k RHS columns STACKED on the sublane
+    axis: x/y live as ``(nt, k·8, 128)``.
+
+    **Measured negative result** (PERF_NOTES 5a; kept as the documented
+    record): at k=4 / thermal2 scale this measures **0.968 ms/RHS vs
+    0.780 for the batched kernel** — the hypothesis ("one chain serves
+    every column") is wrong because the TPU gather is per-VREG
+    (8 sublanes × 128 lanes): a ``(k·8, 128)`` ``take_along_axis``
+    lowers to k vreg-gathers, exactly the work of k separate ``(8,
+    128)`` gathers, and the stacking adds concat/slice relayouts on
+    top.  Bit-identical to :func:`wbell_spmm` (verified on chip); do
+    not route anything here.
+    """
+    from jax.experimental import pallas as pl
+
+    def kernel(pg_r, lc_ref, vals_ref, x_ref, o_ref):
+        j = pl.program_id(0)
+
+        @pl.when(j == 0)
+        def _():
+            o_ref[...] = jnp.zeros_like(o_ref)
+
+        for s in range(splane):
+            p = j * splane + s
+            l = lc_ref[s]                                  # (1, 128)
+            idx = jnp.broadcast_to(l % 128, (k * 8, 128))
+            lcg = jnp.broadcast_to(l // 128, (k * 8, 128))
+            v = vals_ref[s].astype(o_ref.dtype)            # (8, 8, 128)
+            pg = pg_r[p]
+            og = (pg >> 16) & 0xFFFF
+            ga = pg & 0xFFFF
+            w = x_ref[pl.ds(ga, span)]             # (span, k*8, 128)
+            g = jnp.zeros((k * 8, 128), o_ref.dtype)
+            for t in range(span):                  # ONE chain for all k
+                cand = jnp.take_along_axis(w[t], idx, axis=1)
+                g = (cand if span == 1
+                     else jnp.where(lcg == t, cand, g))
+            y = o_ref[og]                          # (k*8, 128)
+            ys = []
+            for c in range(k):
+                yc = y[c * 8:(c + 1) * 8]
+                gc = g[c * 8:(c + 1) * 8]
+                for jj in range(8):
+                    yc = yc + v[:, jj, :] * jnp.broadcast_to(
+                        gc[jj:jj + 1, :], (8, 128))
+                ys.append(yc)
+            o_ref[og] = jnp.concatenate(ys, axis=0)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("interpret", "splane"))
+def wbell_spmm_stacked(a: WBELLMatrix, x: jnp.ndarray, *,
+                       interpret: bool | None = None,
+                       splane: int | None = None) -> jnp.ndarray:
+    """``Y = A @ X`` on the STACKED internal layout ``(nt, k·8, 128)``
+    (column c of the standard batch occupies sublanes ``c·8..c·8+8``;
+    see :func:`to_stacked` / :func:`from_stacked`).  One gather/select
+    chain per plane serves all k columns."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    nt = a.nt
+    if x.ndim != 3 or x.shape[0] != nt or x.shape[1] % 8 or \
+            x.shape[2] != 128:
+        raise ValueError(f"stacked layout is (nt={nt}, k*8, 128); got "
+                         f"{x.shape}")
+    k = x.shape[1] // 8
+    xdt = a.vector_dtype
+    x = x.astype(xdt)
+    npl = a.values.shape[0]
+    if splane is None:
+        splane = 8 if interpret else _SPLANE
+    assert npl % splane == 0
+    nsteps = npl // splane
+
+    assert nt < (1 << 16)
+    packed = (a.p_og.astype(jnp.int32) << 16) | a.p_ga.astype(jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nsteps,),
+        in_specs=[
+            pl.BlockSpec((splane, 1, 128), lambda j, pg: (j, 0, 0)),
+            pl.BlockSpec((splane, 8, 8, 128), lambda j, pg: (j, 0, 0, 0)),
+            pl.BlockSpec((nt, k * 8, 128), lambda j, pg: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((nt, k * 8, 128), lambda j, pg: (0, 0, 0)),
+    )
+    vec = k * nt * 1024 * jnp.dtype(xdt).itemsize
+    stream = 2 * splane * 65 * 128 * a.values.dtype.itemsize
+    params = {} if interpret else dict(
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(int(2.2 * vec) + 2 * stream + (8 << 20),
+                                 127 << 20)))
+    return pl.pallas_call(
+        _kernel_resident_stacked(a.span, k, splane),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nt, k * 8, 128), xdt),
+        interpret=interpret,
+        **params,
+    )(packed, a.lc, a.values, x)
+
+
+def to_stacked(xb: jnp.ndarray) -> jnp.ndarray:
+    """Batched internal ``(k, nt, 8, 128)`` → stacked ``(nt, k·8, 128)``."""
+    k, nt = xb.shape[0], xb.shape[1]
+    return jnp.moveaxis(xb, 0, 1).reshape(nt, k * 8, 128)
+
+
+def from_stacked(xs: jnp.ndarray) -> jnp.ndarray:
+    """Stacked ``(nt, k·8, 128)`` → batched internal ``(k, nt, 8, 128)``."""
+    nt, k8 = xs.shape[0], xs.shape[1]
+    return jnp.moveaxis(xs.reshape(nt, k8 // 8, 8, 128), 1, 0)
 
 
 # Resident-x footprint cap: x + y + the double-buffered plane stream must

@@ -469,3 +469,26 @@ def test_wbell_save_load_roundtrip(tmp_path):
     y1 = np.asarray(wbell_matvec(w, jnp.asarray(x)))
     y2 = np.asarray(wbell_matvec(w2, jnp.asarray(x)))
     np.testing.assert_array_equal(y1, y2)
+
+
+def test_wbell_spmm_stacked_matches_batched(rng):
+    """The column-stacked SpMM variant (kept as a measured negative
+    result, PERF_NOTES 5a) stays bit-identical to the batched kernel."""
+    import scipy.sparse as sp
+
+    from cgx.kernels.wbell import (from_stacked, to_stacked, wbell_spmm,
+                                   wbell_spmm_stacked)
+    from cgx.sparse.wbell import wbell_from_csr
+
+    n, k = 2000, 3
+    a = sp.random(n, n, density=0.004, random_state=7, format="csr")
+    a = sp.csr_matrix((a + a.T) + sp.eye(n) * 10.0)
+    wb = wbell_from_csr(a)
+    X = rng.standard_normal((n, k)).astype(np.float32)
+    xb = jnp.stack([wb.to_internal(X[:, j]) for j in range(k)])
+    y_ref = np.asarray(wbell_spmm(wb, xb))
+    ys = wbell_spmm_stacked(wb, to_stacked(xb))
+    np.testing.assert_array_equal(np.asarray(from_stacked(ys)), y_ref)
+    # Round-trip helpers are exact inverses.
+    np.testing.assert_array_equal(np.asarray(from_stacked(to_stacked(xb))),
+                                  np.asarray(xb))
