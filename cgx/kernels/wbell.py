@@ -30,6 +30,7 @@ tile's count re-reference the previous plane (no DMA) and skip compute.
 """
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 
 import jax
@@ -38,7 +39,8 @@ import jax.numpy as jnp
 from cgx.sparse.wbell import WBELLMatrix
 
 __all__ = ["wbell_spmv", "wbell_spmm", "wbell_matvec", "wbell_resident_raw",
-           "wbell_spmm_stacked", "to_stacked", "from_stacked"]
+           "wbell_spmm_stacked", "to_stacked", "from_stacked",
+           "WBellTierPlan", "build_tier_plan", "wbell_spmm_tiered"]
 
 
 def _kernel(ngw: int, nrhs: int, span: int):
@@ -154,6 +156,183 @@ def _kernel_resident(span: int, nrhs: int, splane: int):
                 o_ref[c, og] = y
 
     return kernel
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class WBellTierPlan:
+    """Width-tiered plane ordering for the resident kernel (PERF_NOTES
+    5b/5e): planes sorted into actual-window-width classes {≤4, ≤8,
+    ≤16} with per-plane TIGHT window starts, so one ``pallas_call``
+    runs a 4/8/16-long gather/select chain per class segment instead of
+    a full ``span``-long chain everywhere.  Same fill, same stream —
+    only the per-COLUMN VPU chain shrinks, which is exactly the
+    measured multi-RHS floor (5a).  Measured at thermal2 scale:
+    k=4 **0.707 ms/RHS vs 0.783** batched (single-RHS identical —
+    stream-bound).  Built host-side by :func:`build_tier_plan`."""
+
+    values: jnp.ndarray   # (Ptot, 8, 8, 128) class-major
+    lc: jnp.ndarray       # (Ptot, 1, 128) int32 — tight window offsets
+    packed: jnp.ndarray   # (Ptot,) int32 — og<<16 | tight ga
+    steps: tuple = dataclasses.field(metadata=dict(static=True))
+    splane: int = dataclasses.field(metadata=dict(static=True))
+    nt: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def vector_dtype(self):
+        return (jnp.float32 if self.values.dtype == jnp.bfloat16
+                else self.values.dtype)
+
+
+_TIER_SPANS = (4, 8, 16)
+
+
+def build_tier_plan(a: WBELLMatrix,
+                    splane: int | None = None) -> WBellTierPlan:
+    """Host-side: classify planes by actual window width, re-base each
+    plane's window to its own min group, sort class-major, pad each
+    class to a ``splane`` multiple.  Requires ``a.span`` ≤ 16 (the
+    largest tier)."""
+    import numpy as np
+
+    if a.span > _TIER_SPANS[-1]:
+        raise ValueError(f"tier plan supports span <= {_TIER_SPANS[-1]}")
+    if splane is None:
+        splane = 8 if jax.default_backend() != "tpu" else _SPLANE
+    lc = np.asarray(a.lc)
+    vals = np.asarray(a.values)
+    p_ga = np.asarray(a.p_ga)
+    p_og = np.asarray(a.p_og)
+    gloc = (lc[:, 0, :] // 128).astype(np.int64)
+    nz = np.abs(vals.astype(np.float32)).sum(axis=(1, 2)) > 0  # (P, 128)
+    # NB: the sentinel must be int64 BEFORE np.where — NEP-50 would wrap
+    # a too-big python int into gloc's dtype (measured: int64 max → -1
+    # as int32 → negative gmin → corrupted windows).
+    big = np.int64(1) << 40
+    gmin = np.where(nz, gloc, big).min(axis=1)
+    gmin = np.where(gmin == big, 0, gmin)
+    width = np.maximum(np.where(nz, gloc, -1).max(axis=1) - gmin + 1, 1)
+    cls = np.select([width <= w for w in _TIER_SPANS],
+                    _TIER_SPANS, _TIER_SPANS[-1])
+    out_v, out_l, out_pg, steps = [], [], [], []
+    for w in _TIER_SPANS:
+        idx = np.flatnonzero(cls == w)
+        pad = (-len(idx)) % splane
+        v = vals[idx]
+        l = lc[idx].copy()
+        og = p_og[idx].astype(np.int64)
+        ga = p_ga[idx].astype(np.int64) + gmin[idx]
+        l[:, 0, :] = np.where(nz[idx], l[:, 0, :]
+                              - 128 * gmin[idx][:, None], 0)
+        assert len(idx) == 0 or 0 <= (l[:, 0, :] // 128).min() \
+            and (l[:, 0, :] // 128).max() < w
+        if pad:
+            v = np.concatenate(
+                [v, np.zeros((pad,) + v.shape[1:], v.dtype)])
+            l = np.concatenate([l, np.zeros((pad, 1, 128), np.int32)])
+            og = np.concatenate([og, np.zeros(pad, np.int64)])
+            ga = np.concatenate([ga, np.zeros(pad, np.int64)])
+        out_v.append(v)
+        out_l.append(l)
+        out_pg.append((og.astype(np.int32) << 16) | ga.astype(np.int32))
+        steps.append((len(idx) + pad) // splane)
+    return WBellTierPlan(
+        values=jnp.asarray(np.concatenate(out_v)),
+        lc=jnp.asarray(np.concatenate(out_l)),
+        packed=jnp.asarray(np.concatenate(out_pg)),
+        steps=tuple(steps), splane=int(splane), nt=a.nt)
+
+
+def _kernel_resident_tiers(steps, nrhs: int, splane: int):
+    from jax.experimental import pallas as pl
+
+    def tier_body(pg_r, lc_ref, vals_ref, x_ref, o_ref, j, span):
+        for s in range(splane):
+            p = j * splane + s
+            l = lc_ref[s]
+            idx = jnp.broadcast_to(l % 128, (8, 128))
+            lcg = jnp.broadcast_to(l // 128, (8, 128))
+            v = vals_ref[s].astype(o_ref.dtype)
+            pg = pg_r[p]
+            og = (pg >> 16) & 0xFFFF
+            ga = pg & 0xFFFF
+            for c in range(nrhs):
+                w = x_ref[c, pl.ds(ga, span)]
+                g = jnp.zeros((8, 128), o_ref.dtype)
+                for t in range(span):
+                    cand = jnp.take_along_axis(w[t], idx, axis=1)
+                    g = (cand if span == 1
+                         else jnp.where(lcg == t, cand, g))
+                y = o_ref[c, og]
+                for jj in range(8):
+                    y = y + v[:, jj, :] * jnp.broadcast_to(
+                        g[jj:jj + 1, :], (8, 128))
+                o_ref[c, og] = y
+
+    def kernel(pg_r, lc_ref, vals_ref, x_ref, o_ref):
+        j = pl.program_id(0)
+
+        @pl.when(j == 0)
+        def _():
+            o_ref[...] = jnp.zeros_like(o_ref)
+
+        lo = 0
+        for span, n_steps in zip(_TIER_SPANS, steps):
+            if n_steps:
+                lo_, hi_ = lo, lo + n_steps
+
+                @pl.when((j >= lo_) & (j < hi_))
+                def _(span=span):
+                    tier_body(pg_r, lc_ref, vals_ref, x_ref, o_ref, j,
+                              span)
+            lo += n_steps
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def wbell_spmm_tiered(plan: WBellTierPlan, x: jnp.ndarray, *,
+                      interpret: bool | None = None) -> jnp.ndarray:
+    """``Y = A @ X`` through the width-tiered resident kernel.
+    ``x``: batched internal ``(nrhs, nt, 8, 128)``; bit-compatible with
+    :func:`wbell_spmm` up to fp32 summation-order rounding."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    nrhs, nt = x.shape[0], x.shape[1]
+    if x.ndim != 4 or nt != plan.nt or x.shape[2:] != (8, 128):
+        raise ValueError(f"tier kernel: expected (nrhs, {plan.nt}, 8, "
+                         f"128), got {x.shape}")
+    xdt = plan.vector_dtype
+    x = x.astype(xdt)
+    splane = plan.splane
+    nsteps = sum(plan.steps)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nsteps,),
+        in_specs=[
+            pl.BlockSpec((splane, 1, 128), lambda j, pg: (j, 0, 0)),
+            pl.BlockSpec((splane, 8, 8, 128), lambda j, pg: (j, 0, 0, 0)),
+            pl.BlockSpec((nrhs, nt, 8, 128), lambda j, pg: (0, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((nrhs, nt, 8, 128),
+                               lambda j, pg: (0, 0, 0, 0)),
+    )
+    vec = nrhs * nt * 1024 * jnp.dtype(xdt).itemsize
+    stream = 2 * splane * 65 * 128 * plan.values.dtype.itemsize
+    params = {} if interpret else dict(
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(int(2.2 * vec) + 2 * stream + (8 << 20),
+                                 127 << 20)))
+    return pl.pallas_call(
+        _kernel_resident_tiers(plan.steps, nrhs, splane),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nrhs, nt, 8, 128), xdt),
+        interpret=interpret,
+        **params,
+    )(plan.packed, plan.lc, plan.values, x)
 
 
 def _kernel_resident_stacked(span: int, k: int, splane: int):

@@ -197,18 +197,26 @@ def wbell_cg_solve(
 
 
 @partial(jax.jit, static_argnames=("tol", "atol", "maxiter"))
-def _wbell_cg_multi(a, bi, xi0, idi, *, tol, atol, maxiter):
+def _wbell_cg_multi(a, bi, xi0, idi, plan=None, *, tol, atol, maxiter):
     """Batched (Jacobi-)CG in the internal layout: state ``(k, nt, 8,
-    128)``, per-column α/β, one shared :func:`wbell_spmm` per iteration —
-    the slot-plane stream (the dominant traffic) is paid ONCE for all k
-    columns.  Semantics match :func:`cgx.solve.block.cg_solve_multi`'s
-    batched results (each column its own convergence schedule; finished
-    columns freeze)."""
-    from cgx.kernels.wbell import wbell_spmm
+    128)``, per-column α/β, one shared SpMM per iteration — the
+    slot-plane stream (the dominant traffic) is paid ONCE for all k
+    columns.  With ``plan`` (a :class:`~cgx.kernels.wbell.WBellTierPlan`)
+    the SpMM runs the width-tiered kernel — the measured multi-RHS
+    winner (0.707 vs 0.783 ms/RHS at thermal2 k=4, PERF_NOTES 5e).
+    Semantics match :func:`cgx.solve.block.cg_solve_multi`'s batched
+    results (each column its own convergence schedule; finished columns
+    freeze)."""
+    from cgx.kernels.wbell import wbell_spmm, wbell_spmm_tiered
     from cgx.solve.cg import CGResult
 
     k = bi.shape[0]
     f32 = jnp.float32
+
+    if plan is not None:
+        spmm = lambda x: wbell_spmm_tiered(plan, x)
+    else:
+        spmm = lambda x: wbell_spmm(a, x)
 
     def col_dot(u, v):
         return jnp.sum((u * v).astype(f32), axis=(1, 2, 3))
@@ -217,7 +225,7 @@ def _wbell_cg_multi(a, bi, xi0, idi, *, tol, atol, maxiter):
         return r * idi[None] if idi is not None else r
 
     x = bi * 0 if xi0 is None else xi0
-    r = bi if xi0 is None else bi - wbell_spmm(a, xi0)
+    r = bi if xi0 is None else bi - spmm(xi0)
     z = apply_m(r)
     p = z
     rz = col_dot(r, z)
@@ -233,7 +241,7 @@ def _wbell_cg_multi(a, bi, xi0, idi, *, tol, atol, maxiter):
     def body(c):
         x, r, z, p, rz, rr, it = c
         active = (rr > tol_sq) & (it < maxiter)
-        q = wbell_spmm(a, p)
+        q = spmm(p)
         pq = col_dot(p, q)
         alpha = jnp.where(active, rz / jnp.where(pq != 0, pq, 1.0), 0.0)
         ax = alpha[:, None, None, None].astype(x.dtype)
@@ -266,18 +274,26 @@ def wbell_cg_solve_multi(
     maxiter: Optional[int] = None,
     jacobi: bool = False,
     inv_diag: Optional[jnp.ndarray] = None,
+    tiered: Optional[bool] = None,
+    tier_plan=None,
 ) -> CGResult:
     """Multi-RHS ``A X = B`` through the WBELL SpMM kernel.
 
     ``b``: standard-order ``(n, k)``; results carry
     :func:`cgx.solve.block.cg_solve_multi`'s batch axes (``x``: (n, k);
-    scalars (k,)).  The slot-plane stream is shared by all k columns;
-    measured at k=4 / thermal2 scale (splane-64 kernel): 3.16 ms/iter =
-    **0.789 ms/RHS·iter** — 1.15x better per RHS than the single-RHS
-    solve.  Amortization is bounded by the per-plane gather/select
-    chain (scales with ``span × k``); a smaller-span build does NOT
-    help (measured: span=4 is 1.24 ms/RHS — the balance-sorted packing
-    inflates small-span fill to 32.6x, outweighing the shorter chain).
+    scalars (k,)).  The slot-plane stream is shared by all k columns.
+
+    By default (``tiered=None`` → on when the resident kernel fits and
+    ``span ≤ 16``) the SpMM runs the width-tiered resident kernel
+    (:func:`cgx.kernels.wbell.build_tier_plan` — planes classed by
+    ACTUAL window width with tight per-plane starts): measured
+    **0.707 ms/RHS·iter at thermal2 k=4 vs 0.783 batched vs 0.876
+    single** (PERF_NOTES 5e).  Round-5 measured negatives for the
+    alternatives: column-stacked operands 0.968 (gathers are per-vreg),
+    span-8 rebuild 0.831 (fill 21.7x), k=8 saturates at 0.779 — the
+    per-column VPU chain is the floor, and the tier plan is the one
+    lever that shortens it without paying fill.  Pass ``tier_plan`` to
+    reuse a prebuilt plan across calls.
     """
     import dataclasses
 
@@ -291,7 +307,15 @@ def wbell_cg_solve_multi(
     if jacobi:
         idi = (a.to_internal(inv_diag) if inv_diag is not None
                else blas.safe_recip(a.diag_internal))
-    res = _wbell_cg_multi(a, bi, xi0, idi, tol=float(tol),
+    plan = tier_plan
+    if plan is None and tiered is not False:
+        from cgx.kernels.wbell import _resident_fits, build_tier_plan
+        if a.span <= 16 and _resident_fits(a, k):
+            plan = build_tier_plan(a)
+        elif tiered:
+            raise ValueError("tiered=True needs span<=16 and the "
+                             "resident-kernel VMEM footprint")
+    res = _wbell_cg_multi(a, bi, xi0, idi, plan, tol=float(tol),
                           atol=float(atol), maxiter=int(maxiter))
     x = jnp.stack([a.from_internal(res.x[j]) for j in range(k)], axis=1)
     return dataclasses.replace(res, x=x)

@@ -492,3 +492,44 @@ def test_wbell_spmm_stacked_matches_batched(rng):
     # Round-trip helpers are exact inverses.
     np.testing.assert_array_equal(np.asarray(from_stacked(to_stacked(xb))),
                                   np.asarray(xb))
+
+
+def test_wbell_tier_plan_spmm_matches(rng):
+    """The width-tiered resident kernel (PERF_NOTES 5e — the measured
+    multi-RHS winner) matches the batched kernel."""
+    from cgx.kernels.wbell import (build_tier_plan, wbell_spmm,
+                                   wbell_spmm_tiered)
+
+    n, k = 2500, 3
+    a = sp.random(n, n, density=0.004, random_state=11, format="csr")
+    a = sp.csr_matrix((a + a.T) + sp.eye(n) * 12.0)
+    wb = wbell_from_csr(a)
+    plan = build_tier_plan(wb)
+    X = rng.standard_normal((n, k)).astype(np.float32)
+    xb = jnp.stack([wb.to_internal(X[:, j]) for j in range(k)])
+    y_ref = np.asarray(wbell_spmm(wb, xb))
+    y_t = np.asarray(wbell_spmm_tiered(plan, xb))
+    np.testing.assert_allclose(y_t, y_ref, rtol=2e-5, atol=1e-4)
+
+
+def test_wbell_cg_solve_multi_tiered_matches_untied(rng):
+    """wbell_cg_solve_multi defaults to the tier plan; trajectory matches
+    the plain batched kernel path (fp32 summation-order tolerance)."""
+    from cgx.solve.wbell import wbell_cg_solve_multi
+
+    n, k = 2500, 3
+    a = sp.random(n, n, density=0.004, random_state=13, format="csr")
+    a = sp.csr_matrix((a + a.T) + sp.eye(n) * 12.0)
+    wb = wbell_from_csr(a)
+    B = rng.standard_normal((n, k)).astype(np.float32)
+    r_t = wbell_cg_solve_multi(wb, jnp.asarray(B), tol=1e-6, maxiter=400,
+                               jacobi=True)
+    r_u = wbell_cg_solve_multi(wb, jnp.asarray(B), tol=1e-6, maxiter=400,
+                               jacobi=True, tiered=False)
+    assert bool(np.asarray(r_t.converged).all())
+    assert (np.abs(np.asarray(r_t.iterations)
+                   - np.asarray(r_u.iterations)) <= 1).all()
+    for j in range(k):
+        rel = np.linalg.norm(a @ np.asarray(r_t.x[:, j], np.float64)
+                             - B[:, j]) / np.linalg.norm(B[:, j])
+        assert rel <= 2e-6
