@@ -120,14 +120,53 @@ def bench_cgx_headline(quick):
     # min over 2 fresh-content dispatches — the jitter is one-sided, so a
     # per-sample min strips spikes without biasing the device time.
     n_head = 3 if quick else 7
-    bs = make_variants(b, k=2 * n_head + 2)
+    per = 2 if quick else 3            # dispatches per sample (min-of-per)
+    bs = make_variants(b, k=per * n_head + 2)
     for v in bs[:2]:                   # dispatch-path warmup (distinct
         jax.block_until_ready(solve(a, v))   # contents — never cached)
     head = stats([
         min(time_samples_fresh(
             lambda v: jax.block_until_ready(solve(a, v)),
-            bs[2 + 2 * i:4 + 2 * i], reps=2))
+            bs[2 + per * i:2 + per * (i + 1)], reps=per))
         for i in range(n_head)])
+
+    # DEVICE-ONLY solve time, loop-differenced: the wall-clock headline
+    # is ~75 % tunnel dispatch overhead (23 of 30 ms), which drifts a few
+    # ms over minutes — that drift IS the residual spread above, not
+    # device variance (the SpMV metric through the same tunnel holds
+    # ±2-3 %).  Chaining m solves in one dispatch and differencing two
+    # chain lengths cancels the overhead: this is the stable
+    # round-over-round comparator (VERDICT r4 weak #7).
+    @partial(jax.jit, static_argnums=2)
+    def solve_chain(a, b0, m):
+        def body(i, c):
+            b_i, acc = c
+            res = cgx.auto_solve(a, b_i, tol=1e-6, maxiter=2000,
+                                 backend=engine)
+            # Next RHS derives from this solution — no two dispatches
+            # or chain steps see identical inputs.
+            return (b0 * (1.0 + 1e-4 * (i + 1).astype(jnp.float32))
+                    + 1e-6 * res.x, acc + res.iterations)
+        return jax.lax.fori_loop(
+            0, m, body, (b0, jnp.zeros((), jnp.int32)))
+
+    # 8 differenced solves ≈ 56 ms of device signal at 128³ against the
+    # ±2 ms dispatch jitter; smaller gaps (1 vs 3) measured noise-level.
+    m1, m2 = 1, 9
+    jax.block_until_ready(solve_chain(a, b, m1))
+    jax.block_until_ready(solve_chain(a, b, m2))
+    dev = []
+    for i in range(n_head):
+        v = bs[2 + ((per * i) % (per * n_head))] * (1.0 + 1e-3 * i)
+        v = jax.block_until_ready(v)
+        t1 = min(time_samples_fresh(
+            lambda u: jax.block_until_ready(solve_chain(a, u, m1)),
+            [v, v * 1.0001], 2))
+        t2 = min(time_samples_fresh(
+            lambda u: jax.block_until_ready(solve_chain(a, u, m2)),
+            [v * 1.0002, v * 1.0003], 2))
+        dev.append(max(t2 - t1, 1e-9) / (m2 - m1))
+    head_dev = stats(dev)
 
     # SpMV-only throughput — measured through the PALLAS stencil kernel
     # (explicit VMEM windowing, no compiler-placed loop carry), not the
@@ -178,8 +217,10 @@ def bench_cgx_headline(quick):
         f"spmv={spmv_gnnz['median']:.2f} Gnnz/s "
         f"(±{spmv_gnnz['spread_pct']}%, {sp['median']*1e6:.1f} us/spmv) "
         f"engine={engine} on {jax.devices()[0].platform}")
+    log(f"[cgx] device-only solve (loop-differenced): "
+        f"{head_dev['median']*1e3:.2f} ms ±{head_dev['spread_pct']}%")
     return dict(side=side, n=n, nnz=nnz, iters=iters, engine=engine,
-                head=head, spmv=spmv_gnnz,
+                head=head, head_dev=head_dev, spmv=spmv_gnnz,
                 regime=("vmem_resident" if engine.startswith("resident")
                         else "streaming"))
 
@@ -272,6 +313,13 @@ def main():
         "engine": head["engine"],
         "regime": head["regime"],
         "iterations": head["iters"],
+        "device_solve": {
+            # Loop-differenced device-only solve time — dispatch-path
+            # drift cancelled; the stable round-over-round comparator.
+            "median_ms": round(head["head_dev"]["median"] * 1e3, 3),
+            "spread_pct": head["head_dev"]["spread_pct"],
+            "n_samples": head["head_dev"]["n_samples"],
+        },
         "spmv": {
             "median_gnnz_s": round(s["median"], 2),
             "spread_pct": s["spread_pct"],
