@@ -23,12 +23,12 @@ from cgx.solve.auto import auto_solve, select_backend
 from cgx.solve.chebyshev import (analytic_bounds, chebyshev_solve,
                                  estimate_bounds)
 from cgx.solve.ir import ir_cg_solve, ir_supported
-from cgx.solve.hp import (df64_cg_solve, ir_df64_solve,
+from cgx.solve.hp import (IRDF64Operator, df64_cg_solve, ir_df64_solve,
                           make_ir_df64_solver)
 from cgx.solve.wbell import (WBellBlockJacobiPrecond, wbell_cg_solve,
                              wbell_cg_solve_multi)
-from cgx.sparse.wbell import (WBELLMatrix, auto_format,
-                              wbell_from_csr)
+from cgx.sparse.wbell import (WBELL_MIN_ROWS, WBELLMatrix, auto_format,
+                              pick_format, wbell_from_csr)
 from cgx.utils.checkpoint import cg_solve_checkpointed
 
 __version__ = "0.1.0"
@@ -37,7 +37,8 @@ __all__ = [
     "BSRMatrix", "COOMatrix", "CSRMatrix", "DIAMatrix", "ELLMatrix",
     "WBELLMatrix",
     "bsr_from_csr", "coo_from_scipy", "csr_from_scipy", "dia_from_csr",
-    "ell_from_csr", "wbell_from_csr", "auto_format",
+    "ell_from_csr", "wbell_from_csr", "auto_format", "pick_format",
+    "WBELL_MIN_ROWS",
     "spmv", "spmm", "blas", "CGResult", "cg_solve",
     "cg_solve_single_reduction", "cg_solve_pipelined", "cg_solve_multi",
     "block_cg_solve", "wbell_cg_solve", "wbell_cg_solve_multi",
@@ -46,7 +47,7 @@ __all__ = [
     "auto_solve", "select_backend", "cg_solve_checkpointed",
     "analytic_bounds", "chebyshev_solve", "estimate_bounds",
     "ir_cg_solve", "ir_supported", "df64_cg_solve", "ir_df64_solve",
-    "make_ir_df64_solver",
+    "make_ir_df64_solver", "IRDF64Operator",
     "JacobiPrecond", "BlockJacobiPrecond", "PolynomialPrecond",
     "IC0Precond", "IC0SweepPrecond",
 ]

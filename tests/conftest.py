@@ -59,3 +59,21 @@ def random_spd_csr(n, density=0.05, rng=None, dtype=np.float64):
     a = a + sp.identity(n, dtype=dtype, format="csr") * n
     a.sort_indices()
     return a
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free JAX/Pallas compilation caches at module boundaries.
+
+    A full single-process run of the suite accumulates interpret-mode
+    Pallas executables and jit caches across ~330 tests (several GB RSS)
+    and degrades late modules far beyond their standalone times
+    (measured: the 16-file session exceeded 55 min while the per-file
+    sum is ~16 min; the 3 heaviest files together show no slowdown).
+    Clearing per MODULE keeps intra-file sharing (the expensive shard_map
+    solvers are reused within a file) while bounding the session state.
+    """
+    yield
+    import jax as _jax
+
+    _jax.clear_caches()
