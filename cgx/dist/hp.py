@@ -107,23 +107,31 @@ def partition_df64_ell(a, part: WBellPartition) -> DistDF64ELL:
     counts = np.diff(ap.indptr)
     w = max(1, -(-int(counts.max()) // 8) * 8)
 
-    # Global ELL (permuted order), rows padded to nd*R.
-    vals64 = np.zeros((nd * R, w), np.float64)
-    gcols = np.full((nd * R, w), -1, np.int64)
-    offs = (np.concatenate([np.arange(c) for c in counts])
-            if ap.nnz else np.zeros(0, np.int64))
-    rows = np.repeat(np.arange(n), counts)
-    vals64[rows, offs] = ap.data
-    gcols[rows, offs] = ap.indices
+    def slab_ell(d):
+        """One shard's ELL slab (global column indices; −1 = empty) —
+        only this slab's entries are ever densified (the per-shard
+        memory discipline of `partition_wbell(per_shard=True)`)."""
+        r0, r1 = d * R, min((d + 1) * R, n)
+        vals64 = np.zeros((R, w), np.float64)
+        gcols = np.full((R, w), -1, np.int64)
+        if r0 < n:
+            sub = ap[r0:r1]
+            c = np.diff(sub.indptr)
+            rows = np.repeat(np.arange(r1 - r0), c)
+            offs = (np.concatenate([np.arange(k) for k in c])
+                    if sub.nnz else np.zeros(0, np.int64))
+            vals64[rows, offs] = sub.data
+            gcols[rows, offs] = sub.indices
+        return vals64, gcols
 
     # Shard halo extents in ENTRIES from the actual column ranges (RCM
     # keeps them a bounded band around the diagonal slab).
     halo_lo = halo_hi = 0
     for d in range(nd):
-        cs = gcols[d * R:(d + 1) * R]
-        cs = cs[cs >= 0]
-        if cs.size == 0:
+        r0, r1 = d * R, min((d + 1) * R, n)
+        if r0 >= n or ap.indptr[r0] == ap.indptr[r1]:
             continue
+        cs = ap.indices[ap.indptr[r0]:ap.indptr[r1]]
         halo_lo = max(halo_lo, d * R - int(cs.min()))
         halo_hi = max(halo_hi, int(cs.max()) + 1 - (d + 1) * R)
     halo_lo, halo_hi = max(halo_lo, 0), max(halo_hi, 0)
@@ -141,10 +149,9 @@ def partition_df64_ell(a, part: WBellPartition) -> DistDF64ELL:
     svhi = np.empty((nd, R, w), np.float32)
     svlo = np.empty((nd, R, w), np.float32)
     for d in range(nd):
-        g = gcols[d * R:(d + 1) * R]
+        v, g = slab_ell(d)
         lc = np.where(g >= 0, g - d * R + halo_lo, halo_lo)
         lcols[d] = lc.astype(np.int32)
-        v = vals64[d * R:(d + 1) * R]
         hi = v.astype(np.float32)
         svhi[d] = hi
         svlo[d] = (v - hi.astype(np.float64)).astype(np.float32)
@@ -229,6 +236,7 @@ def make_dist_ir_df64_solver(
     poly_steps: int = 3,
     inner_chunk: Optional[int] = None,
     span: int = 16,
+    per_shard: bool = False,
     interpret: Optional[bool] = None,
     verbose: bool = False,
 ):
@@ -258,7 +266,7 @@ def make_dist_ir_df64_solver(
     ``iterations`` on the result counts total inner iterations.
     """
     nd = int(np.prod(mesh.devices.shape))
-    part = partition_wbell(a, nd, span=span)
+    part = partition_wbell(a, nd, span=span, per_shard=per_shard)
     opd = partition_df64_ell(a, part)
     if interpret is None:
         interpret = mesh.devices.flat[0].platform != "tpu"

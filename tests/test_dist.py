@@ -1037,3 +1037,26 @@ def test_partition_wbell_per_shard_matches_global(rng):
     rel = np.linalg.norm(a @ np.asarray(r_s.x, np.float64) - b) \
         / np.linalg.norm(b)
     assert rel <= 2e-6
+
+
+def test_dist_ir_df64_per_shard_build_matches():
+    """dist df64 over a per-shard-built WBELL partition (the multi-host
+    memory-bounded build path) reaches TRUE tol with the same outer
+    trajectory as the global build."""
+    from cgx.dist.hp import make_dist_ir_df64_solver
+    from cgx.ops.df64 import df_to_f64
+
+    n = 2200
+    a = _kappa1e7_matrix(n)
+    b = np.random.default_rng(11).standard_normal(n)
+    r_g, i_g = make_dist_ir_df64_solver(a, MESH, tol=1e-6,
+                                        inner_tol=1e-2,
+                                        inner_maxiter=3000)(b)
+    r_p, i_p = make_dist_ir_df64_solver(a, MESH, tol=1e-6,
+                                        inner_tol=1e-2,
+                                        inner_maxiter=3000,
+                                        per_shard=True)(b)
+    assert abs(i_g["outer"] - i_p["outer"]) <= 1
+    bn = np.linalg.norm(b)
+    for r in (r_g, r_p):
+        assert np.linalg.norm(b - a @ df_to_f64(r.x)) / bn <= 1.5e-6
