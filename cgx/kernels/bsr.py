@@ -148,6 +148,70 @@ def _bell_spmm_dma(block_cols, values, xb, k, interpret, out_dtype):
     )(block_cols, values, xb)
 
 
+def _bell_spmm_resident(block_cols, values, xb, k, interpret, out_dtype):
+    """Whole-x-in-VMEM engine (round 5, ROADMAP #5): the DMA engine's
+    dominant traffic at k ≥ 256 is X RE-FETCH — each (row, slot) grid
+    step DMAs its own (bs, k) x block, ~4x the value bytes at wb=8 —
+    while the whole dense X is typically a few tens of MB and fits VMEM.
+    This variant pins X resident, streams only the values, resolves each
+    slot's x block with a VMEM dynamic slice (block-col ids scalar-
+    prefetched), and writes each output block ONCE (full row of ``wb``
+    MXU dots accumulated in registers — no output revisits).
+    Measured (512 block rows, bs=64, wb=8, k=256, loop-differenced with
+    long chains — short chains drown in dispatch jitter): fp32
+    **276.9 µs / 31.0 TFLOP/s vs 1349 µs DMA-engine (4.9x; round-2's
+    best was 894 µs / 9.6)**; bf16 operands **197.3 µs / 43.5 TFLOP/s**
+    (round 2: 2153 µs / 8.0 — 10.9x).  k=512 fp32: 718.6 µs
+    (23.9 TFLOP/s); 1024 block rows (x = 67 MB VMEM): 979 µs
+    (17.5 TFLOP/s, 3.4x over DMA).  Auto-selected by :func:`bell_spmm`
+    when X and the stream fit the VMEM cap."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nbr, wb, bs, _ = values.shape
+    nbc = xb.shape[0]
+
+    def kernel(cols_ref, vals_ref, x_ref, out_ref):
+        i = pl.program_id(0)
+        acc = jnp.zeros((bs, k), out_dtype)
+        for j in range(wb):
+            c = cols_ref[i, j]
+            xj = x_ref[pl.ds(c, 1)][0]                 # (bs, k) VMEM slice
+            acc = acc + jnp.dot(vals_ref[0, j], xj,
+                                preferred_element_type=out_dtype)
+        out_ref[0] = acc
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nbr,),
+        in_specs=[
+            pl.BlockSpec((1, wb, bs, bs), lambda i, cols: (i, 0, 0, 0)),
+            pl.BlockSpec((nbc, bs, k), lambda i, cols: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bs, k), lambda i, cols: (i, 0, 0)),
+    )
+    xbytes = nbc * bs * k * xb.dtype.itemsize
+    stream = 2 * wb * bs * bs * values.dtype.itemsize + \
+        2 * bs * k * jnp.dtype(out_dtype).itemsize
+    params = {} if interpret else dict(
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(int(1.2 * xbytes) + 4 * stream
+                                 + (8 << 20), 127 << 20)))
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nbr, bs, k), out_dtype),
+        interpret=interpret,
+        **params,
+    )(block_cols, values, xb)
+
+
+# Resident-x footprint cap (X + streams must fit VMEM with headroom) and
+# the SMEM cap on the prefetched id table.
+_BELL_RESIDENT_VMEM_CAP = 100 << 20
+_BELL_RESIDENT_MAX_IDS = 120_000
+
+
 def _bell_spmm_prefetch(block_cols, values, xb, k, interpret,
                         out_dtype):
     from jax.experimental import pallas as pl
@@ -186,13 +250,16 @@ def _bell_spmm_prefetch(block_cols, values, xb, k, interpret,
 @partial(jax.jit, static_argnames=("interpret", "engine"))
 def bell_spmm(a: BlockELL, x: jnp.ndarray, *,
               interpret: bool = False,
-              engine: str = "dma") -> jnp.ndarray:
+              engine: str = "auto") -> jnp.ndarray:
     """``Y = A @ X`` for block-ELL ``A`` and dense ``X: (m, k)``.
 
     ``k`` should be a multiple of 128 (lanes) for peak MXU throughput; any
-    positive ``k`` is correct.  ``engine="dma"`` (default) runs ONE
-    pallas_call for any size; ``engine="prefetch"`` keeps the legacy
-    scalar-prefetch kernel (chunked per 256 block rows).
+    positive ``k`` is correct.  ``engine="auto"`` (default) picks the
+    round-5 **resident-x** engine when X fits VMEM (the measured winner
+    at SpMM scale — see :func:`_bell_spmm_resident`), else the ``"dma"``
+    engine (one pallas_call for any size, per-slot x DMA);
+    ``engine="prefetch"`` keeps the legacy scalar-prefetch kernel
+    (chunked per 256 block rows).
 
     16-bit operands (``a.astype(bfloat16)``, bf16 ``x``) feed the MXU's
     native bf16 path at half the HBM bytes; the result then comes back
@@ -205,6 +272,16 @@ def bell_spmm(a: BlockELL, x: jnp.ndarray, *,
     out_dtype = (jnp.float32 if jnp.dtype(x.dtype).itemsize < 4
                  else x.dtype)
 
+    if engine == "auto":
+        xbytes = xb.size * xb.dtype.itemsize
+        fits = (xbytes + 4 * bs * k * 4 + 2 * wb * bs * bs *
+                a.values.dtype.itemsize <= _BELL_RESIDENT_VMEM_CAP
+                and nbr * wb <= _BELL_RESIDENT_MAX_IDS)
+        engine = "resident" if fits else "dma"
+    if engine == "resident":
+        return _bell_spmm_resident(
+            a.block_cols, a.values, xb, k, interpret,
+            out_dtype).reshape(nbr * bs, k)
     if engine == "dma":
         return _bell_spmm_dma(a.block_cols, a.values, xb, k,
                               interpret, out_dtype).reshape(nbr * bs, k)

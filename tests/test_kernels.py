@@ -839,3 +839,29 @@ def test_cg_solve_multi_sequential_backend_and_routing(rng):
         assert int(res.iterations[j]) == int(ref.iterations)
         np.testing.assert_array_equal(np.asarray(res.x[:, j]),
                                       np.asarray(ref.x))
+
+
+def test_bell_spmm_resident_matches_dma(rng):
+    """The round-5 resident-x block-ELL engine (whole X in VMEM, one
+    output write per row) matches the DMA engine bit-for-bit."""
+    import scipy.sparse as sp
+
+    from cgx.kernels.bsr import bell_from_bsr, bell_spmm
+    from cgx.sparse.types import bsr_from_csr, csr_from_scipy
+
+    bs, nb, k = 16, 24, 64
+    n = bs * nb
+    d = sp.random(nb, nb, density=0.2, random_state=5).tocsr()
+    d.setdiag(1.0)
+    a = sp.kron(d, np.ones((bs, bs))).tocsr() * 0.01
+    a = sp.csr_matrix(a + sp.eye(n))
+    bell = bell_from_bsr(bsr_from_csr(csr_from_scipy(
+        a.astype(np.float32)), bs))
+    x = rng.standard_normal((n, k)).astype(np.float32)
+    y_d = np.asarray(bell_spmm(bell, jnp.asarray(x), interpret=True,
+                               engine="dma"))
+    y_r = np.asarray(bell_spmm(bell, jnp.asarray(x), interpret=True,
+                               engine="resident"))
+    np.testing.assert_array_equal(y_r, y_d)
+    truth = a @ x.astype(np.float64)
+    assert np.abs(y_r - truth).max() / np.abs(truth).max() < 1e-5
