@@ -45,7 +45,8 @@ from cgx.solve.cg import CGResult, cg_solve
 AXIS = "rows"
 
 __all__ = ["WBellPartition", "partition_wbell", "dist_wbell_cg_solve",
-           "dist_wbell_cg_solve_internal", "dist_wbell_cg_solve_multi"]
+           "dist_wbell_cg_solve_internal", "dist_wbell_cg_solve_multi",
+           "WBellPartTiers", "partition_tier_plans"]
 
 
 @jax.tree_util.register_dataclass
@@ -532,9 +533,64 @@ def dist_wbell_cg_solve(
     return dc.replace(res, x=part.from_internal(x_full))
 
 
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class WBellPartTiers:
+    """Per-shard width-tier plans with SHARED static class step counts
+    (each shard's classes zero-padded to the fleet-wide max, so one
+    shard_map'd tiered kernel serves every shard) — the distributed
+    form of :class:`cgx.kernels.wbell.WBellTierPlan` (ROADMAP r5 #18)."""
+
+    values: jnp.ndarray   # (nd, Ptot, 8, 8, 128) class-major
+    lc: jnp.ndarray       # (nd, Ptot, 1, 128)
+    packed: jnp.ndarray   # (nd, Ptot) int32 — LOCAL og<<16 | tight ga
+    steps: tuple = dataclasses.field(metadata=dict(static=True))
+    splane: int = dataclasses.field(metadata=dict(static=True))
+
+
+def partition_tier_plans(part: WBellPartition,
+                         splane: int | None = None) -> WBellPartTiers:
+    """Classify each shard's planes into width tiers (tight clamped
+    windows in LOCAL group coordinates), padding every class to the max
+    count over shards so the static grid is shard-uniform."""
+    if part.span > 16:
+        raise ValueError("tier plans support span <= 16")
+    if splane is None:
+        splane = 8 if jax.default_backend() != "tpu" else 64
+    from cgx.kernels.wbell import _pad_tier_class, _tier_classes
+
+    vals = np.asarray(part.values)
+    lc = np.asarray(part.lc)
+    og = np.asarray(part.p_og)
+    ga = np.asarray(part.p_ga)
+    nd = part.n_shards
+    per_shard = [_tier_classes(vals[d], lc[d], og[d], ga[d],
+                               part.nt_local) for d in range(nd)]
+    n_cls = len(per_shard[0])
+    targets = [-(-max(per_shard[d][c][0].shape[0] for d in range(nd))
+                 // splane) * splane for c in range(n_cls)]
+    sv, sl, spg = [], [], []
+    for d in range(nd):
+        vs, ls, pgs = [], [], []
+        for c in range(n_cls):
+            v, l, pg = _pad_tier_class(*per_shard[d][c], targets[c])
+            vs.append(v)
+            ls.append(l)
+            pgs.append(pg)
+        sv.append(np.concatenate(vs))
+        sl.append(np.concatenate(ls))
+        spg.append(np.concatenate(pgs))
+    return WBellPartTiers(
+        values=jnp.asarray(np.stack(sv)), lc=jnp.asarray(np.stack(sl)),
+        packed=jnp.asarray(np.stack(spg)),
+        steps=tuple(t // splane for t in targets), splane=int(splane))
+
+
 def local_wbell_matvec_multi(part: WBellPartition, x_loc: jnp.ndarray,
                              axis_name: str,
-                             interpret: bool) -> jnp.ndarray:
+                             interpret: bool,
+                             tiers: Optional[WBellPartTiers] = None
+                             ) -> jnp.ndarray:
     """``Y_loc = (A X)_loc`` for a BATCH of internal-layout columns on one
     shard (inside shard_map).  ``x_loc``: ``(k, gs, 8, 128)``.
 
@@ -542,10 +598,12 @@ def local_wbell_matvec_multi(part: WBellPartition, x_loc: jnp.ndarray,
     (group axis leads during the exchange), and the shard's slot-plane
     stream — the dominant traffic — is shared across columns by the
     resident SpMM kernel: the same amortization the single-device
-    multi-RHS path measures (VERDICT r4 #8).
+    multi-RHS path measures (VERDICT r4 #8).  With ``tiers`` the shard
+    runs the width-tiered kernel (shorter per-column chains — the
+    measured single-device multi-RHS winner, PERF_NOTES 5e).
     """
     from cgx.dist.halo import halo_exchange
-    from cgx.kernels.wbell import wbell_resident_raw
+    from cgx.kernels.wbell import wbell_resident_raw, wbell_tiered_raw
 
     squeeze = lambda arr: arr.reshape(arr.shape[1:])
     xg = jnp.moveaxis(x_loc, 0, 1)               # (gs, k, 8, 128)
@@ -554,16 +612,23 @@ def local_wbell_matvec_multi(part: WBellPartition, x_loc: jnp.ndarray,
     if pad:
         x_ext = jnp.pad(x_ext, ((0, pad), (0, 0), (0, 0), (0, 0)))
     xb = jnp.moveaxis(x_ext, 1, 0)               # (k, nt_local, 8, 128)
-    y = wbell_resident_raw(
-        squeeze(part.p_og), squeeze(part.p_ga), squeeze(part.lc),
-        squeeze(part.values), xb, span=part.span,
-        interpret=interpret, axis_name=axis_name)
+    if tiers is not None:
+        y = wbell_tiered_raw(
+            squeeze(tiers.packed), squeeze(tiers.lc),
+            squeeze(tiers.values), xb, steps=tiers.steps,
+            splane=tiers.splane, interpret=interpret,
+            axis_name=axis_name)
+    else:
+        y = wbell_resident_raw(
+            squeeze(part.p_og), squeeze(part.p_ga), squeeze(part.lc),
+            squeeze(part.values), xb, span=part.span,
+            interpret=interpret, axis_name=axis_name)
     return y[:, part.halo_lo:part.halo_lo + part.gs]
 
 
 @lru_cache(maxsize=32)
 def _cached_multi_solver(mesh, op_specs, tol, atol, maxiter, jacobi,
-                         interpret):
+                         interpret, tier_specs=None):
     """Batched (Jacobi-)CG over the sharded engine: per-column α/β from
     psum'd (k,) dot blocks, one shared SpMM halo+stream per iteration —
     the distributed form of :func:`cgx.solve.wbell.wbell_cg_solve_multi`
@@ -575,11 +640,12 @@ def _cached_multi_solver(mesh, op_specs, tol, atol, maxiter, jacobi,
                          converged=rep, history=rep)
     f32 = jnp.float32
 
-    def local_solve(part, b_loc):
+    def local_solve(part, b_loc, *rest):
         from cgx.ops import blas
 
+        tiers = rest[0] if rest else None
         mv = partial(local_wbell_matvec_multi, part, axis_name=AXIS,
-                     interpret=interpret)
+                     interpret=interpret, tiers=tiers)
         idi = blas.safe_recip(part.diag_internal) if jacobi else None
 
         def col_dot(u, v):
@@ -631,8 +697,10 @@ def _cached_multi_solver(mesh, op_specs, tol, atol, maxiter, jacobi,
                         converged=rr <= tol_sq,
                         history=jnp.zeros((0,), f32))
 
+    in_specs = ((op_specs, vec) if tier_specs is None
+                else (op_specs, vec, tier_specs))
     return jax.jit(jax.shard_map(local_solve, mesh=mesh,
-                                 in_specs=(op_specs, vec),
+                                 in_specs=in_specs,
                                  out_specs=out_specs, check_vma=False))
 
 
@@ -645,13 +713,17 @@ def dist_wbell_cg_solve_multi(
     atol: float = 0.0,
     maxiter: Optional[int] = None,
     jacobi: bool = False,
+    tiered: Optional[bool] = None,
     interpret: Optional[bool] = None,
 ) -> CGResult:
     """Multi-RHS ``A X = B`` through the row-partitioned WBELL engine
     (VERDICT r4 next #8).  ``b``: standard-order ``(n, k)``; result
     carries batched axes (``x`` (n, k), scalars (k,)).  Per iteration:
     one band-stacked halo exchange + shared-plane-stream SpMM per shard,
-    and two psum'd (k,) dot blocks."""
+    and two psum'd (k,) dot blocks.  ``tiered`` (default on for
+    span ≤ 16) runs each shard's planes through the width-tiered kernel
+    (:func:`partition_tier_plans` — the measured multi-RHS winner,
+    PERF_NOTES 5e)."""
     import dataclasses as dc
 
     n, k = b.shape
@@ -660,14 +732,28 @@ def dist_wbell_cg_solve_multi(
     if interpret is None:
         interpret = mesh.devices.flat[0].platform != "tpu"
 
+    tiers = None
+    if tiered is not False and part.span <= 16:
+        tiers = partition_tier_plans(part)
+    elif tiered:
+        raise ValueError("tiered=True needs span <= 16")
+
     bi = jnp.stack([part.to_internal(b[:, j]) for j in range(k)])
     vec = NamedSharding(mesh, P(None, AXIS))
     op_specs = _operator_specs(part)
+    tier_specs = (None if tiers is None
+                  else jax.tree.map(lambda _: P(AXIS), tiers))
     f = _cached_multi_solver(mesh, op_specs, float(tol), float(atol),
-                             int(maxiter), bool(jacobi), bool(interpret))
+                             int(maxiter), bool(jacobi), bool(interpret),
+                             tier_specs)
     specs = jax.tree.map(lambda s: NamedSharding(mesh, s), op_specs,
                          is_leaf=lambda v: isinstance(v, P))
-    res = f(jax.device_put(part, specs), jax.device_put(bi, vec))
+    args = [jax.device_put(part, specs), jax.device_put(bi, vec)]
+    if tiers is not None:
+        args.append(jax.device_put(tiers, jax.tree.map(
+            lambda s: NamedSharding(mesh, s), tier_specs,
+            is_leaf=lambda v: isinstance(v, P))))
+    res = f(*args)
     x_full = jax.device_put(res.x, NamedSharding(mesh, P()))
     x = jnp.stack([part.from_internal(x_full[j]) for j in range(k)],
                   axis=1)

@@ -187,6 +187,62 @@ class WBellTierPlan:
 _TIER_SPANS = (4, 8, 16)
 
 
+def _tier_classes(vals, lc, p_og, p_ga, nt: int):
+    """Classify planes by actual window width with tight clamped window
+    starts (host numpy).  Returns a list over :data:`_TIER_SPANS` of
+    ``(values, lc_rebased, og, ga)`` UNPADDED per-class arrays."""
+    import numpy as np
+
+    gloc = (lc[:, 0, :] // 128).astype(np.int64)
+    nz = np.abs(vals.astype(np.float32)).sum(axis=(1, 2)) > 0  # (P, 128)
+    # NB: the sentinel must be int64 BEFORE np.where — NEP-50 would wrap
+    # a too-big python int into gloc's dtype (measured: int64 max → -1
+    # as int32 → negative gmin → corrupted windows).
+    big = np.int64(1) << 40
+    gmin = np.where(nz, gloc, big).min(axis=1)
+    gmin = np.where(gmin == big, 0, gmin)
+    width = np.maximum(np.where(nz, gloc, -1).max(axis=1) - gmin + 1, 1)
+    cls = np.select([width <= w for w in _TIER_SPANS],
+                    _TIER_SPANS, _TIER_SPANS[-1])
+    out = []
+    for w in _TIER_SPANS:
+        idx = np.flatnonzero(cls == w)
+        v = vals[idx]
+        l = lc[idx].copy()
+        og = p_og[idx].astype(np.int64)
+        # Tight window start, CLAMPED so ga + w stays in bounds: the
+        # class span w rounds the actual width UP, and near the window
+        # end p_ga + gmin + w can exceed nt by up to (w − width) — a
+        # dynamic-slice clamp there would silently shift the window.
+        # min(·, nt − w) is always safe: p_ga + gmin + width ≤ nt (the
+        # builder guarantees p_ga + span ≤ nt and gmin + width ≤ span),
+        # so the shifted offsets stay < w.
+        ga = np.minimum(p_ga[idx].astype(np.int64) + gmin[idx], nt - w)
+        shift = (p_ga[idx].astype(np.int64) + gmin[idx]) - ga  # ≥ 0
+        l[:, 0, :] = np.where(
+            nz[idx],
+            l[:, 0, :] - 128 * (gmin[idx] - shift)[:, None], 0)
+        assert len(idx) == 0 or 0 <= (l[:, 0, :] // 128).min() \
+            and (l[:, 0, :] // 128).max() < w
+        assert len(idx) == 0 or (ga >= 0).all() and (ga + w <= nt).all()
+        out.append((v, l, og, ga))
+    return out
+
+
+def _pad_tier_class(v, l, og, ga, n_target: int):
+    """Zero-pad one class's arrays to ``n_target`` planes (host)."""
+    import numpy as np
+
+    pad = n_target - v.shape[0]
+    assert pad >= 0
+    if pad:
+        v = np.concatenate([v, np.zeros((pad,) + v.shape[1:], v.dtype)])
+        l = np.concatenate([l, np.zeros((pad, 1, 128), np.int32)])
+        og = np.concatenate([og, np.zeros(pad, np.int64)])
+        ga = np.concatenate([ga, np.zeros(pad, np.int64)])
+    return v, l, (og.astype(np.int32) << 16) | ga.astype(np.int32)
+
+
 def build_tier_plan(a: WBELLMatrix,
                     splane: int | None = None) -> WBellTierPlan:
     """Host-side: classify planes by actual window width, re-base each
@@ -199,43 +255,16 @@ def build_tier_plan(a: WBELLMatrix,
         raise ValueError(f"tier plan supports span <= {_TIER_SPANS[-1]}")
     if splane is None:
         splane = 8 if jax.default_backend() != "tpu" else _SPLANE
-    lc = np.asarray(a.lc)
-    vals = np.asarray(a.values)
-    p_ga = np.asarray(a.p_ga)
-    p_og = np.asarray(a.p_og)
-    gloc = (lc[:, 0, :] // 128).astype(np.int64)
-    nz = np.abs(vals.astype(np.float32)).sum(axis=(1, 2)) > 0  # (P, 128)
-    # NB: the sentinel must be int64 BEFORE np.where — NEP-50 would wrap
-    # a too-big python int into gloc's dtype (measured: int64 max → -1
-    # as int32 → negative gmin → corrupted windows).
-    big = np.int64(1) << 40
-    gmin = np.where(nz, gloc, big).min(axis=1)
-    gmin = np.where(gmin == big, 0, gmin)
-    width = np.maximum(np.where(nz, gloc, -1).max(axis=1) - gmin + 1, 1)
-    cls = np.select([width <= w for w in _TIER_SPANS],
-                    _TIER_SPANS, _TIER_SPANS[-1])
+    classes = _tier_classes(np.asarray(a.values), np.asarray(a.lc),
+                            np.asarray(a.p_og), np.asarray(a.p_ga), a.nt)
     out_v, out_l, out_pg, steps = [], [], [], []
-    for w in _TIER_SPANS:
-        idx = np.flatnonzero(cls == w)
-        pad = (-len(idx)) % splane
-        v = vals[idx]
-        l = lc[idx].copy()
-        og = p_og[idx].astype(np.int64)
-        ga = p_ga[idx].astype(np.int64) + gmin[idx]
-        l[:, 0, :] = np.where(nz[idx], l[:, 0, :]
-                              - 128 * gmin[idx][:, None], 0)
-        assert len(idx) == 0 or 0 <= (l[:, 0, :] // 128).min() \
-            and (l[:, 0, :] // 128).max() < w
-        if pad:
-            v = np.concatenate(
-                [v, np.zeros((pad,) + v.shape[1:], v.dtype)])
-            l = np.concatenate([l, np.zeros((pad, 1, 128), np.int32)])
-            og = np.concatenate([og, np.zeros(pad, np.int64)])
-            ga = np.concatenate([ga, np.zeros(pad, np.int64)])
+    for (v, l, og, ga) in classes:
+        n_pad = -(-v.shape[0] // splane) * splane
+        v, l, pg = _pad_tier_class(v, l, og, ga, n_pad)
         out_v.append(v)
         out_l.append(l)
-        out_pg.append((og.astype(np.int32) << 16) | ga.astype(np.int32))
-        steps.append((len(idx) + pad) // splane)
+        out_pg.append(pg)
+        steps.append(n_pad // splane)
     return WBellTierPlan(
         values=jnp.asarray(np.concatenate(out_v)),
         lc=jnp.asarray(np.concatenate(out_l)),
@@ -290,25 +319,21 @@ def _kernel_resident_tiers(steps, nrhs: int, splane: int):
     return kernel
 
 
-@partial(jax.jit, static_argnames=("interpret",))
-def wbell_spmm_tiered(plan: WBellTierPlan, x: jnp.ndarray, *,
-                      interpret: bool | None = None) -> jnp.ndarray:
-    """``Y = A @ X`` through the width-tiered resident kernel.
-    ``x``: batched internal ``(nrhs, nt, 8, 128)``; bit-compatible with
-    :func:`wbell_spmm` up to fp32 summation-order rounding."""
+def wbell_tiered_raw(packed: jnp.ndarray, lc: jnp.ndarray,
+                     values: jnp.ndarray, x: jnp.ndarray, *,
+                     steps, splane: int, interpret: bool,
+                     axis_name: str | None = None) -> jnp.ndarray:
+    """The width-tiered resident kernel on raw class-major plane arrays —
+    the form :mod:`cgx.dist.wbell` calls inside ``shard_map`` with
+    shard-local tier plans (every shard shares the static ``steps``).
+    ``x``: ``(nrhs, nt, 8, 128)``; returns the same shape."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
     nrhs, nt = x.shape[0], x.shape[1]
-    if x.ndim != 4 or nt != plan.nt or x.shape[2:] != (8, 128):
-        raise ValueError(f"tier kernel: expected (nrhs, {plan.nt}, 8, "
-                         f"128), got {x.shape}")
-    xdt = plan.vector_dtype
-    x = x.astype(xdt)
-    splane = plan.splane
-    nsteps = sum(plan.steps)
+    xdt = x.dtype
+    nsteps = sum(steps)
+    assert values.shape[0] == nsteps * splane
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nsteps,),
@@ -321,18 +346,39 @@ def wbell_spmm_tiered(plan: WBellTierPlan, x: jnp.ndarray, *,
                                lambda j, pg: (0, 0, 0, 0)),
     )
     vec = nrhs * nt * 1024 * jnp.dtype(xdt).itemsize
-    stream = 2 * splane * 65 * 128 * plan.values.dtype.itemsize
+    stream = 2 * splane * 65 * 128 * values.dtype.itemsize
     params = {} if interpret else dict(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=min(int(2.2 * vec) + 2 * stream + (8 << 20),
                                  127 << 20)))
     return pl.pallas_call(
-        _kernel_resident_tiers(plan.steps, nrhs, splane),
+        _kernel_resident_tiers(tuple(steps), nrhs, splane),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nrhs, nt, 8, 128), xdt),
+        out_shape=jax.ShapeDtypeStruct(
+            (nrhs, nt, 8, 128), xdt,
+            vma=(frozenset() if axis_name is None
+                 else frozenset({axis_name}))),
         interpret=interpret,
         **params,
-    )(plan.packed, plan.lc, plan.values, x)
+    )(packed, lc, values, x)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def wbell_spmm_tiered(plan: WBellTierPlan, x: jnp.ndarray, *,
+                      interpret: bool | None = None) -> jnp.ndarray:
+    """``Y = A @ X`` through the width-tiered resident kernel.
+    ``x``: batched internal ``(nrhs, nt, 8, 128)``; bit-compatible with
+    :func:`wbell_spmm` up to fp32 summation-order rounding."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    nt = x.shape[1]
+    if x.ndim != 4 or nt != plan.nt or x.shape[2:] != (8, 128):
+        raise ValueError(f"tier kernel: expected (nrhs, {plan.nt}, 8, "
+                         f"128), got {x.shape}")
+    return wbell_tiered_raw(plan.packed, plan.lc, plan.values,
+                            x.astype(plan.vector_dtype),
+                            steps=plan.steps, splane=plan.splane,
+                            interpret=interpret)
 
 
 def _kernel_resident_stacked(span: int, k: int, splane: int):

