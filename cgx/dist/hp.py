@@ -287,13 +287,16 @@ def make_dist_ir_df64_solver(
                 poly_steps=poly_steps, method=method, interpret=interpret)
             return res.x, int(res.iterations)
         # Bounded dispatches: warm-restart chunks of `inner_chunk` iters.
+        # maxiter stays STATIC at inner_chunk — a shrinking final-chunk
+        # cap would recompile the shard_map solver per chunk (it keys the
+        # lru cache / jit statics; tunnel compiles cost minutes).  The
+        # ≤ chunk-1 overshoot on the final chunk is harmless.
         total = 0
         x0i = None
         while True:
             res = dist_wbell_cg_solve_internal(
                 part, r_unit_i, mesh, x0i=x0i, tol=inner_tol,
-                maxiter=min(int(inner_chunk),
-                            inner_maxiter - total),
+                maxiter=int(inner_chunk),
                 preconditioner=inner_precond, poly_steps=poly_steps,
                 method=method, interpret=interpret)
             total += int(res.iterations)

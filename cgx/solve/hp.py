@@ -38,8 +38,9 @@ from cgx.ops.df64 import (DF64, df, df_add, df_axpy, df_div, df_dot,
                           two_prod, quick_two_sum, _fold_axis)
 
 __all__ = ["DF64ELL", "df64_ell_from_csr", "df64_ell_spmv",
-           "HPCGResult", "df64_cg_solve", "ir_df64_solve",
-           "make_ir_df64_solver", "IRDF64Operator"]
+           "df64_ell_spmm", "HPCGResult", "df64_cg_solve",
+           "ir_df64_solve", "make_ir_df64_solver",
+           "make_ir_df64_solver_multi", "IRDF64Operator"]
 
 
 @jax.tree_util.register_dataclass
@@ -104,6 +105,20 @@ def df64_ell_spmv(a: DF64ELL, x: DF64) -> DF64:
     return _fold_axis(DF64(p, e), axis=1)
 
 
+def df64_ell_spmm(a: DF64ELL, x: DF64) -> DF64:
+    """Batched ``Y = A·X`` in df64 for an ``(n, k)`` df64 block (the
+    multi-RHS true-residual operator — one gather pass serves every
+    column)."""
+    xh = x.hi[a.col_indices]           # (n, w, k)
+    xl = x.lo[a.col_indices]
+    vh = a.vhi[:, :, None]
+    vl = a.vlo[:, :, None]
+    p, e = two_prod(vh, xh)
+    e = e + (vh * xl + vl * xh + vl * xl)
+    p, e = quick_two_sum(p, e)
+    return _fold_axis(DF64(p, e), axis=1)
+
+
 from functools import partial
 
 
@@ -121,6 +136,12 @@ def _ir_inner(a_, m_, r_unit, *, tol, maxiter):
 def _ir_true_residual(a_hp, b_df, x):
     """TRUE df64 residual b − A·x (operator/RHS as traced arguments)."""
     return df_sub(b_df, df64_ell_spmv(a_hp, x))
+
+
+@jax.jit
+def _ir_true_residual_multi(a_hp, b_df, x):
+    """Batched TRUE df64 residual B − A·X for an (n, k) df64 block."""
+    return df_sub(b_df, df64_ell_spmm(a_hp, x))
 
 
 @jax.tree_util.register_dataclass
@@ -459,6 +480,139 @@ def _ir_df64_loop(a_hp: DF64ELL, inner, n: int, *, tol, atol, max_outer,
         return res, info
 
     return solve
+
+
+def make_ir_df64_solver_multi(a=None, *, tol: float = 1e-6,
+                              atol: float = 0.0,
+                              inner_tol: float = 1e-2,
+                              inner_maxiter: int = 2000,
+                              max_outer: int = 40,
+                              jacobi: bool = True,
+                              inner_chunk: Optional[int] = None,
+                              prebuilt: Optional[IRDF64Operator] = None,
+                              verbose: bool = False):
+    """Multi-RHS factory: df64 true-residual refinement over BATCHED
+    WBELL engine inners — a family of right-hand sides reaches TRUE
+    relres ≤ tol sharing one slot-plane stream per inner iteration
+    (:func:`cgx.solve.wbell.wbell_cg_solve_multi`, width-tiered kernel —
+    measured 1.24x amortization at k=4, PERF_NOTES 5e) and one batched
+    df64 ELL SpMM per refinement cycle.
+
+    Returns ``solve(B) -> (HPCGResult, info)`` with ``B``: host fp64
+    ``(n, k)``; ``x`` on the result is a df64 ``(n, k)`` block, scalar
+    fields carry a ``(k,)`` batch axis.  Columns refine together until
+    ALL reach tol (finished columns get zero-scaled unit residuals, so
+    their inner work freezes).  ``inner_chunk`` bounds each inner
+    dispatch by warm-restarting the batched CG.
+    """
+    import scipy.sparse as sp
+
+    from cgx.solve.wbell import wbell_cg_solve_multi
+    from cgx.sparse.wbell import wbell_from_csr
+    from cgx.kernels.wbell import _resident_fits, build_tier_plan
+
+    if prebuilt is not None:
+        if prebuilt.wb is None:
+            raise ValueError("prebuilt IRDF64Operator has no WBELL "
+                             "operator; rebuild from the CSR source")
+        a_hp, wb = prebuilt.a_hp, prebuilt.wb
+    else:
+        if hasattr(a, "indptr") and hasattr(a, "col_indices"):
+            a_sp = sp.csr_matrix((np.asarray(a.values, np.float64),
+                                  np.asarray(a.col_indices),
+                                  np.asarray(a.indptr)), shape=a.shape)
+        else:
+            a_sp = sp.csr_matrix(a).astype(np.float64)
+        a_hp = df64_ell_from_csr(a_sp)
+        wb = wbell_from_csr(a_sp)
+    n = a_hp.shape[0]
+    plan = build_tier_plan(wb) if wb.span <= 16 else None
+
+    def inner(r_unit):
+        """(n, k) fp32 unit residuals → (correction block, iter count)."""
+        kw = dict(tol=inner_tol, jacobi=jacobi)
+        if plan is not None and _resident_fits(wb, r_unit.shape[1]):
+            kw["tier_plan"] = plan
+        else:
+            kw["tiered"] = False
+        if inner_chunk is None:
+            res = wbell_cg_solve_multi(wb, r_unit,
+                                       maxiter=inner_maxiter, **kw)
+            return res.x, int(np.asarray(res.iterations).max())
+        total = 0
+        x0 = None
+        while True:
+            # maxiter stays STATIC at inner_chunk for every chunk: it is
+            # a jit static arg, and a shrinking final-chunk cap would
+            # recompile per chunk (measured: minutes per compile through
+            # the tunnel).  The ≤ chunk-1 iteration overshoot on the
+            # last chunk is harmless.
+            res = wbell_cg_solve_multi(wb, r_unit, x0,
+                                       maxiter=int(inner_chunk), **kw)
+            total += int(np.asarray(res.iterations).max())
+            if bool(np.asarray(res.converged).all()) \
+                    or total >= inner_maxiter:
+                return res.x, total
+            x0 = res.x
+
+    def solve(B):
+        B = np.asarray(B, np.float64)
+        if B.ndim != 2:
+            raise ValueError(f"expected (n, k) RHS block, got {B.shape}")
+        k = B.shape[1]
+        b_df = df_from_f64(B)
+        bb = np.einsum("nk,nk->k", B, B)           # exact enough in f64
+        tol_sq = np.maximum(tol * tol * bb, atol * atol)
+
+        x = DF64(jnp.zeros((n, k), jnp.float32),
+                 jnp.zeros((n, k), jnp.float32))
+        r = b_df
+        rr = bb.copy()
+        total = 0
+        outer = 0
+        strikes = 0
+        while (rr > tol_sq).any() and outer < max_outer and strikes < 2:
+            active = rr > tol_sq
+            s = np.sqrt(np.where(active, rr, 1.0))
+            inv_s = jnp.asarray(
+                np.where(active, 1.0 / s, 0.0), jnp.float32)
+            r_unit = (r.hi * inv_s[None, :]) + (r.lo * inv_s[None, :])
+            d_unit, k_in = inner(r_unit)
+            x = df_add(x, df(d_unit * jnp.asarray(s, jnp.float32)[None]))
+            r = _ir_true_residual_multi(a_hp, b_df, x)
+            rr_new = df64_col_norm_sq(r)
+            worse = (rr_new >= rr)[active].all() if active.any() else True
+            strikes = strikes + 1 if worse else 0
+            rr = rr_new
+            total += int(k_in)
+            outer += 1
+            if verbose:
+                print(f"[ir_df64_multi] cycle {outer}: true relres "
+                      f"{np.sqrt(np.maximum(rr, 0) / bb)}")
+
+        conv = rr <= tol_sq
+        res = HPCGResult(x=x, iterations=jnp.int32(total),
+                         residual_norm_sq=jnp.asarray(rr, jnp.float32),
+                         converged=jnp.asarray(conv))
+        info = dict(outer=outer,
+                    relres=np.sqrt(np.maximum(rr, 0.0) / bb).tolist(),
+                    inner_iterations=total)
+        return res, info
+
+    return solve
+
+
+@jax.jit
+def _df64_col_norm_sq_dev(r_hi, r_lo):
+    s = _fold_axis(df_mul(DF64(r_hi, r_lo), DF64(r_hi, r_lo)), axis=0)
+    return s.hi, s.lo
+
+
+def df64_col_norm_sq(r: DF64) -> np.ndarray:
+    """Per-column df64 ‖r‖² of an (n, k) df64 block → host fp64 (k,)
+    (pairwise double-word fold down the row axis)."""
+    hi, lo = _df64_col_norm_sq_dev(r.hi, r.lo)
+    return np.asarray(hi, np.float64) + np.asarray(lo, np.float64)
 
 
 def ir_df64_solve(a, b, *, tol: float = 1e-6, atol: float = 0.0,

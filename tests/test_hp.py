@@ -334,3 +334,32 @@ def test_ir_df64_save_to_rejects_non_wbell_inner(tmp_path):
     with pytest.raises(ValueError, match="persist"):
         make_ir_df64_solver(a, inner_format="ell",
                             save_to=str(tmp_path / "x.npz"))
+
+
+def test_ir_df64_multi_rhs_reaches_true_tol():
+    """Multi-RHS df64 refinement (round 5): a block of right-hand sides
+    reaches TRUE relres ≤ tol per column through batched WBELL inners
+    (shared plane streams) and batched df64 true residuals."""
+    from cgx.solve.hp import make_ir_df64_solver_multi
+    from conftest import random_spd_csr
+
+    n, k = 300, 3
+    a = random_spd_csr(n, 0.03, np.random.default_rng(3))
+    d = sp.diags(np.logspace(0, 4, n))
+    a = (d @ a @ d).tocsr()
+    B = np.random.default_rng(5).standard_normal((n, k))
+    solve = make_ir_df64_solver_multi(a, tol=1e-6, inner_tol=1e-2,
+                                      inner_maxiter=2000)
+    res, info = solve(B)
+    assert bool(np.asarray(res.converged).all()), info
+    X = df_to_f64(res.x)
+    for j in range(k):
+        rel = np.linalg.norm(B[:, j] - a @ X[:, j]) \
+            / np.linalg.norm(B[:, j])
+        assert rel <= 1.5e-6, (j, rel, info)
+    # And the chunked-inner form agrees.
+    solve_c = make_ir_df64_solver_multi(a, tol=1e-6, inner_tol=1e-2,
+                                        inner_maxiter=2000,
+                                        inner_chunk=25)
+    res_c, info_c = solve_c(B)
+    assert bool(np.asarray(res_c.converged).all()), info_c
