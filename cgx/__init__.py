@@ -24,7 +24,7 @@ from cgx.solve.chebyshev import (analytic_bounds, chebyshev_solve,
                                  estimate_bounds)
 from cgx.solve.ir import ir_cg_solve, ir_supported
 from cgx.solve.hp import (IRDF64Operator, df64_cg_solve, ir_df64_solve,
-                          make_ir_df64_solver)
+                          make_ir_df64_solver, make_ir_df64_solver_multi)
 from cgx.solve.wbell import (WBellBlockJacobiPrecond, wbell_cg_solve,
                              wbell_cg_solve_multi)
 from cgx.sparse.wbell import (WBELL_MIN_ROWS, WBELLMatrix, auto_format,
@@ -47,7 +47,7 @@ __all__ = [
     "auto_solve", "select_backend", "cg_solve_checkpointed",
     "analytic_bounds", "chebyshev_solve", "estimate_bounds",
     "ir_cg_solve", "ir_supported", "df64_cg_solve", "ir_df64_solve",
-    "make_ir_df64_solver", "IRDF64Operator",
+    "make_ir_df64_solver", "make_ir_df64_solver_multi", "IRDF64Operator",
     "JacobiPrecond", "BlockJacobiPrecond", "PolynomialPrecond",
     "IC0Precond", "IC0SweepPrecond",
 ]

@@ -265,6 +265,10 @@ def make_dist_ir_df64_solver(
     ``info["relres"]`` is the final TRUE df64 relative residual;
     ``iterations`` on the result counts total inner iterations.
     """
+    if AXIS not in mesh.axis_names:
+        raise ValueError(f"mesh must carry a {AXIS!r} axis (use "
+                         "cgx.dist.solve.make_row_mesh); got "
+                         f"{mesh.axis_names}")
     nd = int(np.prod(mesh.devices.shape))
     part = partition_wbell(a, nd, span=span, per_shard=per_shard)
     opd = partition_df64_ell(a, part)
