@@ -152,6 +152,8 @@ def bench_cgx_headline(quick):
 
     # 8 differenced solves ≈ 56 ms of device signal at 128³ against the
     # ±2 ms dispatch jitter; smaller gaps (1 vs 3) measured noise-level.
+    # (Quick mode's 64³ solve is ~1 ms device — even 8 solves barely
+    # clear the jitter, so treat its device number as smoke only.)
     m1, m2 = 1, 9
     jax.block_until_ready(solve_chain(a, b, m1))
     jax.block_until_ready(solve_chain(a, b, m2))

@@ -231,6 +231,12 @@ def cmd_solve(args):
         from cgx.dist.hp import dist_ir_df64_solve
         from cgx.dist.solve import make_row_mesh
         from cgx.ops.df64 import df_to_f64
+        from cgx.solve.hp import IRDF64Operator
+        if isinstance(a, IRDF64Operator):
+            raise SystemExit("ir_df64 bundles are single-device operator "
+                             "state; for --devices>1 rebuild from the "
+                             "CSR source (the partition needs the raw "
+                             "matrix)")
         if not hasattr(a, "indptr"):
             raise SystemExit("--accuracy df64 needs a CSR-loadable source "
                              "(Matrix Market / legacy / poisson)")

@@ -448,3 +448,23 @@ def test_solve_df64_save_and_reuse_bundle(tmp_path, capsys):
     assert "ir_df64 operator bundle" in err         # df64 auto-implied
     assert "format=ir_df64 (prebuilt bundle)" in err
     assert "true_relres=" in err and "converged=True" in err
+
+
+def test_solve_bundle_rejects_devices(tmp_path, capsys):
+    """An ir_df64 bundle with --devices>1 gets a clear error (the
+    partition needs the raw CSR), not a crash inside partition_wbell."""
+    import pytest
+    import scipy.sparse as sp
+    import cgx
+    from cgx.io.native_format import save_df64_operator
+    from cgx.solve.hp import IRDF64Operator, df64_ell_from_csr
+
+    a = sp.random(400, 400, density=0.02, random_state=3, format="csr")
+    a = sp.csr_matrix((a + a.T) + sp.eye(400) * 10.0)
+    w = cgx.wbell_from_csr(a)
+    op = IRDF64Operator(a_hp=df64_ell_from_csr(a), wb=w,
+                        diag=a.diagonal())
+    p = str(tmp_path / "op.npz")
+    save_df64_operator(p, op)
+    with pytest.raises(SystemExit, match="single-device"):
+        main(["solve", "--input", p, "--devices", "4"])
