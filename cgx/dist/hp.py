@@ -50,12 +50,13 @@ from jax.sharding import PartitionSpec as P
 
 from cgx.dist.wbell import (AXIS, WBellPartition, partition_wbell,
                             dist_wbell_cg_solve_internal)
-from cgx.ops.df64 import (DF64, df_add, df_dot, df_mul_f32, df_sub,
-                          quick_two_sum, two_prod, _fold_axis)
+from cgx.ops.df64 import (DF64, df_add, df_dot, df_mul, df_mul_f32,
+                          df_sub, quick_two_sum, two_prod, _fold_axis)
 from cgx.solve.hp import HPCGResult
 
 __all__ = ["DistDF64ELL", "partition_df64_ell", "make_dist_ir_df64_solver",
-           "dist_ir_df64_solve"]
+           "dist_ir_df64_solve", "make_dist_ir_df64_solver_multi",
+           "dist_ir_df64_solve_multi"]
 
 
 @jax.tree_util.register_dataclass
@@ -363,3 +364,213 @@ def make_dist_ir_df64_solver(
 def dist_ir_df64_solve(a, b, mesh: Mesh, **kw):
     """One-shot form of :func:`make_dist_ir_df64_solver` (see there)."""
     return make_dist_ir_df64_solver(a, mesh, **kw)(b)
+
+
+# ---------------------------------------------------------------------------
+# Distributed MULTI-RHS df64 (accuracy × distribution × block of RHS)
+# ---------------------------------------------------------------------------
+
+def _local_true_residual_multi(opd: DistDF64ELL, bh, bl, xh, xl):
+    """One shard's batched df64 ``R = B − A·X`` + per-column global
+    ‖r‖² (inside shard_map; vectors ``(k, gs, 8, 128)``)."""
+    from cgx.dist.halo import halo_exchange
+
+    sq = lambda arr: arr.reshape(arr.shape[1:])
+    vhi = sq(opd.vhi)[:, :, None]
+    vlo = sq(opd.vlo)[:, :, None]
+    cols = sq(opd.cols)
+
+    def flatk(v):                      # (k, gs, 8, 128) → (gs*1024, k)
+        return jnp.stack([_flat(v[j]) for j in range(v.shape[0])],
+                         axis=1)
+
+    def unflatk(v):                    # (gs*1024, k) → (k, gs, 8, 128)
+        return jnp.stack([_unflat(v[:, j]) for j in
+                          range(v.shape[1])], axis=0)
+
+    xh_f, xl_f = flatk(xh), flatk(xl)
+    # ONE ring exchange per word carries every column.
+    xh_e = halo_exchange(xh_f, opd.halo_lo, opd.halo_hi, AXIS)
+    xl_e = halo_exchange(xl_f, opd.halo_lo, opd.halo_hi, AXIS)
+    gh, gl = xh_e[cols], xl_e[cols]                # (R, w, k)
+    p, e = two_prod(vhi, gh)
+    e = e + (vhi * gl + vlo * gh + vlo * gl)
+    p, e = quick_two_sum(p, e)
+    y = _fold_axis(DF64(p, e), axis=1)             # (R, k) df64
+    r = df_sub(DF64(flatk(bh), flatk(bl)), y)
+    rr_loc = _fold_axis(df_mul(r, r), axis=0)      # (k,) df64 partials
+    rr = (jax.lax.psum(rr_loc.hi, AXIS)
+          + jax.lax.psum(rr_loc.lo, AXIS))
+    return unflatk(r.hi), unflatk(r.lo), rr
+
+
+@lru_cache(maxsize=16)
+def _cached_residual_multi(mesh, op_specs):
+    vec = P(None, AXIS)
+    return jax.jit(jax.shard_map(
+        _local_true_residual_multi, mesh=mesh,
+        in_specs=(op_specs, vec, vec, vec, vec),
+        out_specs=(vec, vec, P()),
+        check_vma=False))
+
+
+@jax.jit
+def _scale_unit_multi(rh, rl, inv_s):
+    return rh * inv_s[:, None, None, None] + rl * inv_s[:, None, None,
+                                                        None]
+
+
+@jax.jit
+def _df64_update_multi(xh, xl, d, s):
+    x = df_add(DF64(xh, xl),
+               df_mul_f32(DF64(d, jnp.zeros_like(d)),
+                          s[:, None, None, None]))
+    return x.hi, x.lo
+
+
+def make_dist_ir_df64_solver_multi(
+    a,
+    mesh: Mesh,
+    *,
+    tol: float = 1e-6,
+    atol: float = 0.0,
+    inner_tol: float = 1e-2,
+    inner_maxiter: int = 2000,
+    max_outer: int = 40,
+    inner_jacobi: bool = True,
+    inner_chunk: Optional[int] = None,
+    span: int = 16,
+    per_shard: bool = False,
+    interpret: Optional[bool] = None,
+    verbose: bool = False,
+):
+    """The full composition cube: df64 accuracy × row-sharded
+    distribution × a BLOCK of right-hand sides.  Batched distributed
+    WBELL engine inners (:func:`dist_wbell_cg_solve_multi` — shard-level
+    tier plans, one halo ppermute per ring step for all columns) inside
+    a sharded batched df64 true-residual outer (one gather pass per
+    cycle for every column, per-column psum'd df64 norms).
+
+    Returns ``solve(B) -> (HPCGResult, info)`` with ``B`` host fp64
+    ``(n, k)``; scalar result fields carry a ``(k,)`` batch axis.
+    """
+    from cgx.dist.wbell import dist_wbell_cg_solve_multi
+
+    if AXIS not in mesh.axis_names:
+        raise ValueError(f"mesh must carry a {AXIS!r} axis (use "
+                         "cgx.dist.solve.make_row_mesh); got "
+                         f"{mesh.axis_names}")
+    nd = int(np.prod(mesh.devices.shape))
+    part = partition_wbell(a, nd, span=span, per_shard=per_shard)
+    opd = partition_df64_ell(a, part)
+    if interpret is None:
+        interpret = mesh.devices.flat[0].platform != "tpu"
+
+    op_specs = jax.tree.map(lambda _: P(AXIS), opd)
+    op_sharded = jax.device_put(
+        opd, jax.tree.map(lambda s: NamedSharding(mesh, s), op_specs,
+                          is_leaf=lambda v: isinstance(v, P)))
+    residual = _cached_residual_multi(mesh, op_specs)
+    n = part.n
+
+    def _inner(r_unit_std):
+        """(n, k) standard-order fp32 block → ((n, k) correction,
+        iters)."""
+        if inner_chunk is None:
+            res = dist_wbell_cg_solve_multi(
+                part, r_unit_std, mesh, tol=inner_tol,
+                maxiter=inner_maxiter, jacobi=inner_jacobi,
+                interpret=interpret)
+            return res.x, int(np.asarray(res.iterations).max())
+        total = 0
+        x0 = None
+        while True:
+            # maxiter stays STATIC per chunk (jit static — see 5h).
+            res = dist_wbell_cg_solve_multi(
+                part, r_unit_std, mesh, x0=x0, tol=inner_tol,
+                maxiter=int(inner_chunk), jacobi=inner_jacobi,
+                interpret=interpret)
+            total += int(np.asarray(res.iterations).max())
+            if bool(np.asarray(res.converged).all()) \
+                    or total >= inner_maxiter:
+                return res.x, total
+            x0 = res.x
+
+    vecb = NamedSharding(mesh, P(None, AXIS))
+
+    def to_int_block(M32):
+        return jax.device_put(
+            jnp.stack([part.to_internal(jnp.asarray(M32[:, j]))
+                       for j in range(M32.shape[1])]), vecb)
+
+    def solve(B):
+        B = np.asarray(B, np.float64)
+        k = B.shape[1]
+        bb = np.einsum("nk,nk->k", B, B)
+        tol_sq = np.maximum(tol * tol * bb, atol * atol)
+
+        bh = B.astype(np.float32)
+        bl = (B - bh.astype(np.float64)).astype(np.float32)
+        bh_i, bl_i = to_int_block(bh), to_int_block(bl)
+        xh_i = jax.device_put(jnp.zeros_like(bh_i), vecb)
+        xl_i = jax.device_put(jnp.zeros_like(bl_i), vecb)
+
+        rr = bb.copy()
+        total = 0
+        outer = 0
+        strikes = 0
+        while outer < max_outer and strikes < 2:
+            rh_i, rl_i, rr_dev = residual(op_sharded, bh_i, bl_i,
+                                          xh_i, xl_i)
+            rr_new = np.asarray(rr_dev, np.float64)
+            active = rr_new > tol_sq
+            if outer:
+                prev_active = rr > tol_sq
+                worse = ((rr_new >= rr)[prev_active].all()
+                         if prev_active.any() else True)
+                strikes = strikes + 1 if worse else 0
+            rr = rr_new
+            if verbose:
+                print(f"[dist_ir_df64_multi] cycle {outer}: true relres "
+                      f"{np.sqrt(np.maximum(rr, 0) / bb)}")
+            if not active.any() or strikes >= 2:
+                break
+            s = np.sqrt(np.where(active, rr, 1.0))
+            inv_s = jnp.asarray(np.where(active, 1.0 / s, 0.0),
+                                jnp.float32)
+            r_unit_i = _scale_unit_multi(rh_i, rl_i, inv_s)
+            # Inner runs in standard order (the dist multi solver's
+            # public boundary); one replicate + permute per cycle.
+            r_unit_full = jax.device_put(r_unit_i,
+                                         NamedSharding(mesh, P()))
+            r_unit_std = jnp.stack(
+                [part.from_internal(r_unit_full[j]) for j in range(k)],
+                axis=1)
+            d_std, k_in = _inner(r_unit_std)
+            d_i = to_int_block(np.asarray(d_std, np.float32))
+            xh_i, xl_i = _df64_update_multi(
+                xh_i, xl_i, d_i, jnp.asarray(s, jnp.float32))
+            total += k_in
+            outer += 1
+
+        x_full = jax.device_put(xh_i, NamedSharding(mesh, P()))
+        l_full = jax.device_put(xl_i, NamedSharding(mesh, P()))
+        x_hi = jnp.stack([part.from_internal(x_full[j])
+                          for j in range(k)], axis=1)
+        x_lo = jnp.stack([part.from_internal(l_full[j])
+                          for j in range(k)], axis=1)
+        conv = rr <= tol_sq
+        res = HPCGResult(x=DF64(x_hi, x_lo), iterations=jnp.int32(total),
+                         residual_norm_sq=jnp.asarray(rr, jnp.float32),
+                         converged=jnp.asarray(conv))
+        info = dict(outer=outer,
+                    relres=np.sqrt(np.maximum(rr, 0.0) / bb).tolist(),
+                    inner_iterations=total, n_shards=nd, n=n)
+        return res, info
+
+    return solve
+
+
+def dist_ir_df64_solve_multi(a, B, mesh: Mesh, **kw):
+    """One-shot form of :func:`make_dist_ir_df64_solver_multi`."""
+    return make_dist_ir_df64_solver_multi(a, mesh, **kw)(B)

@@ -1083,3 +1083,26 @@ def test_dist_wbell_multi_rhs_tiered_matches_untied(rng):
         rel = np.linalg.norm(a @ np.asarray(r_t.x[:, j], np.float64)
                              - b[:, j]) / np.linalg.norm(b[:, j])
         assert rel <= 2e-6
+
+
+def test_dist_ir_df64_multi_rhs_reaches_true_tol():
+    """The full composition cube (round 5): df64 accuracy × 8-shard
+    distribution × a block of RHS — every column reaches TRUE relres
+    ≤ tol through batched distributed engine inners and a sharded
+    batched df64 residual."""
+    from cgx.dist.hp import dist_ir_df64_solve_multi
+    from cgx.ops.df64 import df_to_f64
+
+    n, k = 2200, 3
+    a = _kappa1e7_matrix(n)
+    B = np.random.default_rng(13).standard_normal((n, k))
+    res, info = dist_ir_df64_solve_multi(a, B, MESH, tol=1e-6,
+                                         inner_tol=1e-2,
+                                         inner_maxiter=3000)
+    assert bool(np.asarray(res.converged).all()), info
+    X = df_to_f64(res.x)
+    for j in range(k):
+        rel = np.linalg.norm(B[:, j] - a @ X[:, j]) \
+            / np.linalg.norm(B[:, j])
+        assert rel <= 1.5e-6, (j, rel, info)
+    assert info["n_shards"] == 8
