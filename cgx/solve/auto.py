@@ -152,18 +152,30 @@ def auto_solve(
         from cgx.sparse.wbell import WBELLMatrix as _WB
         if isinstance(a, _WB):
             # Batched WBELL: one shared slot-plane stream for all k
-            # columns (cgx/solve/wbell.py).
+            # columns (cgx/solve/wbell.py) — full internal-layout
+            # preconditioner family as of round 5.
             from cgx.solve.precond import JacobiPrecond as _JP
-            from cgx.solve.wbell import wbell_cg_solve_multi
-            if preconditioner is not None and not isinstance(
-                    preconditioner, _JP):
-                raise ValueError("wbell multi-RHS supports "
-                                 "preconditioner=None or JacobiPrecond")
+            from cgx.solve.precond import PolynomialPrecond as _PP
+            from cgx.solve.wbell import (WBellBlockJacobiPrecond,
+                                         wbell_cg_solve_multi)
+            m = preconditioner
+            kw = dict(tol=tol, atol=atol, maxiter=maxiter)
+            if isinstance(m, _PP):
+                return wbell_cg_solve_multi(a, b, x0, precond="poly",
+                                            poly_steps=m.steps,
+                                            poly_omega=m.omega, **kw)
+            if isinstance(m, WBellBlockJacobiPrecond) or m in (
+                    "block_jacobi", "poly"):
+                return wbell_cg_solve_multi(a, b, x0, precond=m, **kw)
+            if m is not None and not isinstance(m, _JP):
+                raise ValueError(
+                    "wbell multi-RHS supports preconditioner=None, "
+                    "JacobiPrecond, PolynomialPrecond, "
+                    "WBellBlockJacobiPrecond, or 'block_jacobi'/'poly'")
             return wbell_cg_solve_multi(
-                a, b, x0, tol=tol, atol=atol, maxiter=maxiter,
-                jacobi=preconditioner is not None,
-                inv_diag=(preconditioner.inv_diag
-                          if isinstance(preconditioner, _JP) else None))
+                a, b, x0, jacobi=m is not None,
+                inv_diag=(m.inv_diag if isinstance(m, _JP) else None),
+                **kw)
         # Multi-RHS block: route the batched solver (its own backend
         # auto-selection picks the fused SpMM engine where it pays).
         # Map this function's backend names onto cg_solve_multi's

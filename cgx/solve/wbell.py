@@ -196,16 +196,21 @@ def wbell_cg_solve(
     return dataclasses.replace(res, x=a.from_internal(res.x))
 
 
-@partial(jax.jit, static_argnames=("tol", "atol", "maxiter"))
-def _wbell_cg_multi(a, bi, xi0, idi, plan=None, *, tol, atol, maxiter):
-    """Batched (Jacobi-)CG in the internal layout: state ``(k, nt, 8,
+@partial(jax.jit, static_argnames=("tol", "atol", "maxiter",
+                                   "poly_steps", "poly_omega"))
+def _wbell_cg_multi(a, bi, xi0, idi, plan=None, binv=None, *, tol, atol,
+                    maxiter, poly_steps=0, poly_omega=2.0 / 3.0):
+    """Batched (P)CG in the internal layout: state ``(k, nt, 8,
     128)``, per-column α/β, one shared SpMM per iteration — the
     slot-plane stream (the dominant traffic) is paid ONCE for all k
     columns.  With ``plan`` (a :class:`~cgx.kernels.wbell.WBellTierPlan`)
     the SpMM runs the width-tiered kernel — the measured multi-RHS
     winner (0.707 vs 0.783 ms/RHS at thermal2 k=4, PERF_NOTES 5e).
-    Semantics match :func:`cgx.solve.block.cg_solve_multi`'s batched
-    results (each column its own convergence schedule; finished columns
+    Preconditioners mirror the single-RHS surface: Jacobi (``idi``),
+    supervariable block-Jacobi (``binv``), or the ``poly_steps``-step
+    damped-Jacobi polynomial (each sweep one shared SpMM).  Semantics
+    match :func:`cgx.solve.block.cg_solve_multi`'s batched results
+    (each column its own convergence schedule; finished columns
     freeze)."""
     from cgx.kernels.wbell import wbell_spmm, wbell_spmm_tiered
     from cgx.solve.cg import CGResult
@@ -221,15 +226,26 @@ def _wbell_cg_multi(a, bi, xi0, idi, plan=None, *, tol, atol, maxiter):
     def col_dot(u, v):
         return jnp.sum((u * v).astype(f32), axis=(1, 2, 3))
 
-    def apply_m(r):
-        return r * idi[None] if idi is not None else r
+    if poly_steps:
+        def apply_m(r):
+            z = poly_omega * idi[None] * r
+            for _ in range(poly_steps - 1):
+                z = z + poly_omega * idi[None] * (r - spmm(z))
+            return z
+    elif binv is not None:
+        def apply_m(r):
+            return jnp.einsum("gijl,kgjl->kgil", binv.astype(r.dtype), r)
+    else:
+        def apply_m(r):
+            return r * idi[None] if idi is not None else r
 
+    precond_on = idi is not None or binv is not None
     x = bi * 0 if xi0 is None else xi0
     r = bi if xi0 is None else bi - spmm(xi0)
     z = apply_m(r)
     p = z
     rz = col_dot(r, z)
-    rr = col_dot(r, r) if idi is not None else rz
+    rr = col_dot(r, r) if precond_on else rz
     bb = col_dot(bi, bi)
     tol_sq = jnp.maximum(jnp.asarray(tol, f32) ** 2 * bb,
                          jnp.asarray(atol, f32) ** 2)
@@ -249,7 +265,7 @@ def _wbell_cg_multi(a, bi, xi0, idi, plan=None, *, tol, atol, maxiter):
         r = r - ax * q
         z = apply_m(r)
         rz_new = col_dot(r, z)
-        rr_new = col_dot(r, r) if idi is not None else rz_new
+        rr_new = col_dot(r, r) if precond_on else rz_new
         beta = jnp.where(active, rz_new / jnp.where(rz != 0, rz, 1.0), 0.0)
         bx = beta[:, None, None, None].astype(x.dtype)
         p = jnp.where(active[:, None, None, None], z + bx * p, p)
@@ -274,6 +290,9 @@ def wbell_cg_solve_multi(
     maxiter: Optional[int] = None,
     jacobi: bool = False,
     inv_diag: Optional[jnp.ndarray] = None,
+    precond: Optional[object] = None,
+    poly_steps: int = 3,
+    poly_omega: float = 2.0 / 3.0,
     tiered: Optional[bool] = None,
     tier_plan=None,
 ) -> CGResult:
@@ -282,6 +301,12 @@ def wbell_cg_solve_multi(
     ``b``: standard-order ``(n, k)``; results carry
     :func:`cgx.solve.block.cg_solve_multi`'s batch axes (``x``: (n, k);
     scalars (k,)).  The slot-plane stream is shared by all k columns.
+
+    ``precond``: the same internal-layout family as
+    :func:`wbell_cg_solve` — ``"poly"`` (damped-Jacobi polynomial, each
+    sweep one shared SpMM), ``"block_jacobi"`` (supervariable 8×8
+    inverses), a prebuilt :class:`WBellBlockJacobiPrecond`, or None;
+    mutually exclusive with ``jacobi``.
 
     By default (``tiered=None`` → on when the resident kernel fits and
     ``span ≤ 16``) the SpMM runs the width-tiered resident kernel
@@ -303,8 +328,23 @@ def wbell_cg_solve_multi(
     bi = jnp.stack([a.to_internal(b[:, j]) for j in range(k)])
     xi0 = (jnp.stack([a.to_internal(x0[:, j]) for j in range(k)])
            if x0 is not None else None)
+    if precond is not None and jacobi:
+        raise ValueError("pass either jacobi=True or precond=, not both")
     idi = None
-    if jacobi:
+    binv = None
+    steps = 0
+    if precond == "poly":
+        idi = blas.safe_recip(a.diag_internal)
+        steps = int(poly_steps)
+    elif precond == "block_jacobi":
+        binv = WBellBlockJacobiPrecond.from_wbell(a).binv
+    elif isinstance(precond, WBellBlockJacobiPrecond):
+        binv = precond.binv
+    elif precond is not None:
+        raise ValueError(f"unknown wbell precond {precond!r}; expected "
+                         "'poly', 'block_jacobi', or a "
+                         "WBellBlockJacobiPrecond")
+    elif jacobi:
         idi = (a.to_internal(inv_diag) if inv_diag is not None
                else blas.safe_recip(a.diag_internal))
     plan = tier_plan
@@ -315,7 +355,8 @@ def wbell_cg_solve_multi(
         elif tiered:
             raise ValueError("tiered=True needs span<=16 and the "
                              "resident-kernel VMEM footprint")
-    res = _wbell_cg_multi(a, bi, xi0, idi, plan, tol=float(tol),
-                          atol=float(atol), maxiter=int(maxiter))
+    res = _wbell_cg_multi(a, bi, xi0, idi, plan, binv, tol=float(tol),
+                          atol=float(atol), maxiter=int(maxiter),
+                          poly_steps=steps, poly_omega=float(poly_omega))
     x = jnp.stack([a.from_internal(res.x[j]) for j in range(k)], axis=1)
     return dataclasses.replace(res, x=x)

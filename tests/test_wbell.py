@@ -558,3 +558,27 @@ def test_wbell_tier_plan_window_end_clamp(rng):
     y_ref = np.asarray(wbell_spmm(wb, xb))
     y_t = np.asarray(wbell_spmm_tiered(plan, xb))
     np.testing.assert_allclose(y_t, y_ref, rtol=2e-5, atol=1e-4)
+
+
+@pytest.mark.parametrize("pc", ["block_jacobi", "poly"])
+def test_wbell_cg_solve_multi_preconditioners(rng, pc):
+    """Multi-RHS (P)CG with the full internal-layout preconditioner
+    family (round 5 — previously Jacobi only): fewer-or-equal iterations
+    than unpreconditioned, correct solutions."""
+    from cgx.solve.wbell import wbell_cg_solve_multi
+
+    n, k = 2500, 2
+    a = sp.random(n, n, density=0.004, random_state=17, format="csr")
+    a = sp.csr_matrix((a + a.T) + sp.eye(n) * 12.0)
+    wb = wbell_from_csr(a)
+    B = rng.standard_normal((n, k)).astype(np.float32)
+    r_p = wbell_cg_solve_multi(wb, jnp.asarray(B), tol=1e-6, maxiter=400,
+                               precond=pc)
+    r_0 = wbell_cg_solve_multi(wb, jnp.asarray(B), tol=1e-6, maxiter=400)
+    assert bool(np.asarray(r_p.converged).all())
+    assert (np.asarray(r_p.iterations)
+            <= np.asarray(r_0.iterations) + 1).all()
+    for j in range(k):
+        rel = np.linalg.norm(a @ np.asarray(r_p.x[:, j], np.float64)
+                             - B[:, j]) / np.linalg.norm(B[:, j])
+        assert rel <= 2e-6, (pc, j, rel)
