@@ -34,6 +34,15 @@ next #1):
 
 Together: a multi-chip unstructured solve reaches the reference's fp64
 accuracy envelope at engine speed.
+
+Round-5 extensions: ``per_shard=True`` builds (both the WBELL planes and
+the df64 ELL slabs densify one shard at a time — peak host memory
+~1/n_d of the global build), and the MULTI-RHS form
+(:func:`make_dist_ir_df64_solver_multi` / :func:`dist_ir_df64_solve_multi`)
+— the full composition cube: df64 accuracy × row-sharded distribution ×
+a block of right-hand sides, with batched engine inners (shard-level
+width-tier plans) and ONE sharded df64 gather pass per refinement cycle
+for every column.
 """
 from __future__ import annotations
 
