@@ -363,3 +363,26 @@ def test_ir_df64_multi_rhs_reaches_true_tol():
                                         inner_chunk=25)
     res_c, info_c = solve_c(B)
     assert bool(np.asarray(res_c.converged).all()), info_c
+
+
+def test_df64_ell_spmm_matches_f64():
+    """Batched df64 SpMM (one gather pass for all columns) matches fp64
+    ground truth per column."""
+    from cgx.solve.hp import df64_ell_spmm
+
+    a, _ = _ill_conditioned_spd(200, 1e8)
+    rng = np.random.default_rng(4)
+    X = rng.standard_normal((200, 3))
+    ahp = df64_ell_from_csr(a)
+    Y = df_to_f64(df64_ell_spmm(ahp, df_from_f64(X)))
+    np.testing.assert_allclose(Y, a @ X, rtol=1e-12, atol=1e-12)
+
+
+def test_df64_col_norm_sq_exact():
+    from cgx.solve.hp import df64_col_norm_sq
+
+    rng = np.random.default_rng(7)
+    X = rng.standard_normal((512, 4)) * np.logspace(0, 5, 512)[:, None]
+    got = df64_col_norm_sq(df_from_f64(X))
+    ref = np.einsum("nk,nk->k", X, X)
+    np.testing.assert_allclose(got, ref, rtol=1e-12)
