@@ -318,7 +318,7 @@ def make_dist_ir_df64_solver(
                 return res.x, total
             x0i = res.x
 
-    def solve(b):
+    def solve(b, x0: Optional[DF64] = None):
         b64 = np.asarray(b, np.float64)
         bb = float(np.dot(b64, b64))
         tol_sq = max(tol * tol * bb, atol * atol)
@@ -327,9 +327,19 @@ def make_dist_ir_df64_solver(
         bl = (b64 - bh.astype(np.float64)).astype(np.float32)
         bh_i = jax.device_put(part.to_internal(jnp.asarray(bh)), vec)
         bl_i = jax.device_put(part.to_internal(jnp.asarray(bl)), vec)
-        zero = jnp.zeros_like(bh_i)
-        xh_i = jax.device_put(zero, vec)
-        xl_i = jax.device_put(zero, vec)
+        if x0 is None:
+            zero = jnp.zeros_like(bh_i)
+            xh_i = jax.device_put(zero, vec)
+            xl_i = jax.device_put(zero, vec)
+        else:
+            # Resume from a prior df64 iterate (standard order — e.g. a
+            # preempted solve's res.x); the first residual step below
+            # recomputes the TRUE residual, so the outer picks up
+            # exactly where it left off (elastic recovery, SURVEY §5.c).
+            xh_i = jax.device_put(part.to_internal(jnp.asarray(x0.hi)),
+                                  vec)
+            xl_i = jax.device_put(part.to_internal(jnp.asarray(x0.lo)),
+                                  vec)
 
         rr = bb
         total = 0

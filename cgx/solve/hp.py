@@ -444,16 +444,25 @@ def make_ir_df64_solver(a=None, *, tol: float = 1e-6, atol: float = 0.0,
 def _ir_df64_loop(a_hp: DF64ELL, inner, n: int, *, tol, atol, max_outer,
                   verbose):
     """The refinement driver shared by the build and prebuilt paths:
-    returns ``solve(b) -> (HPCGResult, info)``."""
+    returns ``solve(b, x0=None) -> (HPCGResult, info)``.  ``x0`` (a
+    :class:`DF64` iterate — e.g. a preempted solve's ``res.x``) resumes
+    refinement from that point: the outer is restartable for free
+    because the iterate is its ONLY state (SURVEY §5.c/d)."""
 
-    def solve(b):
+    def solve(b, x0: Optional[DF64] = None):
         b_df = df_from_f64(np.asarray(b, np.float64))
         bb = float(df_dot(b_df, b_df).hi)
         tol_sq = max(tol * tol * bb, atol * atol)
 
-        x = DF64(jnp.zeros((n,), jnp.float32), jnp.zeros((n,), jnp.float32))
-        r = b_df
-        rr = bb
+        if x0 is None:
+            x = DF64(jnp.zeros((n,), jnp.float32),
+                     jnp.zeros((n,), jnp.float32))
+            r = b_df
+            rr = bb
+        else:
+            x = x0
+            r = _ir_true_residual(a_hp, b_df, x)
+            rr = float(df_dot(r, r).hi)
         total = 0
         outer = 0
         strikes = 0
@@ -555,7 +564,7 @@ def make_ir_df64_solver_multi(a=None, *, tol: float = 1e-6,
                 return res.x, total
             x0 = res.x
 
-    def solve(B):
+    def solve(B, x0: Optional[DF64] = None):
         B = np.asarray(B, np.float64)
         if B.ndim != 2:
             raise ValueError(f"expected (n, k) RHS block, got {B.shape}")
@@ -564,10 +573,17 @@ def make_ir_df64_solver_multi(a=None, *, tol: float = 1e-6,
         bb = np.einsum("nk,nk->k", B, B)           # exact enough in f64
         tol_sq = np.maximum(tol * tol * bb, atol * atol)
 
-        x = DF64(jnp.zeros((n, k), jnp.float32),
-                 jnp.zeros((n, k), jnp.float32))
-        r = b_df
-        rr = bb.copy()
+        if x0 is None:
+            x = DF64(jnp.zeros((n, k), jnp.float32),
+                     jnp.zeros((n, k), jnp.float32))
+            r = b_df
+            rr = bb.copy()
+        else:
+            # Resume refinement from a prior iterate (elastic recovery —
+            # the iterate is the outer's only state).
+            x = x0
+            r = _ir_true_residual_multi(a_hp, b_df, x)
+            rr = df64_col_norm_sq(r)
         total = 0
         outer = 0
         strikes = 0

@@ -1106,3 +1106,29 @@ def test_dist_ir_df64_multi_rhs_reaches_true_tol():
             / np.linalg.norm(B[:, j])
         assert rel <= 1.5e-6, (j, rel, info)
     assert info["n_shards"] == 8
+
+
+def test_dist_ir_df64_resume_from_iterate():
+    """Distributed df64 elastic recovery: resume from a preempted
+    solve's df64 iterate, finishing in fewer cycles to the same TRUE
+    accuracy."""
+    from cgx.dist.hp import make_dist_ir_df64_solver
+    from cgx.ops.df64 import df_to_f64
+
+    n = 2200
+    a = _kappa1e7_matrix(n)
+    b = np.random.default_rng(17).standard_normal(n)
+    solver = make_dist_ir_df64_solver(a, MESH, tol=1e-8, inner_tol=1e-2,
+                                      inner_maxiter=3000)
+    full, info_full = solver(b)
+    assert bool(full.converged)
+
+    partial_solver = make_dist_ir_df64_solver(
+        a, MESH, tol=1e-8, inner_tol=1e-2, inner_maxiter=3000,
+        max_outer=max(1, info_full["outer"] // 2))
+    part, _ = partial_solver(b)
+    res, info_res = solver(b, x0=part.x)
+    assert bool(res.converged)
+    assert info_res["outer"] < info_full["outer"] or info_full["outer"] <= 1
+    true_rel = np.linalg.norm(b - a @ df_to_f64(res.x)) / np.linalg.norm(b)
+    assert true_rel <= 1.5e-8

@@ -386,3 +386,37 @@ def test_df64_col_norm_sq_exact():
     got = df64_col_norm_sq(df_from_f64(X))
     ref = np.einsum("nk,nk->k", X, X)
     np.testing.assert_allclose(got, ref, rtol=1e-12)
+
+
+def test_ir_df64_resume_from_iterate():
+    """SURVEY §5.c elastic recovery, df64 form: a refinement preempted
+    after a few cycles resumes from its iterate (x0=res.x) and finishes
+    in fewer outer cycles than from scratch, to the same TRUE accuracy."""
+    import cgx
+    from cgx.solve.hp import make_ir_df64_solver
+    from conftest import random_spd_csr
+
+    n = 300
+    a = random_spd_csr(n, 0.03, np.random.default_rng(3))
+    d = sp.diags(np.logspace(0, 5, n))
+    a = (d @ a @ d).tocsr()
+    b = np.random.default_rng(5).standard_normal(n)
+    m = cgx.JacobiPrecond(
+        inv_diag=jnp.asarray(1.0 / a.diagonal(), jnp.float32))
+    solver = make_ir_df64_solver(a, tol=1e-8, inner_tol=1e-2,
+                                 inner_maxiter=2000, preconditioner=m,
+                                 inner_format="wbell")
+    full, info_full = solver(b)
+    assert bool(full.converged)
+
+    # "Preemption": cap the outer cycles, snapshot the iterate, resume.
+    partial_solver = make_ir_df64_solver(
+        a, tol=1e-8, inner_tol=1e-2, inner_maxiter=2000,
+        preconditioner=m, inner_format="wbell",
+        max_outer=max(1, info_full["outer"] // 2))
+    part, info_part = partial_solver(b)
+    res, info_res = solver(b, x0=part.x)
+    assert bool(res.converged)
+    assert info_res["outer"] < info_full["outer"] or info_full["outer"] <= 1
+    true_rel = np.linalg.norm(b - a @ df_to_f64(res.x)) / np.linalg.norm(b)
+    assert true_rel <= 1.5e-8
