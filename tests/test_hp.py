@@ -420,3 +420,27 @@ def test_ir_df64_resume_from_iterate():
     assert info_res["outer"] < info_full["outer"] or info_full["outer"] <= 1
     true_rel = np.linalg.norm(b - a @ df_to_f64(res.x)) / np.linalg.norm(b)
     assert true_rel <= 1.5e-8
+
+
+def test_ir_df64_multi_resume_from_iterate():
+    """Multi-RHS df64 resume: the block outer picks up from a prior
+    df64 iterate block."""
+    from cgx.solve.hp import make_ir_df64_solver_multi
+    from conftest import random_spd_csr
+
+    n, k = 300, 2
+    a = random_spd_csr(n, 0.03, np.random.default_rng(3))
+    d = sp.diags(np.logspace(0, 4, n))
+    a = (d @ a @ d).tocsr()
+    B = np.random.default_rng(9).standard_normal((n, k))
+    solver = make_ir_df64_solver_multi(a, tol=1e-8, inner_tol=1e-2,
+                                       inner_maxiter=2000)
+    full, info_full = solver(B)
+    assert bool(np.asarray(full.converged).all())
+    part_solver = make_ir_df64_solver_multi(
+        a, tol=1e-8, inner_tol=1e-2, inner_maxiter=2000,
+        max_outer=max(1, info_full["outer"] // 2))
+    part, _ = part_solver(B)
+    res, info_res = solver(B, x0=part.x)
+    assert bool(np.asarray(res.converged).all())
+    assert info_res["outer"] < info_full["outer"] or info_full["outer"] <= 1
